@@ -1,0 +1,128 @@
+"""Sketching kernels for near-duplicate detection: MinHash, SimHash, shingles.
+
+All hashes are stable across processes (blake2b-seeded, never Python's
+``hash()``) so signatures computed in different Ray workers agree — a hard
+requirement for LSH bucketing via a distributed groupby.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+__all__ = [
+    "stable_hash64",
+    "hash_tokens64",
+    "word_shingles",
+    "MinHasher",
+    "simhash64",
+    "hamming64",
+    "jaccard",
+]
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def stable_hash64(s: str, seed: int = 0) -> int:
+    """Deterministic 64-bit hash of a string (blake2b, process-independent)."""
+    d = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(d.digest(), "little")
+
+
+def hash_tokens64(tokens: list[str], seed: int = 0) -> np.ndarray:
+    """Hash a token list to uint64 (one blake2b call per token)."""
+    key = seed.to_bytes(8, "little")
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8, key=key).digest(), "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """Word k-gram shingles (lowercased, whitespace-tokenized).  A document
+    shorter than k words contributes its whole token string as one shingle."""
+    words = text.lower().split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+class MinHasher:
+    """MinHash signatures via universal hashing ``(a*h + b) mod p`` over the
+    Mersenne prime 2^61-1, with ``num_perms`` fixed seeded permutations.
+
+    Built once per actor (``__init__`` cost is two RNG draws); ``signature``
+    is fully vectorized: perms x shingles matrix min-reduced per document.
+    """
+
+    def __init__(self, num_perms: int = 128, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.num_perms = num_perms
+        self.a = rng.integers(1, int(_MERSENNE61), size=num_perms, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE61), size=num_perms, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(S,) uint64 shingle hashes -> (num_perms,) uint64 signature."""
+        if len(shingle_hashes) == 0:
+            return np.full(self.num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = shingle_hashes % _MERSENNE61
+        with np.errstate(over="ignore"):
+            # (P, S): 61-bit values multiplied in uint64 can overflow, so do the
+            # modmul in float-free 128-bit-equivalent form: split a into hi/lo 31/30 bits.
+            a_hi = self.a >> np.uint64(31)
+            a_lo = self.a & np.uint64((1 << 31) - 1)
+            # a*h mod p  =  ((a_hi*h mod p) << 31  +  a_lo*h) mod p, with the
+            # shift reduced mod p as well; all intermediates stay < 2^63.
+            hi = (a_hi[:, None] * h[None, :]) % _MERSENNE61
+            hi = ((hi << np.uint64(31)) % _MERSENNE61 + (a_lo[:, None] * h[None, :]) % _MERSENNE61) % _MERSENNE61
+            vals = (hi + self.b[:, None]) % _MERSENNE61
+        return vals.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray, num_bands: int) -> list[str]:
+        """Split a signature into ``num_bands`` bands; each band becomes a
+        stable string bucket key ``"<band>:<hex>"`` usable as a groupby key."""
+        rows = self.num_perms // num_bands
+        keys = []
+        for bi in range(num_bands):
+            band = sig[bi * rows : (bi + 1) * rows]
+            d = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+            keys.append(f"{bi}:{d}")
+        return keys
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash: weighted bit-vote over token hashes (vectorized)."""
+    if len(token_hashes) == 0:
+        return 0
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    w = np.ones(len(token_hashes), dtype=np.int64) if weights is None else weights.astype(np.int64)
+    votes = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays (broadcasts)."""
+    x = np.bitwise_xor(a, b)
+    return np.bitwise_count(x).astype(np.int64) if hasattr(np, "bitwise_count") else _popcount64(x)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    while x.any():
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

@@ -1,0 +1,222 @@
+"""From-scratch vectorized CART (regression trees, rpart-anova semantics).
+
+The reference fits 35 ``rpart(method="anova")`` regression trees — one per
+(region 1..7) x (driver 1..5) — on ~1.5k training cells over 85 features,
+prunes at ``cp=0.02``, and scores every prediction-universe row
+(``Supplemental_Data_1.R:312-313,328-334``).  No scikit-learn exists here, so
+this is a numpy CART honoring rpart's default knobs:
+
+- grow: ``minsplit=20``, ``minbucket=7``, ``maxdepth=30``, complexity gate
+  ``cp=0.01`` (a split must reduce deviance by >= cp * SS(root));
+- split criterion: anova SS reduction, evaluated at midpoints between distinct
+  sorted values via cumulative sums (all candidate splits of one feature in
+  one vectorized pass);
+- deterministic tie-breaks: best improvement, then lowest feature index, then
+  lowest threshold;
+- prune: weakest-link cost-complexity pruning at ``cp`` (collapse any internal
+  node whose per-split deviance improvement rate, normalized by SS(root),
+  is below cp);
+- predict: leaf mean (vectorized frontier walk);
+- importance: per-feature sum of primary-split improvements (surrogate-split
+  credit is out of scope — documented rpart delta).
+
+Trees serialize to plain numpy arrays so the :class:`TreeScorer` actor pool
+(`stages/score.py`) can hold all 35 via one ``ray.put``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["CartTree", "fit_cart", "prune_cart"]
+
+_LEAF = -1
+
+
+@dataclass
+class CartTree:
+    """Array-encoded binary tree.  Node 0 is the root; ``feature[i] == -1``
+    marks a leaf.  ``threshold`` splits as ``x < threshold -> left``."""
+
+    feature: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    threshold: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    left: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    right: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    value: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    n_node: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    improvement: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    root_deviance: float = 0.0
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        """Vectorized traversal: route the whole matrix level by level."""
+        n = X.shape[0]
+        node = np.zeros(n, dtype=np.int64)
+        active = self.feature[node] != _LEAF
+        while active.any():
+            idx = np.nonzero(active)[0]
+            nd = node[idx]
+            f = self.feature[nd]
+            go_left = X[idx, f] < self.threshold[nd]
+            node[idx] = np.where(go_left, self.left[nd], self.right[nd])
+            active = self.feature[node] != _LEAF
+        return self.value[node]
+
+    def importance(self, num_features: int) -> np.ndarray:
+        imp = np.zeros(num_features, dtype=np.float64)
+        for i in range(len(self.feature)):
+            if self.feature[i] != _LEAF:
+                imp[self.feature[i]] += self.improvement[i]
+        return imp
+
+    def to_arrays(self) -> dict:
+        return {
+            "feature": self.feature,
+            "threshold": self.threshold,
+            "left": self.left,
+            "right": self.right,
+            "value": self.value,
+            "n_node": self.n_node,
+            "improvement": self.improvement,
+            "root_deviance": self.root_deviance,
+        }
+
+    @classmethod
+    def from_arrays(cls, d: dict) -> "CartTree":
+        return cls(**d)
+
+    @property
+    def num_leaves(self) -> int:
+        return int((self.feature == _LEAF).sum())
+
+
+def _best_split(
+    X: np.ndarray, y: np.ndarray, minbucket: int
+) -> tuple[int, float, float] | None:
+    """Best (feature, threshold, improvement) for one node; None if no valid
+    split.  improvement = SS(node) - SS(left) - SS(right), maximized."""
+    n = len(y)
+    sum_all = y.sum()
+    best_imp = 0.0
+    best: tuple[int, float, float] | None = None
+    for f in range(X.shape[1]):
+        xv = X[:, f]
+        order = np.argsort(xv, kind="stable")
+        xs = xv[order]
+        ys = y[order]
+        csum = np.cumsum(ys)
+        nl = np.arange(1, n, dtype=np.float64)  # left sizes after position i
+        sl = csum[:-1]
+        sr = sum_all - sl
+        nr = n - nl
+        # improvement at each cut between i and i+1
+        imp = sl * sl / nl + sr * sr / nr - sum_all * sum_all / n
+        valid = (xs[1:] != xs[:-1]) & (nl >= minbucket) & (nr >= minbucket)
+        if not valid.any():
+            continue
+        imp = np.where(valid, imp, -np.inf)
+        i = int(np.argmax(imp))  # argmax takes the FIRST max -> lowest threshold
+        if imp[i] > best_imp + 1e-12:
+            best_imp = float(imp[i])
+            thr = (xs[i] + xs[i + 1]) / 2.0
+            best = (f, float(thr), best_imp)
+    return best
+
+
+def fit_cart(
+    X: np.ndarray,
+    y: np.ndarray,
+    minsplit: int = 20,
+    minbucket: int = 7,
+    cp: float = 0.01,
+    maxdepth: int = 30,
+) -> CartTree:
+    """Grow a regression tree with rpart default semantics (see module doc)."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    root_dev = float(((y - y.mean()) ** 2).sum()) if len(y) else 0.0
+    feature, threshold, left, right, value, n_node, improvement = [], [], [], [], [], [], []
+
+    def new_node(idx: np.ndarray) -> int:
+        i = len(feature)
+        feature.append(_LEAF)
+        threshold.append(np.nan)
+        left.append(_LEAF)
+        right.append(_LEAF)
+        value.append(float(y[idx].mean()) if len(idx) else 0.0)
+        n_node.append(len(idx))
+        improvement.append(0.0)
+        return i
+
+    # explicit stack instead of recursion (maxdepth up to 30)
+    root = new_node(np.arange(len(y)))
+    stack = [(root, np.arange(len(y)), 0)]
+    while stack:
+        node_id, idx, depth = stack.pop()
+        if len(idx) < minsplit or depth >= maxdepth or root_dev <= 0:
+            continue
+        found = _best_split(X[idx], y[idx], minbucket)
+        if found is None:
+            continue
+        f, thr, imp = found
+        if imp < cp * root_dev:  # rpart's complexity gate on growth
+            continue
+        go_left = X[idx, f] < thr
+        li = new_node(idx[go_left])
+        ri = new_node(idx[~go_left])
+        feature[node_id] = f
+        threshold[node_id] = thr
+        left[node_id] = li
+        right[node_id] = ri
+        improvement[node_id] = imp
+        stack.append((ri, idx[~go_left], depth + 1))
+        stack.append((li, idx[go_left], depth + 1))
+
+    return CartTree(
+        np.asarray(feature, np.int64),
+        np.asarray(threshold, np.float64),
+        np.asarray(left, np.int64),
+        np.asarray(right, np.int64),
+        np.asarray(value, np.float64),
+        np.asarray(n_node, np.int64),
+        np.asarray(improvement, np.float64),
+        root_dev,
+    )
+
+
+def prune_cart(tree: CartTree, cp: float = 0.02) -> CartTree:
+    """Weakest-link cost-complexity pruning (``prune(fit, cp=0.02)``,
+    ``Supplemental_Data_1.R:313``): repeatedly collapse the internal node with
+    the smallest per-split deviance-improvement rate while that rate, scaled by
+    SS(root), is below ``cp``."""
+    if tree.root_deviance <= 0 or len(tree.feature) == 1:
+        return tree
+    feature = tree.feature.copy()
+    left, right = tree.left.copy(), tree.right.copy()
+
+    def subtree_stats(i: int) -> tuple[float, int]:
+        """(sum of improvements, number of splits) in subtree rooted at i."""
+        if feature[i] == _LEAF:
+            return 0.0, 0
+        gl, nl = subtree_stats(left[i])
+        gr, nr = subtree_stats(right[i])
+        return tree.improvement[i] + gl + gr, 1 + nl + nr
+
+    while True:
+        weakest, weakest_rate = -1, np.inf
+        for i in range(len(feature)):
+            if feature[i] == _LEAF:
+                continue
+            gain, nsplit = subtree_stats(i)
+            rate = gain / nsplit / tree.root_deviance
+            if rate < weakest_rate - 1e-15:
+                weakest, weakest_rate = i, rate
+        if weakest < 0 or weakest_rate >= cp:
+            break
+        feature[weakest] = _LEAF  # collapse the whole subtree to a leaf
+
+    return CartTree(
+        feature, tree.threshold, left, right, tree.value, tree.n_node,
+        np.where(feature == _LEAF, 0.0, tree.improvement), tree.root_deviance,
+    )
