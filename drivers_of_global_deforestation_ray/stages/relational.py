@@ -1,0 +1,325 @@
+"""Generic relational operators as Ray-Data ``Dataset`` combinators.
+
+Covers the reference's relational surface (SURVEY.md §2.2/2.5-2.8): filters,
+projections, one-hot encode, NA->0 imputation, broadcast and big-big joins,
+grouped aggregation, row-wise argmax vote, exact dedup, union-all, top-k,
+stratified sampling, rank assignment, partitioned writes.
+
+Scale design notes (the parts that matter at 100 TB):
+
+- **Grouped aggregation is two-phase.**  :func:`grouped_agg` combines inside
+  every ``map_batches`` call first (each batch collapses to <= |distinct keys|
+  partial rows), then runs the small global ``groupby().map_groups`` combine.
+  For *algebraic* aggregates (sum/count/min/max/mean) this makes key skew a
+  non-issue — a hot key ships one partial row per block, never its raw rows —
+  which is exactly the salted/partial-agg remedy SURVEY.md §4 calls for.
+- **Sums are exact.**  Money-style measures are aggregated as scaled int64
+  (:func:`scaled_int`), so results are independent of block order / combine
+  order and bit-identical to the DuckDB oracle.  Plain float sums would depend
+  on reduction order.
+- **Broadcast joins never shuffle.**  The small side is ``ray.put`` once and
+  joined per batch with pyarrow's hash join inside ``map_batches`` — the
+  reference's dominant join shape (J2, ``Supplemental_Data_1.R:272`` etc.).
+- **Big-big joins** use ``Dataset.join`` (hash shuffle on both sides, J1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from ..functions.hashing import stable_hash64
+
+__all__ = [
+    "scaled_int",
+    "grouped_agg",
+    "broadcast_join",
+    "hash_join",
+    "one_hot",
+    "fill_null",
+    "argmax_vote",
+    "dedup_exact",
+    "topk",
+    "stratified_sample",
+    "add_rank",
+    "union_all",
+    "partitioned_write",
+]
+
+
+def scaled_int(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    """Deterministic money math: ``round(col * scale)`` as int64.
+
+    For inputs with <= ``log10(scale)`` decimal digits the product is within
+    float-ulp of an integer, so rounding mode can never flip a value and the
+    result matches DuckDB's ``CAST(round(col * scale) AS BIGINT)`` exactly.
+    """
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregation (two-phase, exact)
+# ---------------------------------------------------------------------------
+
+_PARTIAL_AGGS = {"sum", "count", "min", "max", "mean"}
+
+
+def _partial_batch(batch: pd.DataFrame, keys: list[str], specs: dict) -> pd.DataFrame:
+    """Per-batch combine: collapse to one partial row per distinct key."""
+    agg_map: dict[str, tuple[str, str]] = {}
+    for alias, (col, how) in specs.items():
+        if how == "count":
+            continue
+        if how in ("sum", "mean"):
+            agg_map[f"__{alias}_s"] = (col, "sum")
+        if how == "mean":
+            agg_map[f"__{alias}_c"] = (col, "count")
+        if how == "min":
+            agg_map[f"__{alias}_m"] = (col, "min")
+        if how == "max":
+            agg_map[f"__{alias}_M"] = (col, "max")
+    g = batch.groupby(keys, sort=False, observed=True)
+    out = g.agg(**agg_map) if agg_map else g.size().to_frame("__drop").drop(columns="__drop")
+    counts = [a for a, (_, how) in specs.items() if how == "count"]
+    if counts:
+        size = g.size()
+        for alias in counts:
+            out[f"__{alias}_n"] = size
+    return out.reset_index()
+
+
+def _final_group(group: pd.DataFrame, keys: list[str], specs: dict) -> pd.DataFrame:
+    row: dict[str, Any] = {k: group.iloc[0][k] for k in keys}
+    for alias, (_, how) in specs.items():
+        if how == "sum":
+            row[alias] = group[f"__{alias}_s"].sum()
+        elif how == "count":
+            row[alias] = group[f"__{alias}_n"].sum()
+        elif how == "mean":
+            row[alias] = group[f"__{alias}_s"].sum() / group[f"__{alias}_c"].sum()
+        elif how == "min":
+            row[alias] = group[f"__{alias}_m"].min()
+        elif how == "max":
+            row[alias] = group[f"__{alias}_M"].max()
+    return pd.DataFrame([row])
+
+
+def grouped_agg(
+    ds: Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    batch_size: int = 65536,
+) -> Dataset:
+    """``specs``: ``{alias: (column, agg)}`` with agg in sum/count/min/max/mean.
+
+    Two-phase (partial per batch -> tiny global shuffle); see module docstring.
+    ``mean`` is computed as total_sum / total_count — one IEEE division on
+    exact operands when the column is integer-valued or scaled-int.
+    """
+    unknown = {h for _, h in specs.values()} - _PARTIAL_AGGS
+    if unknown:
+        raise ValueError(f"unsupported aggs: {unknown}")
+    partial = ds.map_batches(
+        lambda b: _partial_batch(b, keys, specs), batch_format="pandas", batch_size=batch_size
+    )
+    return partial.groupby(keys).map_groups(
+        lambda g: _final_group(g, keys, specs), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+_JOIN_TYPES = {"left": "left outer", "inner": "inner", "right": "right outer", "full": "full outer"}
+
+
+class _BroadcastJoiner:
+    """Actor-pool callable: the small side lives in the object store once
+    (``ray.put``) and is fetched zero-copy in ``__init__`` — never re-shipped
+    per batch (SURVEY.md J2)."""
+
+    def __init__(self, small_ref, on: list[str], right_on: list[str], how: str):
+        small: pa.Table = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        self.small = small.combine_chunks()
+        self.on = on
+        self.right_on = right_on
+        self.how = _JOIN_TYPES[how]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        joined = batch.join(
+            self.small, keys=self.on, right_keys=self.right_on, join_type=self.how
+        )
+        return joined.combine_chunks()
+
+
+def broadcast_join(
+    ds: Dataset,
+    small: pa.Table,
+    on: str | list[str],
+    how: str = "left",
+    right_on: str | list[str] | None = None,
+    concurrency: tuple[int, int] | int | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Join a Dataset against a driver-resident small table without a shuffle."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={"small_ref": ref, "on": on, "right_on": right_on, "how": how},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        # autoscaling actor pool; callable classes require explicit concurrency
+        concurrency=concurrency if concurrency is not None else (1, 8),
+    )
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+    right_on: str | list[str] | None = None,
+) -> Dataset:
+    """Big-big equi-join: ``Dataset.join`` hash-shuffles both sides (J1)."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    join_type = {"left": "left_outer", "inner": "inner", "right": "right_outer", "full": "full_outer"}[how]
+    return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on_t, right_on=r_t)
+
+
+# ---------------------------------------------------------------------------
+# per-batch map helpers
+# ---------------------------------------------------------------------------
+
+def one_hot(ds: Dataset, col: str, values: Iterable, prefix: str | None = None) -> Dataset:
+    """One-hot columns ``<prefix><v>`` as int64 0/1 — the reference's
+    ``mutate(ifelse(Training.Class==k,1,0))`` x5 (``Supplemental_Data_1.R:195-201``)."""
+    values = list(values)
+    prefix = prefix if prefix is not None else f"{col}_"
+
+    def _oh(batch: pa.Table) -> pa.Table:
+        for v in values:
+            name = f"{prefix}{v}"
+            batch = batch.append_column(name, pc.cast(pc.equal(batch[col], pa.scalar(v)), pa.int64()))
+        return batch
+
+    return ds.map_batches(_oh, batch_format="pyarrow")
+
+
+def fill_null(ds: Dataset, fills: dict[str, Any]) -> Dataset:
+    """NA->value imputation per column (``df[is.na(df)] = 0``,
+    ``Supplemental_Data_1.R:229,247,270``)."""
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        for col, v in fills.items():
+            i = batch.schema.get_field_index(col)
+            filled = pc.fill_null(batch[col], pa.scalar(v, type=batch.schema.field(i).type))
+            batch = batch.set_column(i, col, filled)
+        return batch
+
+    return ds.map_batches(_fill, batch_format="pyarrow")
+
+
+def argmax_vote(
+    ds: Dataset, prob_cols: list[str], class_col: str = "class", max_col: str = "max_value"
+) -> Dataset:
+    """Row-wise argmax vote with FIRST-index tie-break (R ``which.max``,
+    ``Supplemental_Data_1.R:370,376-378``): class = 1-based index of the first
+    maximal column; plus the row max."""
+
+    def _vote(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[prob_cols].to_numpy()
+        batch[class_col] = (m.argmax(axis=1) + 1).astype(np.int64)  # np.argmax = first max
+        batch[max_col] = m.max(axis=1)
+        return batch
+
+    return ds.map_batches(_vote, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# dedup / ordering / sampling / layout
+# ---------------------------------------------------------------------------
+
+def dedup_exact(ds: Dataset, keys: list[str], tie_col: str) -> Dataset:
+    """Exact dedup: hash-partition by ``keys``, keep the row with the minimal
+    ``tie_col`` per group (deterministic ``distinct()``,
+    ``Supplemental_Data_1.R:231``)."""
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g[tie_col].idxmin()]]
+
+    return ds.groupby(keys).map_groups(_first, batch_format="pandas")
+
+
+def topk(ds: Dataset, key: str | list[str], k: int, descending: bool | list[bool] = True) -> Dataset:
+    """Global top-k = range-shuffle sort + limit.  Callers include a unique
+    tie-break key so the boundary row is deterministic (SURVEY.md O4)."""
+    return ds.sort(key, descending=descending).limit(k)
+
+
+def stratified_sample(
+    ds: Dataset, stratum_col: str, n_per_stratum: int, seed: int, id_col: str
+) -> Dataset:
+    """Per-stratum sample WITHOUT replacement, ``min(n, |stratum|)`` rows.
+
+    Deterministic regardless of partitioning: each group is sorted by
+    ``id_col`` first, and the RNG seed is derived from (seed, stratum value) —
+    the engine version of the reference's commented accuracy-assessment
+    sampler (``sample_n``, ``Supplemental_Data_1.R:826-844``).
+    """
+
+    def _sample(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        sv = g.iloc[0][stratum_col]
+        rng = np.random.default_rng((seed ^ stable_hash64(str(sv))) & 0x7FFFFFFFFFFFFFFF)
+        take = min(n_per_stratum, len(g))
+        idx = np.sort(rng.choice(len(g), size=take, replace=False))
+        return g.iloc[idx]
+
+    return ds.groupby(stratum_col).map_groups(_sample, batch_format="pandas")
+
+
+def add_rank(ds: Dataset, key: str, rank_col: str = "rank") -> Dataset:
+    """Dense global rank of ``key`` (1-based; ties share intra-key order by
+    key only — callers use unique keys).  Implementation: groupby-count ->
+    driver-side cumulative offsets -> broadcast lookup.  Scales to any row
+    count but assumes |distinct keys| fits on the driver; beyond that, swap the
+    offset table for a range-partitioned histogram (same contract).
+    """
+    counts = ds.groupby(key).count().to_pandas().sort_values(key, kind="stable")
+    counts["__offset"] = counts["count()"].cumsum().shift(fill_value=0)
+    lookup = pa.table({key: counts[key].to_numpy(), "__offset": counts["__offset"].to_numpy()})
+    ref = ray.put(lookup)
+
+    def _rank(batch: pd.DataFrame, *, _ref=ref) -> pd.DataFrame:
+        lk = ray.get(_ref).to_pandas()
+        merged = batch.merge(lk, on=key, how="left")
+        # intra-key index: stable order within one batch group
+        merged[rank_col] = merged["__offset"].astype(np.int64) + merged.groupby(key).cumcount() + 1
+        return merged.drop(columns="__offset")
+
+    return ds.map_batches(_rank, batch_format="pandas")
+
+
+def union_all(datasets: list[Dataset]) -> Dataset:
+    """``bind_rows`` (``Supplemental_Data_1.R:319,348``)."""
+    first, *rest = datasets
+    return first.union(*rest) if rest else first
+
+
+def partitioned_write(ds: Dataset, path: str, partition_col: str) -> None:
+    """One-pass disjoint partition fan-out (replaces the reference's six
+    complementary ``Class.Final==k`` filter+write passes,
+    ``Supplemental_Data_1.R:523-551``) — resumable layout: one directory per
+    partition value, many part files, never one giant file."""
+    ds.write_parquet(path, partition_cols=[partition_col])
