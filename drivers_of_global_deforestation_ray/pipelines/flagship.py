@@ -1,0 +1,238 @@
+"""Flagship pipeline: pages corpus -> per-tile forest-loss-driver classes.
+
+The engine lifecycle of SURVEY.md §3.4, mapping the reference's 14-stage R
+script (``Supplemental_Data_1.R``) onto one streaming Ray Data graph:
+
+  read pages parquet (column-pruned: url, html)
+    -> PageFeaturizer        map_batches: extract text (M12), geocode url
+                             (ST6), tile-encode (grid codec), token/quality
+                             stats — one pass, Arrow in / Arrow out
+    -> grouped_agg(tile_id)  zonal page stats (A3/A7): n_pages, sum_tokens,
+                             mean_quality — two-phase partial agg, skew-proof
+    -> TileFeaturizer        actor pool: region via STRtree PIP on tile
+                             centers (ST5/J6), covariate gather from mmap'd
+                             rasters (ST3/M10, replaces 85 sequential joins),
+                             loss lookup; NA->0 (M6)
+    -> filter                region assigned (:274) and loss > 0 (:241)
+    -> TreeScorer            actor pool: 35 CART trees broadcast once (ST2)
+    -> vote_and_gate         argmax first-wins, 0.5 + 0.005 gates (A5/M9)
+    -> kring_smooth          Expand analog (J7), broadcast dense class array
+    -> final loss gate       0 < loss < 0.005 -> 0, round (:496-498)
+    -> sinks                 partitioned parquet by class (D3), per-class
+                             grouped mean loss (A3, :516-521), raster (S6)
+
+Model features are the raster covariates (training parity with the reference,
+which trains on raster values at labeled cells); page-derived zonal stats ride
+along into the output table.  Training runs driver-side (~200 rows — the
+reference agrees, ``:293-342``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+from ray.data import Dataset
+
+from ..functions.extract import extract_text_batch, geocode_urls
+from ..functions.grid import MINI_GRID, GridSpec, latlon_to_tile, tile_to_latlon_center
+from ..functions.text import quality_stats
+from ..sources.miniworld import FEATURE_NAMES, load_polygons, miniworld_paths
+from ..state.geo import assign_regions
+from ..state.raster import RasterRegistry, assemble_grid, read_raster
+from ..stages.relational import fill_null, grouped_agg
+from ..stages.score import fit_region_trees, score_with_trees, vote_and_gate
+from ..stages.smooth import kring_smooth
+
+__all__ = ["FlagshipConfig", "run_flagship", "build_training_table", "page_features_batch"]
+
+
+@dataclass
+class FlagshipConfig:
+    world_dir: str
+    grid: GridSpec = MINI_GRID
+    res: int = 0
+    num_regions: int = 3
+    conf_threshold: float = 0.5     # Supplemental_Data_1.R:382
+    loss_threshold: float = 0.005   # Supplemental_Data_1.R:407,496
+    smooth_k: int = 2               # Expand neighborhood depth (J7)
+    batch_size: int = 8192
+    scorer_concurrency: tuple = (1, 8)
+    feature_names: list = field(default_factory=lambda: list(FEATURE_NAMES))
+
+
+# ---------------------------------------------------------------------------
+# stage callables
+# ---------------------------------------------------------------------------
+
+def page_features_batch(batch: pa.Table, grid: GridSpec, res: int) -> pa.Table:
+    """Stateless page map: html -> text, url -> (lat, lon) -> tile_id, plus
+    token/quality stats.  Pure function of the batch (determinism test)."""
+    urls = batch["url"].to_pylist()
+    texts = extract_text_batch(batch["html"].to_pylist())
+    lat, lon = geocode_urls(urls)
+    tiles = latlon_to_tile(lat, lon, grid, res)
+    q = quality_stats(pd.Series(texts))
+    return pa.table(
+        {
+            "url": batch["url"],
+            "tile_id": pa.array(tiles, pa.int64()),
+            "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+            "quality_score": pa.array(q["quality_score"], pa.float64()),
+        }
+    )
+
+
+class TileFeaturizer:
+    """Actor: region PIP + raster gather + loss lookup for tile-keyed batches.
+
+    State built once per actor from broadcast refs: polygon rings (STRtree-
+    backed PIP), the mmap'd raster registry and the loss grid.
+    """
+
+    def __init__(self, world_dir: str, grid: GridSpec, res: int, feature_names: list[str]):
+        paths = miniworld_paths(world_dir)
+        self.grid, self.res = grid, res
+        self.feature_names = feature_names
+        self.registry = RasterRegistry(paths["manifest"])
+        loss_grid, _ = read_raster(paths["loss"])
+        self.loss_flat = np.asarray(loss_grid).ravel()
+        self.rings, self.region_ids = load_polygons(paths["polygons"])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tiles = batch["tile_id"].to_numpy()
+        lat, lon = tile_to_latlon_center(tiles, self.grid, self.res)
+        batch["region"] = assign_regions(
+            np.stack([lon, lat], axis=1), self.rings, self.region_ids
+        )
+        feats = self.registry.gather(tiles, self.feature_names)
+        for name in self.feature_names:
+            batch[name] = np.nan_to_num(feats[name], nan=0.0)  # NA->0 (:229,:270)
+        batch["loss"] = np.nan_to_num(self.loss_flat[tiles - 1], nan=0.0)
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# training (driver-side, shared with the golden implementation)
+# ---------------------------------------------------------------------------
+
+def build_training_table(world_dir: str, grid: GridSpec, res: int = 0,
+                         feature_names: list[str] | None = None) -> pd.DataFrame:
+    """TrainingPoints -> + region + raster features (the reference's
+    ``TrainingPoints_PrimaryData`` build, ``Supplemental_Data_1.R:192-231``)."""
+    paths = miniworld_paths(world_dir)
+    feature_names = feature_names or list(FEATURE_NAMES)
+    tp = pq.read_table(paths["training"]).to_pandas()
+    tp["training_id"] = np.arange(1, len(tp) + 1, dtype=np.int64)  # M4 (:192-196)
+    tiles = tp["tile_id"].to_numpy()
+    lat, lon = tile_to_latlon_center(tiles, grid, res)
+    rings, region_ids = load_polygons(paths["polygons"])
+    tp["region"] = assign_regions(np.stack([lon, lat], axis=1), rings, region_ids)
+    registry = RasterRegistry(paths["manifest"], mmap=False)
+    for name, vals in registry.gather(tiles, feature_names).items():
+        tp[name] = np.nan_to_num(vals, nan=0.0)
+    return tp[tp["region"] > 0].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+def run_flagship(pages: Dataset | str, cfg: FlagshipConfig, out_dir: str | None = None) -> Dataset:
+    """Build and return the final per-tile Dataset (lazy until consumed).
+
+    ``pages``: a Dataset or a parquet path; only ``url`` and ``html`` are read
+    (prune at the read — the 100 TB corpus never ships ``text``/``warc_ts``
+    through this pipeline).
+    """
+    import ray.data as rd
+
+    if isinstance(pages, str):
+        pages = rd.read_parquet(pages, columns=["url", "html"])
+
+    grid, res = cfg.grid, cfg.res
+
+    # stage 1-2: page map + zonal page stats
+    per_page = pages.map_batches(
+        lambda b: page_features_batch(b, grid, res),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    per_tile = grouped_agg(
+        per_page,
+        ["tile_id"],
+        {
+            "n_pages": ("url", "count"),
+            "sum_tokens": ("n_tokens", "sum"),
+            "mean_quality": ("quality_score", "mean"),
+        },
+        batch_size=cfg.batch_size,
+    )
+
+    # stage 3: region + covariates + loss (actor pool, state mmap'd once)
+    per_tile = per_tile.map_batches(
+        TileFeaturizer,
+        fn_constructor_kwargs={
+            "world_dir": cfg.world_dir, "grid": grid, "res": res,
+            "feature_names": cfg.feature_names,
+        },
+        batch_format="pandas",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+    # stage 4: prediction universe — region assigned (:274), loss > 0 (:241)
+    universe = per_tile.filter(
+        expr="region > 0 and loss > 0"
+    )
+
+    # stage 5: fit trees driver-side, broadcast, score (ST1/ST2)
+    training = build_training_table(cfg.world_dir, grid, res, cfg.feature_names)
+    trees, _importance = fit_region_trees(
+        training, cfg.feature_names, regions=list(range(1, cfg.num_regions + 1))
+    )
+    scored = score_with_trees(
+        universe, trees, cfg.feature_names,
+        concurrency=cfg.scorer_concurrency, batch_size=cfg.batch_size,
+    )
+
+    # stage 6: vote + confidence/loss gates (A5/M9)
+    voted = vote_and_gate(scored, "loss", cfg.conf_threshold, cfg.loss_threshold)
+
+    # stage 7: Expand-analog smoothing (J7)
+    smoothed = kring_smooth(voted, grid, res, cfg.smooth_k)
+
+    # stage 8: final loss gate + round (:496-498): 0 < loss < t -> 0
+    def _final(batch: pd.DataFrame) -> pd.DataFrame:
+        loss = batch["loss"].to_numpy()
+        cls = batch["class_smoothed"].to_numpy()
+        gated = np.where((loss > 0) & (loss < cfg.loss_threshold), 0, cls)
+        batch["class_final"] = np.round(gated).astype(np.int64)
+        return batch
+
+    final = smoothed.map_batches(_final, batch_format="pandas")
+
+    if out_dir is not None:
+        final.write_parquet(os.path.join(out_dir, "classes"), partition_cols=["class_final"])
+    return final
+
+
+def per_class_loss_means(final: Dataset) -> Dataset:
+    """Per-class grouped mean loss (``Supplemental_Data_1.R:516-521``)."""
+    return grouped_agg(final, ["class_final"], {
+        "loss_mean": ("loss", "mean"),
+        "n_tiles": ("tile_id", "count"),
+    })
+
+
+def class_raster(final_df: pd.DataFrame, grid: GridSpec, res: int = 0) -> np.ndarray:
+    """Dense class grid in id order, NaN where no tile (rastOut, S6)."""
+    nrows, ncols = grid.shape(res)
+    return assemble_grid(
+        final_df["tile_id"].to_numpy(), final_df["class_final"].to_numpy(), nrows, ncols
+    )

@@ -95,7 +95,8 @@ def _partial_batch(batch: pd.DataFrame, keys: list[str], specs: dict) -> pd.Data
 
 
 def _final_group(group: pd.DataFrame, keys: list[str], specs: dict) -> pd.DataFrame:
-    row: dict[str, Any] = {k: group.iloc[0][k] for k in keys}
+    # column-wise access keeps each key's dtype (a row Series would upcast)
+    row: dict[str, Any] = {k: group[k].iloc[0] for k in keys}
     for alias, (_, how) in specs.items():
         if how == "sum":
             row[alias] = group[f"__{alias}_s"].sum()
