@@ -1,0 +1,675 @@
+"""Driver-harness query surface: one entry per implemented operator.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Ray ``Dataset`` / pandas
+DataFrame; ``ORACLE_SQL`` maps the same names to DuckDB SQL over the same
+parquet tables.  The driver compares row count + schema + order-insensitive
+value hash at sf=0.01 — so every computed column here is engineered to be
+**bit-identical** to its SQL twin:
+
+- money sums ride as scaled int64 (:func:`stages.relational.scaled_int`);
+- per-row float math uses the same IEEE expression order as the SQL;
+- cosines are float64 both sides (``CAST(embedding AS DOUBLE[])``), rounded
+  to 6 decimals (fp noise ~1e-16);
+- DuckDB ``sum(BIGINT)`` returns HUGEINT -> every oracle casts back to BIGINT.
+
+Ops with no SQL expression (LSH dedup, IVF search, PIP, flagship, sampling)
+have no oracle entry -> the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.extract import extract_text_batch, geocode_urls
+from ..functions.grid import MINI_GRID, k_ring_table, latlon_to_rowcol
+from ..functions.text import char_counts_nospace, md5_fingerprints, token_counts
+from ..stages import relational as R
+from ..stages import similarity as S
+from ..stages import dedup as D
+from ..stages.textstage import enrich_documents
+
+# Lazy import inside functions: ray.data must not be touched at import time in
+# case the driver imports this module before ray.init (it doesn't, but cheap).
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    """M8 + M2: vectorized predicate filter + projection + computed column."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def _f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-06-01"))))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "l_quantity": b["l_quantity"], "revenue": rev})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_groupby_agg(sf_dir: str):
+    """A1/A2/A3: TPC-H Q1 shape via two-phase exact grouped aggregation."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        rev = R.scaled_int(pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])), 10000)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"], "l_linestatus": b["l_linestatus"],
+            "l_quantity": b["l_quantity"],
+            "base_scaled": R.scaled_int(b["l_extendedprice"], 100),
+            "rev_scaled": rev,
+        })
+
+    return R.grouped_agg(ds.map_batches(_prep, batch_format="pyarrow"),
+                         ["l_returnflag", "l_linestatus"],
+                         {
+                             "sum_qty": ("l_quantity", "sum"),
+                             "sum_base_scaled": ("base_scaled", "sum"),
+                             "sum_rev_scaled": ("rev_scaled", "sum"),
+                             "avg_qty": ("l_quantity", "mean"),
+                             "count_order": ("l_quantity", "size"),
+                         })
+
+
+def q_groupby_mean(sf_dir: str):
+    """A3/A4 on the events stream table."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"], "value_scaled": R.scaled_int(b["value"], 100)})
+
+    out = R.grouped_agg(ds.map_batches(_prep, batch_format="pyarrow"), ["event_type"],
+                        {"n_events": ("value_scaled", "size"),
+                         "sum_value_scaled": ("value_scaled", "sum"),
+                         "min_value_scaled": ("value_scaled", "min"),
+                         "max_value_scaled": ("value_scaled", "max")})
+    return out
+
+
+def q_broadcast_join(sf_dir: str):
+    """J2: big fact vs broadcast dims (customer x nation x region)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"])
+    dim = nat.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])  # tiny x tiny: driver-side
+    ds = R.broadcast_join(cust, dim, on="c_nationkey", right_on="n_nationkey", how="inner")
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"r_name": b["r_name"], "n_name": b["n_name"],
+                         "bal_scaled": R.scaled_int(b["c_acctbal"], 100)})
+
+    return R.grouped_agg(ds.map_batches(_prep, batch_format="pyarrow"), ["r_name", "n_name"],
+                         {"n_cust": ("bal_scaled", "size"), "sum_bal_scaled": ("bal_scaled", "sum")})
+
+
+def q_hash_join(sf_dir: str):
+    """J1: big-big hash-shuffle join (orders x lineitem)."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        rev = R.scaled_int(pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])), 10000)
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_scaled": rev})
+
+    j = R.hash_join(ords, li.map_batches(_prep, batch_format="pyarrow"),
+                    on="o_orderkey", right_on="l_orderkey", how="inner", num_partitions=16)
+    return R.grouped_agg(j, ["o_orderpriority"],
+                         {"n_items": ("rev_scaled", "size"), "sum_rev_scaled": ("rev_scaled", "sum")})
+
+
+def q_left_join_count(sf_dir: str):
+    """J2-left + count(col) semantics: customers with zero orders count 0."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = R.hash_join(cust, ords, on="c_custkey", right_on="o_custkey", how="left", num_partitions=16)
+    return R.grouped_agg(j, ["c_custkey"], {"n_orders": ("o_orderkey", "count")})
+
+
+def q_dedup_distinct(sf_dir: str):
+    """D1: exact dedup -> min-id representative per (nation, segment)."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_custkey"])
+    out = R.dedup_exact(cust, ["c_nationkey", "c_mktsegment"], "c_custkey")
+    # rename via pandas (rename_columns requires Arrow blocks; dedup emits pandas)
+    return out.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "first_custkey"}), batch_format="pandas"
+    )
+
+
+def q_topk(sf_dir: str):
+    """O4: global top-k with deterministic tie-break."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return R.topk(ords, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
+
+
+def q_union_all(sf_dir: str):
+    """D2: bind_rows of two filtered slices, then recount."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    a = ords.filter(expr="o_orderpriority == '1-URGENT'")
+    b = ords.filter(expr="o_orderpriority == '2-HIGH'")
+    return R.grouped_agg(R.union_all([a, b]), ["o_orderpriority"], {"n": ("o_orderkey", "size")})
+
+
+def q_one_hot(sf_dir: str):
+    """M3: one-hot encode + column sums (single row)."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    names = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    oh = R.one_hot(ords, "o_orderpriority", vals, prefix="oh_")
+
+    def _const(b: pa.Table) -> pa.Table:
+        cols = {n: b[f"oh_{v}"] for n, v in zip(names, vals)}
+        cols["g"] = pa.array(np.zeros(len(b), dtype=np.int64))
+        return pa.table(cols)
+
+    out = R.grouped_agg(oh.map_batches(_const, batch_format="pyarrow"), ["g"],
+                        {n: (n, "sum") for n in names})
+    return out.drop_columns(["g"])
+
+
+def q_rownum(sf_dir: str):
+    """M4/O3: global row-number by key (rank via groupby-count + cumsum)."""
+    ords = _read(sf_dir, "orders", ["o_orderkey"])
+    return R.add_rank(ords, "o_orderkey", "rn")
+
+
+def q_ts_bucket(sf_dir: str):
+    """Timestamp bucketing (graft scalar op): events per day."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": b["ts"].dt.strftime("%Y-%m-%d"),
+            "value_scaled": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return R.grouped_agg(ds.map_batches(_prep, batch_format="pandas"), ["day"],
+                         {"n": ("value_scaled", "size"), "sum_value_scaled": ("value_scaled", "sum")})
+
+
+def q_strata_key(sf_dir: str):
+    """M11: derived composite strata key + grouped count."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        # composite key: nation*10 + custkey % 10 (M11, Strata = Class*10+Region)
+        m = pc.subtract(b["c_custkey"],
+                        pc.multiply(pc.divide(b["c_custkey"], pa.scalar(10, pa.int64())),
+                                    pa.scalar(10, pa.int64())))
+        strata = pc.add(pc.multiply(pc.cast(b["c_nationkey"], pa.int64()), pa.scalar(10, pa.int64())), m)
+        return pa.table({"strata": strata})
+
+    return R.grouped_agg(cust.map_batches(_prep, batch_format="pyarrow"), ["strata"],
+                         {"n": ("strata", "size")})
+
+
+def q_argmax_vote(sf_dir: str):
+    """A5: row-wise argmax with first-index tie-break (which.max parity)."""
+    ords = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy()
+        for i in range(1, 6):
+            b[f"v{i}"] = (k * i) % 97
+        return b
+
+    voted = R.argmax_vote(ords.map_batches(_prep, batch_format="pandas"),
+                          [f"v{i}" for i in range(1, 6)], "vote_class", "max_value")
+    return voted.select_columns(["o_orderkey", "vote_class", "max_value"])
+
+
+def q_sort_limit(sf_dir: str):
+    """O1/O3: multi-key range-shuffle sort + limit."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_orderkey", "l_linenumber"])
+    return li.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                   descending=[True, False, False]).limit(500)
+
+
+def q_stratified_sample(sf_dir: str):
+    """O2: deterministic per-stratum sampling (no SQL oracle — RNG)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return R.stratified_sample(cust, "c_mktsegment", 25, seed=42, id_col="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# geospatial (geocode -> tile -> zonal -> k-ring; PIP is rows-only)
+# ---------------------------------------------------------------------------
+
+_G = MINI_GRID
+
+
+def _doc_urls_batch(b: pa.Table) -> pd.DataFrame:
+    urls = ["https://example.com/" + s + "/" + str(i)
+            for s, i in zip(b["source"].to_pylist(), b["doc_id"].to_pylist())]
+    lat, lon = geocode_urls(urls)
+    row, col = latlon_to_rowcol(lat, lon, _G)
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy(),
+        "lat": lat, "lon": lon,
+        "tile_id": row * _G.ncols + col + 1,
+    })
+
+
+def q_geocode_tiles(sf_dir: str):
+    """ST6 + tile codec: md5 geocode + tile encode, bit-identical to SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return docs.map_batches(_doc_urls_batch, batch_format="pyarrow")
+
+
+def q_tile_zonal(sf_dir: str):
+    """A3/A7: the cell-keyed zonal aggregate shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _prep(b: pa.Table) -> pd.DataFrame:
+        df = _doc_urls_batch(b)
+        df["n_chars"] = b["n_chars"].to_numpy()
+        return df
+
+    return R.grouped_agg(docs.map_batches(_prep, batch_format="pyarrow"), ["tile_id"],
+                         {"n_docs": ("doc_id", "size"), "sum_chars": ("n_chars", "sum"),
+                          "min_doc": ("doc_id", "min")})
+
+
+def q_kring(sf_dir: str):
+    """J7 neighborhood: k-ring size per distinct tile (edge-clipped)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    tiles = docs.map_batches(_doc_urls_batch, batch_format="pyarrow")
+    dist = R.dedup_exact(tiles.select_columns(["tile_id", "doc_id"]), ["tile_id"], "doc_id")
+
+    def _ring(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["tile_id"].to_numpy()
+        centers, _neigh, _ring = k_ring_table(t, 1, _G)
+        sizes = pd.Series(centers).value_counts()
+        b["ring_size"] = sizes.reindex(t).to_numpy().astype(np.int64)
+        return b[["tile_id", "ring_size"]]
+
+    return dist.map_batches(_ring, batch_format="pandas")
+
+
+def q_pip_region(sf_dir: str):
+    """ST5/J6: STRtree point-in-polygon join (rows-only oracle)."""
+    from ..sources.miniworld import build_miniworld, load_polygons
+    from ..state.geo import assign_regions
+
+    world = build_miniworld("/tmp/graft_miniworld")
+    rings, ids = load_polygons(world["polygons"])
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _pip(b: pa.Table) -> pd.DataFrame:
+        df = _doc_urls_batch(b)
+        pts = np.stack([df["lon"].to_numpy(), df["lat"].to_numpy()], axis=1)
+        df["region"] = assign_regions(pts, rings, ids)
+        return df[["doc_id", "tile_id", "region"]]
+
+    return docs.map_batches(_pip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text analytics / dedup over documents
+# ---------------------------------------------------------------------------
+
+def q_doc_tokens(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": token_counts(b["text"]),
+            "n_chars_nospace": char_counts_nospace(b["text"]),
+        })
+
+    return docs.map_batches(_stats, batch_format="pandas")
+
+
+def q_doc_quality(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(b: pd.DataFrame) -> pd.DataFrame:
+        nt = token_counts(b["text"])
+        nc = char_counts_nospace(b["text"])
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "n_tokens": nt,
+                            "mean_token_len": nc / nt})
+        return out[nt > 0]
+
+    return docs.map_batches(_stats, batch_format="pandas")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fp(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "fp_md5": md5_fingerprints(b["text"])})
+
+    return docs.map_batches(_fp, batch_format="pandas")
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return D.dedup_exact_text(docs, "text", "doc_id").select_columns(["doc_id"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dedup survivors (rows-only: RNG permutations)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return D.minhash_lsh_dedup(docs, threshold=0.8).select_columns(["doc_id"])
+
+
+def q_dedup_simhash(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return D.simhash_dedup(docs, max_hamming=3).select_columns(["doc_id"])
+
+
+def q_dedup_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard verification of LSH candidates (rows-only)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return D.minhash_lsh_pairs(docs, threshold=0.8, exact_verify=True)
+
+
+def q_langid(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return enrich_documents(docs, fingerprints=False).select_columns(["doc_id", "lang_pred"])
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _load_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def q_knn_brute(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return S.knn_brute(emb, _load_queries(sf_dir), k=10)
+
+
+def q_knn_ivf(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return S.knn_ivf(emb, _load_queries(sf_dir), k=10, nlist=8, nprobe=3)
+
+
+def q_embed_neardup(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    ids = df["vec_id"].to_numpy()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return S.embedding_neardup_pairs(emb, V, ids, threshold=0.45)
+
+
+def q_embed_neardup_lsh(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return S.embedding_neardup_lsh(emb, threshold=0.45, num_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# flagship + extraction + multimodal (rows-only)
+# ---------------------------------------------------------------------------
+
+def _pages_dir_for(sf_dir: str) -> str:
+    from ..sources.pages import generate_pages_parquet
+
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(os.path.basename(sf_dir.rstrip("/")), 2000)
+    out = f"/tmp/graft_pages_{n}"
+    return generate_pages_parquet(out, n, seed=42)
+
+
+def q_flagship(sf_dir: str):
+    from .flagship import FlagshipConfig, run_flagship
+    from ..sources.miniworld import build_miniworld
+
+    build_miniworld("/tmp/graft_miniworld")
+    pages_dir = _pages_dir_for(sf_dir)
+    cfg = FlagshipConfig(world_dir="/tmp/graft_miniworld")
+    final = run_flagship(pages_dir, cfg)
+    return final.select_columns(["tile_id", "region", "class_final", "n_pages", "loss"])
+
+
+def q_extract_text(sf_dir: str):
+    """M12: the byte-identity invariant as a query — md5 of extracted text
+    vs md5 of the stored golden text, per url."""
+    pages_dir = _pages_dir_for(sf_dir)
+
+    def _x(b: pa.Table) -> pd.DataFrame:
+        ext = extract_text_batch(b["html"].to_pylist())
+        return pd.DataFrame({
+            "url": b["url"].to_pylist(),
+            "extracted_md5": md5_fingerprints(ext),
+            "golden_md5": md5_fingerprints(b["text"].to_pylist()),
+        })
+
+    return _rd().read_parquet(pages_dir, columns=["url", "html", "text"]).map_batches(
+        _x, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    from ..stages.multimodal import media_features
+
+    pages_dir = _pages_dir_for(sf_dir)
+    ds = _rd().read_parquet(pages_dir, columns=["url", "html"])
+    return media_features(ds, media_col="html").select_columns(
+        ["url", "media_width", "media_height"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "groupby_agg": q_groupby_agg,
+    "groupby_mean": q_groupby_mean,
+    "broadcast_join": q_broadcast_join,
+    "hash_join": q_hash_join,
+    "left_join_count": q_left_join_count,
+    "dedup_distinct": q_dedup_distinct,
+    "topk": q_topk,
+    "union_all": q_union_all,
+    "one_hot": q_one_hot,
+    "rownum": q_rownum,
+    "ts_bucket": q_ts_bucket,
+    "strata_key": q_strata_key,
+    "argmax_vote": q_argmax_vote,
+    "sort_limit": q_sort_limit,
+    "stratified_sample": q_stratified_sample,
+    "geocode_tiles": q_geocode_tiles,
+    "tile_zonal": q_tile_zonal,
+    "kring": q_kring,
+    "pip_region": q_pip_region,
+    "doc_tokens": q_doc_tokens,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "langid": q_langid,
+    "knn_brute": q_knn_brute,
+    "knn_ivf": q_knn_ivf,
+    "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
+    "flagship": q_flagship,
+    "extract_text": q_extract_text,
+    "media_features": q_media_features,
+}
+
+
+_GEO_SQL = """
+  SELECT doc_id,
+         ('0x' || substr(md5('https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             / 4294967296.0 * 180.0 - 90.0 AS lat,
+         ('0x' || substr(md5('https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT
+             / 4294967296.0 * 360.0 - 180.0 AS lon
+  FROM documents
+"""
+
+_TILE_SQL = f"""
+  SELECT doc_id, lat, lon,
+         LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 64) AS BIGINT), 0), 63) * 64
+         + LEAST(GREATEST(CAST(floor((lon - -180.0) / 360.0 * 64) AS BIGINT), 0), 63) + 1 AS tile_id
+  FROM ({_GEO_SQL})
+"""
+
+ORACLE_SQL = {
+    "filter_project": """
+        SELECT l_orderkey, l_quantity, l_extendedprice * (1.0 - l_discount) AS revenue
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+    """,
+    "groupby_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_scaled,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_rev_scaled,
+               sum(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "groupby_mean": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled,
+               CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_value_scaled,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_scaled
+        FROM events GROUP BY event_type
+    """,
+    "broadcast_join": """
+        SELECT r_name, n_name, count(*) AS n_cust,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_scaled
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "hash_join": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_rev_scaled
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "left_join_count": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    "dedup_distinct": """
+        SELECT c_nationkey, c_mktsegment, CAST(min(c_custkey) AS BIGINT) AS first_custkey
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+    "topk": """
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "union_all": """
+        SELECT o_orderpriority, count(*) AS n FROM (
+            SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+        ) GROUP BY o_orderpriority
+    """,
+    "one_hot": """
+        SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+               CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+        FROM orders
+    """,
+    "rownum": """
+        SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders
+    """,
+    "ts_bucket": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+        FROM events GROUP BY 1
+    """,
+    "strata_key": """
+        SELECT CAST(c_nationkey AS BIGINT) * 10 + c_custkey % 10 AS strata, count(*) AS n
+        FROM customer GROUP BY 1
+    """,
+    "argmax_vote": """
+        SELECT o_orderkey,
+               CAST(CASE WHEN v1 >= v2 AND v1 >= v3 AND v1 >= v4 AND v1 >= v5 THEN 1
+                         WHEN v2 >= v3 AND v2 >= v4 AND v2 >= v5 THEN 2
+                         WHEN v3 >= v4 AND v3 >= v5 THEN 3
+                         WHEN v4 >= v5 THEN 4 ELSE 5 END AS BIGINT) AS vote_class,
+               GREATEST(v1, v2, v3, v4, v5) AS max_value
+        FROM (SELECT o_orderkey,
+                     o_orderkey * 1 % 97 AS v1, o_orderkey * 2 % 97 AS v2,
+                     o_orderkey * 3 % 97 AS v3, o_orderkey * 4 % 97 AS v4,
+                     o_orderkey * 5 % 97 AS v5
+              FROM orders)
+    """,
+    "sort_limit": """
+        SELECT l_extendedprice, l_orderkey, l_linenumber
+        FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 500
+    """,
+    "geocode_tiles": f"SELECT doc_id, lat, lon, tile_id FROM ({_TILE_SQL})",
+    "tile_zonal": f"""
+        SELECT t.tile_id, count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(d.doc_id) AS BIGINT) AS min_doc
+        FROM ({_TILE_SQL}) t JOIN documents d USING (doc_id)
+        GROUP BY t.tile_id
+    """,
+    "kring": f"""
+        SELECT tile_id,
+               (LEAST(trow + 1, 63) - GREATEST(trow - 1, 0) + 1)
+             * (LEAST(tcol + 1, 63) - GREATEST(tcol - 1, 0) + 1) AS ring_size
+        FROM (SELECT DISTINCT tile_id,
+                     (tile_id - 1) // 64 AS trow, (tile_id - 1) % 64 AS tcol
+              FROM ({_TILE_SQL}))
+    """,
+    "doc_tokens": """
+        SELECT doc_id,
+               CAST(array_length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nospace
+        FROM documents
+    """,
+    "doc_quality": """
+        SELECT doc_id,
+               CAST(array_length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / CAST(array_length(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS mean_token_len
+        FROM documents
+        WHERE array_length(regexp_extract_all(text, '\\S+')) > 0
+    """,
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "dedup_exact_docs": """
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
+    """,
+    "knn_brute": """
+        SELECT q.vec_id AS query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e, (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3) q
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                     e.vec_id) <= 10
+    """,
+    "embed_neardup": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+}

@@ -67,30 +67,32 @@ def scaled_int(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
 # grouped aggregation (two-phase, exact)
 # ---------------------------------------------------------------------------
 
-_PARTIAL_AGGS = {"sum", "count", "min", "max", "mean"}
+_PARTIAL_AGGS = {"sum", "count", "size", "min", "max", "mean"}
 
 
 def _partial_batch(batch: pd.DataFrame, keys: list[str], specs: dict) -> pd.DataFrame:
     """Per-batch combine: collapse to one partial row per distinct key."""
     agg_map: dict[str, tuple[str, str]] = {}
     for alias, (col, how) in specs.items():
-        if how == "count":
+        if how == "size":
             continue
         if how in ("sum", "mean"):
             agg_map[f"__{alias}_s"] = (col, "sum")
         if how == "mean":
             agg_map[f"__{alias}_c"] = (col, "count")
+        if how == "count":  # SQL count(col): non-null rows
+            agg_map[f"__{alias}_n"] = (col, "count")
         if how == "min":
             agg_map[f"__{alias}_m"] = (col, "min")
         if how == "max":
             agg_map[f"__{alias}_M"] = (col, "max")
     g = batch.groupby(keys, sort=False, observed=True)
     out = g.agg(**agg_map) if agg_map else g.size().to_frame("__drop").drop(columns="__drop")
-    counts = [a for a, (_, how) in specs.items() if how == "count"]
-    if counts:
+    sizes = [a for a, (_, how) in specs.items() if how == "size"]
+    if sizes:
         size = g.size()
-        for alias in counts:
-            out[f"__{alias}_n"] = size
+        for alias in sizes:
+            out[f"__{alias}_z"] = size
     return out.reset_index()
 
 
@@ -101,7 +103,9 @@ def _final_group(group: pd.DataFrame, keys: list[str], specs: dict) -> pd.DataFr
         if how == "sum":
             row[alias] = group[f"__{alias}_s"].sum()
         elif how == "count":
-            row[alias] = group[f"__{alias}_n"].sum()
+            row[alias] = np.int64(group[f"__{alias}_n"].sum())
+        elif how == "size":
+            row[alias] = np.int64(group[f"__{alias}_z"].sum())
         elif how == "mean":
             row[alias] = group[f"__{alias}_s"].sum() / group[f"__{alias}_c"].sum()
         elif how == "min":

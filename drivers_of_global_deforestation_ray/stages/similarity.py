@@ -1,0 +1,210 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute` — exact top-k cosine: the query matrix is broadcast once
+  (``ray.put``); every batch does ONE numpy matmul against it and emits only
+  its local top-k candidates per query, so the global merge handles
+  ``O(num_batches * k)`` rows regardless of corpus size.
+- :func:`knn_ivf` — the scale path: a seeded driver-side k-means (fit on a
+  bounded sample) buckets vectors; queries probe only the ``nprobe`` nearest
+  centroid buckets.  Approximate -> rows-only oracle.
+- :func:`embedding_neardup_pairs` — all pairs with cosine >= threshold, exact
+  (block x broadcast-matrix matmul).  Its LSH variant
+  (:func:`embedding_neardup_lsh`) buckets by random-hyperplane sign bytes
+  first and verifies only within buckets.
+
+Cosines are computed in float64 with a fixed expression order so the DuckDB
+``list_cosine_similarity`` oracle matches to < 1e-12 (both sides round to 6
+decimals).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+__all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs", "embedding_neardup_lsh"]
+
+
+def _batch_matrix(batch: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+
+
+def _cosine(M: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n,d) x (q,d) -> (n,q); dot / (|a| * |b|) in float64."""
+    dots = M @ Q.T
+    na = np.sqrt((M * M).sum(axis=1))
+    nb = np.sqrt((Q * Q).sum(axis=1))
+    return dots / (na[:, None] * nb[None, :])
+
+
+def knn_brute(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> Dataset:
+    """Exact cosine top-k per query row.  Output: (query_id, vec_id, cosine),
+    ties at the boundary broken by lowest vec_id (deterministic)."""
+    Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(Q)
+
+    def _local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(qref)
+        M = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy()
+        cos = np.round(_cosine(M, Qm), round_to)
+        out = []
+        for qi in range(Qm.shape[0]):
+            # sort by (-cos, id): deterministic boundary
+            order = np.lexsort((ids, -cos[:, qi]))[:k]
+            out.append(pd.DataFrame({
+                "query_id": np.int64(qi),
+                id_col: ids[order],
+                "cosine": cos[order, qi],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def _global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), -g["cosine"].to_numpy()))[:k]
+        return g.iloc[order]
+
+    local = ds.map_batches(_local_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+
+
+def _kmeans_lite(X: np.ndarray, nlist: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Seeded, deterministic mini k-means (kmeans++-free: spread init by
+    stride sampling on a stable sort) — quality is plenty for IVF bucketing."""
+    order = np.lexsort(X.T[::-1])
+    init = X[order[np.linspace(0, len(X) - 1, nlist).astype(np.int64)]]
+    C = init.copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def knn_ivf(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 13,
+    round_to: int = 6,
+) -> Dataset:
+    """IVF-style approximate top-k: probe only the ``nprobe`` closest centroid
+    buckets per query.  Centroids fit on a bounded prefix sample."""
+    sample = np.stack(
+        ds.select_columns([vec_col]).limit(sample_size).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    C = _kmeans_lite(sample, nlist, seed)
+    Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    # per query: which clusters to probe
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]
+    cref = ray.put((C, probes, Q))
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm, probe_sets, Qm = ray.get(cref)
+        M = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy()
+        assign = ((M[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        out = []
+        for qi in range(Qm.shape[0]):
+            mask = np.isin(assign, probe_sets[qi])
+            if not mask.any():
+                continue
+            cos = np.round(_cosine(M[mask], Qm[qi : qi + 1])[:, 0], round_to)
+            mids = ids[mask]
+            order = np.lexsort((mids, -cos))[:k]
+            out.append(pd.DataFrame({"query_id": np.int64(qi), id_col: mids[order], "cosine": cos[order]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=ids.dtype),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    def _global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), -g["cosine"].to_numpy()))[:k]
+        return g.iloc[order]
+
+    return ds.map_batches(_local, batch_format="pandas").groupby("query_id").map_groups(
+        _global_topk, batch_format="pandas"
+    )
+
+
+def embedding_neardup_pairs(
+    ds: Dataset,
+    all_vectors: np.ndarray,
+    all_ids: np.ndarray,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> Dataset:
+    """Exact near-dup pairs (a < b, cosine >= threshold): each batch multiplies
+    against the broadcast full matrix — O(n^2) work but fully batched/parallel
+    and never materialized beyond (pairs) rows."""
+    ref = ray.put((np.asarray(all_vectors, dtype=np.float64), np.asarray(all_ids)))
+
+    def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        V, ids_all = ray.get(ref)
+        M = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy()
+        cos = np.round(_cosine(M, V), round_to)
+        ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < ids_all[None, :]))
+        return pd.DataFrame({
+            "a": ids[ai].astype(np.int64),
+            "b": ids_all[bi].astype(np.int64),
+            "cosine": cos[ai, bi],
+        })
+
+    return ds.map_batches(_pairs, batch_format="pandas")
+
+
+def embedding_neardup_lsh(
+    ds: Dataset,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 17,
+    round_to: int = 6,
+) -> Dataset:
+    """Scale path: random-hyperplane sign buckets (vectors whose sign patterns
+    agree on all ``num_planes`` planes land together; cos >= 0.95 pairs almost
+    always do), verify exact cosine within buckets.  Approximate recall ->
+    rows-only oracle."""
+    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        M = _batch_matrix(batch, vec_col)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((M.shape[1], num_planes))
+        signs = (M @ planes) > 0
+        keys = ["".join("1" if b else "0" for b in row) for row in signs]
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "bucket": keys,
+                             "__vec": list(M)})
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        M = np.stack(g["__vec"].to_numpy())
+        ids = g[id_col].to_numpy()
+        cos = np.round(_cosine(M, M), round_to)
+        ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"a": ids[ai].astype(np.int64), "b": ids[bi].astype(np.int64),
+                             "cosine": cos[ai, bi]})
+
+    return ds.map_batches(_bucket, batch_format="pandas").groupby("bucket").map_groups(
+        _verify, batch_format="pandas"
+    )
