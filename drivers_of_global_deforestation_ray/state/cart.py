@@ -65,7 +65,7 @@ class CartTree:
 
     def importance(self, num_features: int) -> np.ndarray:
         imp = np.zeros(num_features, dtype=np.float64)
-        for i in range(len(self.feature)):
+        for i in self.reachable():
             if self.feature[i] != _LEAF:
                 imp[self.feature[i]] += self.improvement[i]
         return imp
@@ -86,9 +86,22 @@ class CartTree:
     def from_arrays(cls, d: dict) -> "CartTree":
         return cls(**d)
 
+    def reachable(self) -> np.ndarray:
+        """Node ids reachable from the root (pruning collapses subtrees by
+        marking their root a leaf; descendants stay in the arrays, dead)."""
+        out, stack = [], [0]
+        while stack:
+            i = stack.pop()
+            out.append(i)
+            if self.feature[i] != _LEAF:
+                stack.append(self.right[i])
+                stack.append(self.left[i])
+        return np.asarray(out, dtype=np.int64)
+
     @property
     def num_leaves(self) -> int:
-        return int((self.feature == _LEAF).sum())
+        r = self.reachable()
+        return int((self.feature[r] == _LEAF).sum())
 
 
 def _best_split(
@@ -204,10 +217,16 @@ def prune_cart(tree: CartTree, cp: float = 0.02) -> CartTree:
         return tree.improvement[i] + gl + gr, 1 + nl + nr
 
     while True:
+        # only root-reachable internal nodes participate in weakest-link search
+        reach, stack = [], [0]
+        while stack:
+            n = stack.pop()
+            if feature[n] != _LEAF:
+                reach.append(n)
+                stack.append(right[n])
+                stack.append(left[n])
         weakest, weakest_rate = -1, np.inf
-        for i in range(len(feature)):
-            if feature[i] == _LEAF:
-                continue
+        for i in reach:
             gain, nsplit = subtree_stats(i)
             rate = gain / nsplit / tree.root_deviance
             if rate < weakest_rate - 1e-15:

@@ -1,0 +1,134 @@
+"""Dedup (exact/MinHash/SimHash/Jaccard) and similarity search on planted corpora."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from drivers_of_global_deforestation_ray.stages import dedup as D
+from drivers_of_global_deforestation_ray.stages import similarity as S
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """100 base docs + planted exact dups + planted near-dups."""
+    rng = np.random.default_rng(0)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split()
+    texts, ids = [], []
+    for i in range(100):
+        body = " ".join(rng.choice(words, size=40))
+        texts.append(body)
+        ids.append(i)
+    # exact dups of docs 0..9 -> ids 100..109
+    for i in range(10):
+        texts.append(texts[i])
+        ids.append(100 + i)
+    # near dups of docs 10..19 (2 words changed out of 40) -> ids 200..209
+    for i in range(10):
+        w = texts[10 + i].split()
+        w[5], w[17] = "changed", "words"
+        texts.append(" ".join(w))
+        ids.append(200 + i)
+    return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "text": texts})
+
+
+def test_dedup_exact_text(rd, corpus):
+    out = D.dedup_exact_text(rd.from_pandas(corpus).repartition(4), "text", "doc_id").to_pandas()
+    assert len(out) == 110  # 10 exact dups removed
+    assert not set(range(100, 110)) & set(out["doc_id"])  # min id kept
+
+
+def test_minhash_pairs_find_planted_neardups(rd, corpus):
+    # 32 bands x 4 rows: LSH s-curve threshold ~(1/32)^(1/4) ~= 0.42, so
+    # planted near-dups at J~0.73 collide with probability ~1
+    pairs = D.minhash_lsh_pairs(rd.from_pandas(corpus).repartition(4),
+                                threshold=0.6, num_bands=32).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    for i in range(10):  # exact dups always found
+        assert (i, 100 + i) in found
+    near_hits = sum((10 + i, 200 + i) in found for i in range(10))
+    assert near_hits >= 8  # LSH recall on 38/42-shingle overlap
+
+
+def test_minhash_dedup_survivors(rd, corpus):
+    out = D.minhash_lsh_dedup(rd.from_pandas(corpus).repartition(4),
+                              threshold=0.6, num_bands=32).to_pandas()
+    assert not set(range(100, 110)) & set(out["doc_id"])
+    assert len(out) <= 110
+    assert set(range(10)) <= set(out["doc_id"])  # originals survive
+
+
+def test_jaccard_exact_verify_matches_bruteforce(rd, corpus):
+    pairs = D.minhash_lsh_pairs(rd.from_pandas(corpus).repartition(4),
+                                threshold=0.5, num_bands=32, exact_verify=True).to_pandas()
+    from drivers_of_global_deforestation_ray.functions.hashing import jaccard, word_shingles
+
+    for _, p in pairs.iterrows():
+        ta = corpus.loc[corpus.doc_id == p["a"], "text"].iloc[0]
+        tb = corpus.loc[corpus.doc_id == p["b"], "text"].iloc[0]
+        true_j = jaccard(set(word_shingles(ta, 3)), set(word_shingles(tb, 3)))
+        assert abs(true_j - p["sim"]) < 1e-12
+        assert true_j >= 0.5
+
+
+def test_simhash_dedup_drops_exact_dups(rd, corpus):
+    out = D.simhash_dedup(rd.from_pandas(corpus).repartition(4), max_hamming=3).to_pandas()
+    assert not set(range(100, 110)) & set(out["doc_id"])
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(1)
+    V = rng.standard_normal((400, 32))
+    # plant near-dups: 395..399 are tiny perturbations of 0..4
+    for i in range(5):
+        V[395 + i] = V[i] + rng.standard_normal(32) * 0.01
+    return pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64), "embedding": list(V.astype(np.float32))})
+
+
+def test_knn_brute_matches_numpy(rd, vectors):
+    V = np.stack(vectors["embedding"].to_numpy()).astype(np.float64)
+    q = V[:2]
+    out = S.knn_brute(rd.from_pandas(vectors).repartition(5), q, k=5).to_pandas()
+    for qi in range(2):
+        cos = np.round((V @ q[qi]) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q[qi])), 6)
+        want = np.lexsort((np.arange(400), -cos))[:5]
+        got = out[out["query_id"] == qi]["vec_id"].to_numpy()
+        assert (np.sort(got) == np.sort(want)).all()
+
+
+def test_knn_ivf_recall(rd, vectors):
+    V = np.stack(vectors["embedding"].to_numpy()).astype(np.float64)
+    q = V[:3]
+    exact = S.knn_brute(rd.from_pandas(vectors).repartition(5), q, k=10).to_pandas()
+    approx = S.knn_ivf(rd.from_pandas(vectors).repartition(5), q, k=10,
+                       nlist=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # probing half the space
+    # the planted twin of the query must be found even by IVF
+    assert 395 in set(approx[approx["query_id"] == 0]["vec_id"])
+
+
+def test_embedding_neardup_exact_and_lsh(rd, vectors):
+    V = np.stack(vectors["embedding"].to_numpy()).astype(np.float64)
+    ids = vectors["vec_id"].to_numpy()
+    exact = S.embedding_neardup_pairs(rd.from_pandas(vectors).repartition(4),
+                                      V, ids, threshold=0.95).to_pandas()
+    planted = {(i, 395 + i) for i in range(5)}
+    assert planted <= set(zip(exact["a"], exact["b"]))
+    lsh = S.embedding_neardup_lsh(rd.from_pandas(vectors).repartition(4),
+                                  threshold=0.95, num_planes=8).to_pandas()
+    # LSH with 8 planes: near-identical vectors collide with high probability
+    assert len(planted & set(zip(lsh["a"], lsh["b"]))) >= 3
+    # and every LSH pair is a true pair
+    assert set(zip(lsh["a"], lsh["b"])) <= set(zip(exact["a"], exact["b"]))

@@ -1,0 +1,147 @@
+"""Extraction byte-identity, geocode SQL parity, STRtree/PIP, CART properties."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from drivers_of_global_deforestation_ray.functions import extract as X
+from drivers_of_global_deforestation_ray.sources.pages import pages_table
+from drivers_of_global_deforestation_ray.state import cart, geo
+
+
+# --- extraction invariant (BASELINE.json.input_hint) -----------------------
+
+def test_extract_text_byte_identity_roundtrip():
+    """The pages table's text column IS extract_text(html); re-extraction must
+    be byte-identical per url (the north-rule pytest invariant)."""
+    t = pages_table(500, seed=42)
+    texts = X.extract_text_batch(t["html"].to_pylist())
+    golden = t["text"].to_pylist()
+    for i, (a, b) in enumerate(zip(texts, golden)):
+        assert a == b, f"row {i} text mismatch"
+        assert a.encode("utf-8") == b.encode("utf-8")
+
+
+def test_extract_text_handles_entities_scripts_comments():
+    html = (b"<html><head><script>x<1 && y>2</script><style>a{}</style></head>"
+            b"<body><!-- c --><p>A &amp; B &lt;tag&gt; &#8364; ok</p><br>line2</body></html>")
+    assert X.extract_text(html) == "A & B <tag> € ok\nline2"
+
+
+def test_extract_deterministic_across_calls():
+    t = pages_table(50, seed=1)
+    h = t["html"].to_pylist()
+    assert X.extract_text_batch(h) == X.extract_text_batch(list(reversed(h)))[::-1]
+
+
+# --- geocode parity with the SQL oracle formulation ------------------------
+
+def test_geocode_matches_duckdb_md5_formula():
+    urls = [f"https://example.com/p/{i}" for i in range(200)]
+    lat, lon = X.geocode_urls(urls)
+    con = duckdb.connect()
+    df = con.execute(
+        """
+        SELECT ('0x' || substr(md5(u), 1, 8))::UBIGINT / 4294967296.0 * 180.0 - 90.0 AS lat,
+               ('0x' || substr(md5(u), 9, 8))::UBIGINT / 4294967296.0 * 360.0 - 180.0 AS lon
+        FROM (SELECT unnest(?) AS u)
+        """,
+        [urls],
+    ).df()
+    assert (df["lat"].to_numpy() == lat).all()  # bit-identical
+    assert (df["lon"].to_numpy() == lon).all()
+
+
+# --- STRtree / PIP ---------------------------------------------------------
+
+def test_strtree_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(0, 100, (300, 2))
+    bb = np.concatenate([lo, lo + rng.uniform(0, 8, (300, 2))], axis=1)
+    tree = geo.STRtree(bb, cap=8)
+    for _ in range(300):
+        x, y = rng.uniform(-5, 110, 2)
+        got = tree.query_point(x, y)
+        want = np.nonzero((bb[:, 0] <= x) & (bb[:, 2] >= x) & (bb[:, 1] <= y) & (bb[:, 3] >= y))[0]
+        assert (got == want).all()
+
+
+def test_pip_matches_bruteforce_and_tiebreak():
+    rng = np.random.default_rng(4)
+    rings, ids = geo.make_region_polygons(7, seed=9)
+    pts = np.stack([rng.uniform(-180, 180, 3000), rng.uniform(-90, 90, 3000)], axis=1)
+    fast = geo.assign_regions(pts, rings, ids)
+    brute = np.full(len(pts), -1, dtype=np.int64)
+    for pi in np.argsort(ids):  # lowest region id wins
+        m = geo.points_in_polygon(pts, rings[pi]) & (brute == -1)
+        brute[m] = ids[pi]
+    assert (fast == brute).all()
+    assert (fast > 0).any() and (fast == -1).any()
+
+
+def test_pip_simple_square():
+    ring = np.asarray([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    pts = np.asarray([[5, 5], [15, 5], [-1, -1], [9.99, 9.99]])
+    got = geo.points_in_polygon(pts, ring)
+    assert list(got) == [True, False, False, True]
+
+
+# --- CART ------------------------------------------------------------------
+
+def test_cart_leaf_value_is_training_mean():
+    rng = np.random.default_rng(5)
+    X_ = rng.uniform(0, 1, (400, 4))
+    y = X_[:, 1] * 3 + rng.standard_normal(400) * 0.1
+    t = cart.fit_cart(X_, y)
+    pred = t.predict(X_)
+    for v in np.unique(pred):
+        assert abs(y[pred == v].mean() - v) < 1e-10
+
+
+def test_cart_recovers_step_and_importance():
+    rng = np.random.default_rng(6)
+    X_ = rng.uniform(0, 1, (600, 6))
+    y = (X_[:, 3] > 0.4).astype(float)
+    t = cart.fit_cart(X_, y)
+    assert ((t.predict(X_) - y) ** 2).mean() < 0.05
+    assert t.importance(6).argmax() == 3
+
+
+def test_cart_minbucket_and_constant_target():
+    rng = np.random.default_rng(7)
+    X_ = rng.uniform(0, 1, (100, 3))
+    t = cart.fit_cart(X_, np.full(100, 2.5))
+    assert t.num_leaves == 1 and t.value[0] == 2.5
+    t2 = cart.fit_cart(X_[:10], rng.standard_normal(10))  # < minsplit
+    assert t2.num_leaves == 1
+    t3 = cart.fit_cart(X_, rng.standard_normal(100))
+    assert (t3.n_node[t3.feature == -1] >= 7).all() or t3.num_leaves == 1
+
+
+def test_cart_prune_reduces_and_keeps_signal():
+    rng = np.random.default_rng(8)
+    X_ = rng.uniform(0, 1, (800, 5))
+    y = (X_[:, 0] > 0.5).astype(float) * 2 + rng.standard_normal(800) * 0.3
+    grown = cart.fit_cart(X_, y, cp=0.001)
+    pruned = cart.prune_cart(grown, cp=0.02)
+    assert pruned.num_leaves <= grown.num_leaves
+    assert pruned.num_leaves >= 2  # the real split survives
+    assert ((pruned.predict(X_) - y) ** 2).mean() < 0.5
+
+
+def test_cart_deterministic():
+    rng = np.random.default_rng(9)
+    X_ = rng.uniform(0, 1, (300, 4))
+    y = rng.standard_normal(300)
+    t1, t2 = cart.fit_cart(X_, y), cart.fit_cart(X_, y)
+    assert (t1.feature == t2.feature).all()
+    assert (t1.threshold[t1.feature != -1] == t2.threshold[t2.feature != -1]).all()
+
+
+def test_cart_roundtrip_arrays():
+    rng = np.random.default_rng(10)
+    X_ = rng.uniform(0, 1, (200, 3))
+    y = X_[:, 0] + rng.standard_normal(200) * 0.1
+    t = cart.fit_cart(X_, y)
+    t2 = cart.CartTree.from_arrays(t.to_arrays())
+    assert (t.predict(X_) == t2.predict(X_)).all()

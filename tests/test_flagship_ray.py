@@ -1,0 +1,104 @@
+"""Flagship end-to-end: golden parity, determinism, sinks, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from drivers_of_global_deforestation_ray.pipelines.flagship import (
+    FlagshipConfig,
+    class_raster,
+    per_class_loss_means,
+    run_flagship,
+)
+from drivers_of_global_deforestation_ray.pipelines.golden import run_flagship_golden
+from drivers_of_global_deforestation_ray.sources.pages import pages_table
+
+
+@pytest.fixture(scope="module")
+def pages_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    t = pages_table(3000, seed=42)
+    pq.write_table(t, str(d / "part-0.parquet"))
+    return str(d)
+
+
+ENG_COLS = ["tile_id", "region", "n_pages", "sum_tokens", "class",
+            "class_smoothed", "class_final"]
+FLOAT_COLS = ["mean_quality", "max_value", "out1", "out2", "out3", "out4", "out5", "loss"]
+
+
+def _engine(pages_dir, miniworld, **cfg_kw):
+    cfg = FlagshipConfig(world_dir=miniworld["root"], **cfg_kw)
+    return run_flagship(pages_dir, cfg).to_pandas().sort_values("tile_id").reset_index(drop=True), cfg
+
+
+def test_flagship_matches_golden_exactly(pages_dir, miniworld):
+    eng, cfg = _engine(pages_dir, miniworld)
+    gold = run_flagship_golden(pages_table(3000, seed=42), cfg)
+    gold = gold.sort_values("tile_id").reset_index(drop=True)
+    assert len(eng) == len(gold) and len(eng) > 50
+    for c in ENG_COLS:
+        assert (eng[c].to_numpy() == gold[c].to_numpy()).all(), c
+    for c in FLOAT_COLS:
+        assert (eng[c].to_numpy() == gold[c].to_numpy()).all(), c  # bit-exact
+
+
+def test_flagship_deterministic_across_batching(pages_dir, miniworld):
+    a, _ = _engine(pages_dir, miniworld, batch_size=512)
+    b, _ = _engine(pages_dir, miniworld, batch_size=8192)
+    for c in ENG_COLS + FLOAT_COLS:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_flagship_gates(pages_dir, miniworld):
+    eng, cfg = _engine(pages_dir, miniworld)
+    # loss gate: final class 0 wherever 0 < loss < 0.005 (R:496)
+    gated = eng[(eng["loss"] > 0) & (eng["loss"] < cfg.loss_threshold)]
+    assert (gated["class_final"] == 0).all()
+    # confidence gate: pre-smoothing class 0 wherever max_value < 0.5 (R:382)
+    low = eng[eng["max_value"] < cfg.conf_threshold]
+    assert (low["class"] == 0).all()
+    # universe: only tiles with region and loss (R:241,:274)
+    assert (eng["region"] > 0).all() and (eng["loss"] > 0).all()
+
+
+def test_flagship_sinks(pages_dir, miniworld, tmp_path):
+    cfg = FlagshipConfig(world_dir=miniworld["root"])
+    out = str(tmp_path / "out")
+    final = run_flagship(pages_dir, cfg, out_dir=out)
+    df = final.to_pandas()
+    # partitioned parquet fan-out (D3)
+    parts = os.listdir(os.path.join(out, "classes"))
+    assert any(p.startswith("class_final=") for p in parts)
+    # per-class grouped mean loss (R:516-521)
+    pcl = per_class_loss_means(final).to_pandas().sort_values("class_final")
+    want = df.groupby("class_final")["loss"].agg(["sum", "size"])
+    got = dict(zip(pcl["class_final"], pcl["loss_mean"]))
+    for cf, row in want.iterrows():
+        assert abs(got[cf] - row["sum"] / row["size"]) < 1e-12
+    # raster sink roundtrip (S6): grid -> values at tile positions
+    grid = class_raster(df, cfg.grid)
+    r = (df["tile_id"].to_numpy() - 1) // 64
+    c = (df["tile_id"].to_numpy() - 1) % 64
+    assert (grid[r, c] == df["class_final"].to_numpy()).all()
+    assert np.isnan(grid).sum() == 64 * 64 - len(df)
+
+
+def test_entry_contract(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    res = e.entry()
+    import ray.data
+
+    assert isinstance(res, ray.data.Dataset)
+    df = res.to_pandas()
+    assert len(df) >= 0 and "tile_id" in df.columns
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 30 and len(osql) >= 20

@@ -1,0 +1,149 @@
+"""Ray Dataset combinator semantics vs local pandas/duckdb oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from drivers_of_global_deforestation_ray.stages import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def test_grouped_agg_matches_pandas(rd):
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, 5000),
+        "v": rng.integers(0, 100, 5000).astype(np.int64),
+        "f": rng.uniform(0, 1, 5000),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    got = R.grouped_agg(ds, ["k"], {
+        "s": ("v", "sum"), "n": ("v", "size"), "mn": ("v", "min"),
+        "mx": ("v", "max"), "avg": ("v", "mean"),
+    }).to_pandas().sort_values("k").reset_index(drop=True)
+    want = df.groupby("k").agg(s=("v", "sum"), n=("v", "size"), mn=("v", "min"),
+                               mx=("v", "max")).reset_index()
+    want["avg"] = df.groupby("k")["v"].sum().to_numpy() / df.groupby("k")["v"].count().to_numpy()
+    assert (got["s"].to_numpy() == want["s"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (got["mn"].to_numpy() == want["mn"].to_numpy()).all()
+    assert (got["mx"].to_numpy() == want["mx"].to_numpy()).all()
+    assert (got["avg"].to_numpy() == want["avg"].to_numpy()).all()
+
+
+def test_grouped_agg_skewed_hot_key(rd):
+    """One key owns 90% of rows: two-phase partial agg must stay exact (the
+    salted-shuffle remedy of SURVEY.md §4 — partials bound per-key traffic)."""
+    rng = np.random.default_rng(1)
+    n = 20000
+    k = np.where(rng.uniform(size=n) < 0.9, 0, rng.integers(1, 50, n))
+    df = pd.DataFrame({"k": k, "v": rng.integers(0, 1000, n).astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(16)
+    got = R.grouped_agg(ds, ["k"], {"s": ("v", "sum"), "n": ("v", "size")}).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = df.groupby("k").agg(s=("v", "sum"), n=("v", "size")).reset_index()
+    assert (got["s"].to_numpy() == want["s"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_grouped_agg_independent_of_partitioning(rd):
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 3000), "v": rng.integers(0, 9, 3000).astype(np.int64)})
+    outs = []
+    for parts in (1, 4, 13):
+        ds = rd.from_pandas(df).repartition(parts)
+        outs.append(R.grouped_agg(ds, ["k"], {"s": ("v", "sum")})
+                    .to_pandas().sort_values("k").reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_broadcast_join_left_and_inner(rd):
+    big = pd.DataFrame({"k": [1, 2, 3, 4, 2], "x": [10, 20, 30, 40, 21]})
+    small = pa.table({"k": [1, 2], "name": ["a", "b"]})
+    ds = rd.from_pandas(big).repartition(2)
+    left = R.broadcast_join(ds, small, on="k", how="left").to_pandas().sort_values("x")
+    assert len(left) == 5 and left["name"].isna().sum() == 2
+    inner = R.broadcast_join(ds, small, on="k", how="inner").to_pandas()
+    assert len(inner) == 3 and set(inner["name"]) == {"a", "b"}
+
+
+def test_fill_null_and_one_hot(rd):
+    df = pd.DataFrame({"a": [1.0, None, 3.0], "c": ["x", "y", "x"]})
+    ds = rd.from_pandas(df)
+    out = R.fill_null(ds, {"a": 0.0}).to_pandas()
+    assert list(out["a"]) == [1.0, 0.0, 3.0]
+    oh = R.one_hot(ds, "c", ["x", "y"], prefix="c_").to_pandas()
+    assert list(oh["c_x"]) == [1, 0, 1] and list(oh["c_y"]) == [0, 1, 0]
+
+
+def test_argmax_vote_first_index_tiebreak(rd):
+    df = pd.DataFrame({"o1": [0.5, 0.2, 0.3], "o2": [0.5, 0.7, 0.3], "o3": [0.1, 0.7, 0.3]})
+    out = R.argmax_vote(rd.from_pandas(df), ["o1", "o2", "o3"]).to_pandas()
+    assert list(out["class"]) == [1, 2, 1]  # ties -> first column (which.max)
+    assert list(out["max_value"]) == [0.5, 0.7, 0.3]
+
+
+def test_dedup_exact_keeps_min_tie(rd):
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 2], "id": [5, 3, 9, 7, 8], "v": list("abcde")})
+    out = R.dedup_exact(rd.from_pandas(df).repartition(3), ["k"], "id").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["id"]) == [3, 7]
+    assert list(out["v"]) == ["b", "d"]
+
+
+def test_topk_deterministic_boundary(rd):
+    df = pd.DataFrame({"v": [5, 5, 5, 4, 6], "id": [3, 1, 2, 0, 4]})
+    out = R.topk(rd.from_pandas(df).repartition(3), ["v", "id"], 3, [True, False]).to_pandas()
+    assert list(out["id"]) == [4, 1, 2]
+
+
+def test_stratified_sample_deterministic_across_partitioning(rd):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"s": rng.integers(0, 4, 1000), "id": np.arange(1000)})
+    a = R.stratified_sample(rd.from_pandas(df).repartition(2), "s", 10, 7, "id").to_pandas()
+    b = R.stratified_sample(rd.from_pandas(df).repartition(11), "s", 10, 7, "id").to_pandas()
+    a = a.sort_values(["s", "id"]).reset_index(drop=True)
+    b = b.sort_values(["s", "id"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.groupby("s").size() == 10).all()
+    c = R.stratified_sample(rd.from_pandas(df), "s", 10, 8, "id").to_pandas()
+    assert not a.equals(c.sort_values(["s", "id"]).reset_index(drop=True))  # seed matters
+
+
+def test_add_rank_unique_keys(rd):
+    rng = np.random.default_rng(4)
+    keys = rng.permutation(500)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(5)
+    out = R.add_rank(ds, "k", "rn").to_pandas().sort_values("k").reset_index(drop=True)
+    assert (out["rn"].to_numpy() == np.arange(1, 501)).all()
+
+
+def test_union_and_partitioned_write(rd, tmp_path):
+    df1 = pd.DataFrame({"k": [1, 2], "c": [0, 1]})
+    df2 = pd.DataFrame({"k": [3, 4], "c": [0, 1]})
+    u = R.union_all([rd.from_pandas(df1), rd.from_pandas(df2)])
+    assert u.count() == 4
+    R.partitioned_write(u, str(tmp_path / "out"), "c")
+    import pyarrow.dataset as pads
+
+    back = pads.dataset(str(tmp_path / "out"), partitioning="hive").to_table().to_pandas()
+    assert len(back) == 4 and set(back["c"].astype(int)) == {0, 1}
+
+
+def test_hash_join_vs_pandas(rd):
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 800), "a": np.arange(800)})
+    right = pd.DataFrame({"k2": rng.integers(0, 100, 600), "b": np.arange(600)})
+    got = R.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", right_on="k2", how="inner", num_partitions=4).to_pandas()
+    want = left.merge(right, left_on="k", right_on="k2")
+    assert len(got) == len(want)
+    assert got["a"].sum() == want["a"].sum() and got["b"].sum() == want["b"].sum()
