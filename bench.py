@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) in ONE Ray session with
+``ray.init(address="local", num_cpus=int($RAY_GRAFT_CPUS or 32))`` and prints
+a single JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"flagship": sec, ...}, "sf": 0.1, "num_cpus": 32,
+     "rows_per_s": {...}}
+
+``--scaling``: runs the flagship pipeline twice in FRESH processes
+(``num_cpus=8`` then ``num_cpus=32``) on the same input and reports both
+throughputs plus scaling efficiency (sandbox stand-in for the N vs 4N node
+criterion in BASELINE.json:north_rule).
+
+This script OWNS its Ray session (init+shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# Benchmarked query subset: the flagship + one representative per operator
+# family (shuffle agg, big-big join, broadcast join, geocode+tile encode,
+# zonal shuffle, PIP join, LSH dedup, text analytics, ANN, extraction).
+BENCH_QUERIES = [
+    "flagship",
+    "extract_text",
+    "groupby_agg",
+    "hash_join",
+    "broadcast_join",
+    "geocode_tiles",
+    "tile_zonal",
+    "pip_region",
+    "dedup_minhash",
+    "doc_quality",
+    "knn_brute",
+    "sort_limit",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    return len(result)
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+
+
+def _prewarm(sf_dir: str) -> None:
+    """Generate the deterministic pages corpus OUTSIDE the timed region (it is
+    input synthesis, not engine work) and warm the miniworld fixture."""
+    from drivers_of_global_deforestation_ray.pipelines.queries import _pages_dir_for
+    from drivers_of_global_deforestation_ray.sources.miniworld import build_miniworld
+
+    _pages_dir_for(sf_dir)
+    build_miniworld("/tmp/graft_miniworld")
+
+
+def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
+    import ray
+
+    _init_ray(num_cpus)
+    from drivers_of_global_deforestation_ray.pipelines.queries import QUERIES
+
+    _prewarm(sf_dir)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        n = _consume(QUERIES[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+        rows[name] = n
+    out = {
+        "metric": "headline pipelines e2e wall-time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "rows": rows,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scale_worker(sf_dir: str, num_cpus: int) -> dict:
+    """One fresh-process flagship run; prints rows/s for the scaling report."""
+    import ray
+
+    _init_ray(num_cpus)
+    from drivers_of_global_deforestation_ray.pipelines.queries import (
+        QUERIES, _pages_dir_for)
+
+    pages_dir = _pages_dir_for(sf_dir)
+    _prewarm(sf_dir)
+    import pyarrow.parquet as pq
+
+    n_pages = sum(
+        pq.read_metadata(os.path.join(root, f)).num_rows
+        for root, _dirs, files in os.walk(pages_dir)
+        for f in files if f.endswith(".parquet"))
+    t0 = time.perf_counter()
+    out_rows = _consume(QUERIES["flagship"](sf_dir))
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "input_rows": int(n_pages), "out_rows": out_rows,
+            "sec": round(sec, 4), "rows_per_s": round(n_pages / sec, 1)}
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    runs = []
+    for cpus in (low, high):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_scale_worker",
+             "--sf-dir", sf_dir],
+            env=env, capture_output=True, text=True, timeout=3600)
+        if p.returncode != 0:
+            raise RuntimeError(f"scale worker cpus={cpus} failed:\n{p.stderr[-2000:]}")
+        runs.append(json.loads(p.stdout.strip().splitlines()[-1]))
+    thr_low, thr_high = runs[0]["rows_per_s"], runs[1]["rows_per_s"]
+    speedup = thr_high / thr_low
+    efficiency = speedup / (high / low)
+    return {
+        "metric": "flagship scaling efficiency (fresh sessions, same input)",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "runs": runs,
+        "speedup": round(speedup, 3),
+        "cpus": [low, high],
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_scale_worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of query names")
+    ap.add_argument("--cpus-low", type=int, default=8)
+    ap.add_argument("--cpus-high", type=int, default=32)
+    args = ap.parse_args()
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args._scale_worker:
+        print(json.dumps(run_scale_worker(args.sf_dir, num_cpus)))
+        return 0
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir, args.cpus_low, args.cpus_high)))
+        return 0
+    names = args.queries.split(",") if args.queries else BENCH_QUERIES
+    print(json.dumps(run_bench(args.sf_dir, num_cpus, names)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
