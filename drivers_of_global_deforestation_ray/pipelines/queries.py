@@ -48,6 +48,18 @@ def _read(sf_dir: str, table: str, columns=None):
     return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _nparts(sf_dir: str, *tables: str, bytes_per_part: int = 64 << 20,
+            lo: int = 2, hi: int = 64) -> int:
+    """Shuffle-partition count sized from the on-disk input, not a constant.
+
+    ``Dataset.join`` pays a fixed per-partition cost (one hash-shuffle actor
+    each), so partitions must track data volume: ~64 MB of input per
+    partition, floored at 2 for test scales.  On a real cluster the ``hi``
+    cap rises with node count (it only exists to bound local-mode actors)."""
+    total = sum(os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in tables)
+    return int(max(lo, min(hi, total // bytes_per_part + 1)))
+
+
 # ---------------------------------------------------------------------------
 # relational core (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -129,7 +141,8 @@ def q_hash_join(sf_dir: str):
         return pa.table({"l_orderkey": b["l_orderkey"], "rev_scaled": rev})
 
     j = R.hash_join(ords, li.map_batches(_prep, batch_format="pyarrow"),
-                    on="o_orderkey", right_on="l_orderkey", how="inner", num_partitions=16)
+                    on="o_orderkey", right_on="l_orderkey", how="inner",
+                    num_partitions=_nparts(sf_dir, "orders", "lineitem"))
     return R.grouped_agg(j, ["o_orderpriority"],
                          {"n_items": ("rev_scaled", "size"), "sum_rev_scaled": ("rev_scaled", "sum")})
 
@@ -138,7 +151,8 @@ def q_left_join_count(sf_dir: str):
     """J2-left + count(col) semantics: customers with zero orders count 0."""
     cust = _read(sf_dir, "customer", ["c_custkey"])
     ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j = R.hash_join(cust, ords, on="c_custkey", right_on="o_custkey", how="left", num_partitions=16)
+    j = R.hash_join(cust, ords, on="c_custkey", right_on="o_custkey", how="left",
+                    num_partitions=_nparts(sf_dir, "customer", "orders"))
     return R.grouped_agg(j, ["c_custkey"], {"n_orders": ("o_orderkey", "count")})
 
 
@@ -416,8 +430,10 @@ def q_embed_neardup(sf_dir: str):
 
 
 def q_embed_neardup_lsh(sf_dir: str):
+    # 4 planes x 32 tables: per-table collision p=(1-θ/π)^4 ≈ 0.18 at
+    # cos 0.45, union recall 1-(1-p)^32 ≈ 0.998 — tuned to the threshold.
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return S.embedding_neardup_lsh(emb, threshold=0.45, num_planes=8)
+    return S.embedding_neardup_lsh(emb, threshold=0.45, num_planes=4, num_tables=32)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from ray.data import Dataset
 
 from ..functions.hashing import MinHasher, hash_tokens64, jaccard, simhash64, word_shingles
 from ..functions.text import md5_fingerprints
+from .relational import grouped_transform
 
 __all__ = [
     "dedup_exact_text",
@@ -48,12 +49,10 @@ def dedup_exact_text(ds: Dataset, text_col: str, id_col: str) -> Dataset:
         batch["__fp"] = md5_fingerprints(batch[text_col])
         return batch
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g[id_col].idxmin()]].drop(columns="__fp")
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df.groupby("__fp", sort=False)[id_col].idxmin()].drop(columns="__fp")
 
-    return ds.map_batches(_fp, batch_format="pandas").groupby("__fp").map_groups(
-        _first, batch_format="pandas"
-    )
+    return grouped_transform(ds.map_batches(_fp, batch_format="pandas"), ["__fp"], _first)
 
 
 # ---------------------------------------------------------------------------
@@ -61,59 +60,51 @@ def dedup_exact_text(ds: Dataset, text_col: str, id_col: str) -> Dataset:
 # ---------------------------------------------------------------------------
 
 class _MinHashStage:
-    """Actor: signature per doc, exploded to one row per LSH band."""
+    """Actor: signature per doc, exploded to one row per LSH band.
+
+    The exploded rows are the ONLY thing that shuffles, so they stay compact:
+    (id:int64, band:str) — text and signatures never ride; verification
+    recomputes what it needs from fetched candidate texts."""
 
     def __init__(self, text_col: str, id_col: str, num_perms: int, num_bands: int,
-                 shingle_k: int, seed: int, carry_text: bool):
+                 shingle_k: int, seed: int):
         self.hasher = MinHasher(num_perms, seed)
         self.text_col, self.id_col = text_col, id_col
         self.num_bands = num_bands
         self.shingle_k = shingle_k
-        self.carry_text = carry_text
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, sigs, texts = [], [], [], []
-        for _, row in batch.iterrows():
-            sh = word_shingles(row[self.text_col] or "", self.shingle_k)
+        ids_in = batch[self.id_col].to_numpy()
+        texts_in = batch[self.text_col].tolist()
+        ids: list = []
+        bands: list[str] = []
+        for did, txt in zip(ids_in, texts_in):
+            sh = word_shingles(txt or "", self.shingle_k)
             sig = self.hasher.signature(hash_tokens64(sh))
-            for key in self.hasher.band_keys(sig, self.num_bands):
-                ids.append(row[self.id_col])
-                bands.append(key)
-                sigs.append(sig.tobytes())
-                texts.append(row[self.text_col] if self.carry_text else "")
-        return pd.DataFrame(
-            {"doc_id": ids, "band": bands, "sig": sigs, "text": texts}
-        )
+            keys = self.hasher.band_keys(sig, self.num_bands)
+            ids.extend([did] * len(keys))
+            bands.extend(keys)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "band": bands})
 
 
-def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perms: int, exact: bool,
-                  shingle_k: int) -> pd.DataFrame:
-    """Pairwise verify within one LSH bucket.  Buckets are tiny by
+def _empty_pairs(val_col: str, dtype) -> pd.DataFrame:
+    return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                         val_col: pd.Series(dtype=dtype)})
+
+
+def _bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+    """All (a < b) pairs within one LSH bucket.  Buckets are tiny by
     construction (hash equality on a band); an adversarial giant bucket is
-    capped and logged via truncation to the 256 smallest ids."""
+    capped via truncation to the 256 smallest ids.  Verification (signature
+    agreement or true Jaccard) happens downstream against fetched texts."""
     g = g.sort_values("doc_id", kind="stable").drop_duplicates("doc_id").head(256)
     n = len(g)
     if n < 2:
-        return pd.DataFrame({"a": [], "b": [], "sim": []})
+        return _empty_pairs("sim", np.float64)
     ids = g["doc_id"].to_numpy()
-    a_out, b_out, s_out = [], [], []
-    if exact:
-        shingle_sets = [set(word_shingles(t or "", shingle_k)) for t in g["text"]]
-        for i in range(n):
-            for j in range(i + 1, n):
-                s = jaccard(shingle_sets[i], shingle_sets[j])
-                if s >= threshold:
-                    a_out.append(ids[i]); b_out.append(ids[j]); s_out.append(s)
-    else:
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        for i in range(n):
-            est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(est >= threshold)[0]
-            for j in hit:
-                a_out.append(ids[i]); b_out.append(ids[i + 1 + j]); s_out.append(float(est[j]))
-    return pd.DataFrame({"a": np.asarray(a_out, dtype=np.int64),
-                         "b": np.asarray(b_out, dtype=np.int64),
-                         "sim": np.asarray(s_out, dtype=np.float64)})
+    ai, bi = np.triu_indices(n, k=1)
+    return pd.DataFrame({"a": ids[ai].astype(np.int64), "b": ids[bi].astype(np.int64),
+                         "sim": np.full(len(ai), np.nan)})
 
 
 def minhash_lsh_pairs(
@@ -130,25 +121,77 @@ def minhash_lsh_pairs(
 ) -> Dataset:
     """Candidate near-dup pairs (a < b, sim >= threshold).
 
-    ``exact_verify=False`` verifies by signature agreement (nothing but 1 KB
-    sigs ever shuffles); ``True`` carries text into buckets and verifies true
-    n-gram Jaccard (the "n-gram Jaccard dedup" operator)."""
+    Shuffle discipline: the only thing that ever shuffles is the compact
+    exploded table (id:int64, band:str) — text and signatures stay put.
+    Candidate pairs form from band-bucket collisions; a second pass verifies
+    each candidate once, against the candidate docs' texts fetched via a
+    broadcast id-set filter: ``exact_verify=False`` recomputes MinHash
+    signatures (pure function of text) and keeps pairs whose full-signature
+    agreement >= threshold, ``True`` keeps pairs whose true n-gram Jaccard >=
+    threshold.  Candidates are orders of magnitude fewer than docs; for a
+    corpus where near-dups are a large fraction, swap the broadcast fetch for
+    two hash joins — same contract."""
     exploded = ds.map_batches(
         _MinHashStage,
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perms=num_perms,
             num_bands=num_bands, shingle_k=shingle_k, seed=seed,
-            carry_text=exact_verify,
         ),
         batch_format="pandas",
         concurrency=concurrency,
     )
-    pairs = exploded.groupby("band").map_groups(
-        lambda g: _bucket_pairs(g, threshold, num_perms, exact_verify, shingle_k),
-        batch_format="pandas",
+
+    def _buckets(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets (the overwhelming majority) are dropped in one
+        # vectorized duplicated() pass; only multi-member buckets loop.
+        df = df[df.duplicated("band", keep=False)]
+        if df.empty:
+            return _empty_pairs("sim", np.float64)
+        out = [_bucket_candidates(g) for _, g in df.groupby("band", sort=False)]
+        return pd.concat(out, ignore_index=True)
+
+    pairs = grouped_transform(exploded, ["band"], _buckets)
+    # a pair that collides in several bands must count once
+    pairs = grouped_transform(
+        pairs, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
     )
-    # a pair found in several bands must count once
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    pairs = pairs.materialize()  # consumed twice: id collection + verify pass
+    cand = pairs.select_columns(["a", "b"]).to_pandas()
+    need = (np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+            if len(cand) else np.array([], dtype=np.int64))
+    need_ref = ray.put(need)
+
+    def _fetch(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[np.isin(batch[id_col].to_numpy(), ray.get(need_ref))]
+        return keep[[id_col, text_col]]
+
+    texts = ds.map_batches(_fetch, batch_format="pandas").to_pandas()
+    text_ref = ray.put(dict(zip(texts[id_col].tolist(), texts[text_col].tolist())))
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(text_ref)
+        hasher = MinHasher(num_perms, seed) if not exact_verify else None
+        sims = np.empty(len(batch), dtype=np.float64)
+        cache: dict = {}
+
+        def features_of(i: int):
+            f = cache.get(i)
+            if f is None:
+                sh = word_shingles(lookup.get(i) or "", shingle_k)
+                f = cache[i] = (set(sh) if exact_verify
+                                else hasher.signature(hash_tokens64(sh)))
+            return f
+
+        for pos, (ia, ib) in enumerate(zip(batch["a"].to_numpy(), batch["b"].to_numpy())):
+            fa, fb = features_of(int(ia)), features_of(int(ib))
+            sims[pos] = jaccard(fa, fb) if exact_verify else float((fa == fb).mean())
+        batch = batch.copy(deep=False)
+        batch["sim"] = sims
+        return batch[sims >= threshold]
+
+    return pairs.map_batches(_verify, batch_format="pandas")
 
 
 def drop_ids(pairs: Dataset, ds: Dataset, id_col: str) -> Dataset:
@@ -186,11 +229,11 @@ class _SimHashStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids, chunks, hashes = [], [], []
-        for _, row in batch.iterrows():
-            toks = (row[self.text_col] or "").lower().split()
+        for did, txt in zip(batch[self.id_col].to_numpy(), batch[self.text_col].tolist()):
+            toks = (txt or "").lower().split()
             h = simhash64(hash_tokens64(toks, self.seed))
             for c in range(4):
-                ids.append(row[self.id_col])
+                ids.append(did)
                 chunks.append(f"{c}:{(h >> (16 * c)) & 0xFFFF:04x}")
                 hashes.append(h)
         return pd.DataFrame({"doc_id": ids, "chunk": chunks, "simhash": np.asarray(hashes, dtype=np.uint64)})
@@ -226,8 +269,18 @@ def simhash_pairs(
                              "b": np.asarray(b_out, dtype=np.int64),
                              "hamming": np.asarray(d_out, dtype=np.int64)})
 
-    pairs = exploded.groupby("chunk").map_groups(_verify, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    def _chunks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("chunk", keep=False)]
+        if df.empty:
+            return _empty_pairs("hamming", np.int64)
+        return pd.concat([_verify(g) for _, g in df.groupby("chunk", sort=False)],
+                         ignore_index=True)
+
+    pairs = grouped_transform(exploded, ["chunk"], _chunks)
+    return grouped_transform(
+        pairs, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
+    )
 
 
 def simhash_dedup(ds: Dataset, id_col: str = "doc_id", **kwargs) -> Dataset:

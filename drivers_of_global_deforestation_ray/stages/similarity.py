@@ -24,6 +24,8 @@ import pandas as pd
 import ray
 from ray.data import Dataset
 
+from .relational import grouped_transform
+
 __all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs", "embedding_neardup_lsh"]
 
 
@@ -178,23 +180,38 @@ def embedding_neardup_lsh(
     ds: Dataset,
     threshold: float = 0.95,
     num_planes: int = 16,
+    num_tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 17,
     round_to: int = 6,
 ) -> Dataset:
-    """Scale path: random-hyperplane sign buckets (vectors whose sign patterns
-    agree on all ``num_planes`` planes land together; cos >= 0.95 pairs almost
-    always do), verify exact cosine within buckets.  Approximate recall ->
-    rows-only oracle."""
+    """Scale path: multi-table random-hyperplane LSH.  Each of ``num_tables``
+    tables hashes a vector to the sign pattern of ``num_planes`` planes; a
+    pair is a candidate if it collides in ANY table (per-table collision
+    probability (1-θ/π)^P, so recall ≈ 1-(1-p)^T — tune P down / T up for
+    lower thresholds).  Exact cosine verifies within buckets; cross-table
+    duplicates collapse in a final pair-dedup.  Approximate recall ->
+    rows-only oracle.  Shuffle volume is ``num_tables`` x the vector column
+    (the vector rides to its buckets); id+bucket keys are int64."""
+    if num_planes > 56:
+        raise ValueError("num_planes must be <= 56 (packed with table id into int64)")
+
     def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
         M = _batch_matrix(batch, vec_col)
+        n = len(M)
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((M.shape[1], num_planes))
-        signs = (M @ planes) > 0
-        keys = ["".join("1" if b else "0" for b in row) for row in signs]
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "bucket": keys,
-                             "__vec": list(M)})
+        planes = rng.standard_normal((M.shape[1], num_planes * num_tables))
+        signs = (M @ planes) > 0  # (n, P*T)
+        pow2 = (1 << np.arange(num_planes, dtype=np.int64))
+        ids = batch[id_col].to_numpy()
+        frames = []
+        for t in range(num_tables):
+            bits = signs[:, t * num_planes:(t + 1) * num_planes] @ pow2
+            key = (np.int64(t) << np.int64(num_planes)) | bits.astype(np.int64)
+            frames.append(pd.DataFrame({id_col: ids, "bucket": key, "__vec": list(M)}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {id_col: ids[:0], "bucket": np.array([], np.int64), "__vec": []})
 
     def _verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="stable")
@@ -205,6 +222,19 @@ def embedding_neardup_lsh(
         return pd.DataFrame({"a": ids[ai].astype(np.int64), "b": ids[bi].astype(np.int64),
                              "cosine": cos[ai, bi]})
 
-    return ds.map_batches(_bucket, batch_format="pandas").groupby("bucket").map_groups(
-        _verify, batch_format="pandas"
+    def _buckets(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("bucket", keep=False)]
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        return pd.concat([_verify(g) for _, g in df.groupby("bucket", sort=False)],
+                         ignore_index=True)
+
+    pairs = grouped_transform(ds.map_batches(_bucket, batch_format="pandas"),
+                              ["bucket"], _buckets)
+    # a pair that collides in several tables must count once
+    return grouped_transform(
+        pairs, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
     )

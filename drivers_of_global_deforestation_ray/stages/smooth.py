@@ -92,7 +92,15 @@ def kring_smooth(
     out_col: str = "class_smoothed",
 ) -> Dataset:
     """Dataset combinator: needs the full (tile_id, class) map, which is tiny
-    per tile (int8) — collected once, broadcast once (see module docstring)."""
+    per tile (int8) — collected once, broadcast once (see module docstring).
+
+    ``ds`` is consumed twice (the dense-map collect and the smoothing pass),
+    so it is materialized first — otherwise the whole upstream pipeline
+    (pages scan -> extract -> zonal agg -> featurize -> score) would execute
+    twice.  The materialized set is tile-level (<= num_tiles rows), orders of
+    magnitude smaller than the page corpus, so pinning it in the object store
+    is safe even at full scale."""
+    ds = ds.materialize()
     num_tiles = grid.num_tiles(res)
     pairs = ds.select_columns([tile_col, class_col]).to_pandas()
     dense = dense_class_array(pairs[tile_col].to_numpy(), pairs[class_col].to_numpy(), num_tiles)
