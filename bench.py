@@ -113,38 +113,53 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     return out
 
 
-def run_scale_worker(sf_dir: str, num_cpus: int) -> dict:
+def _gen_scale_corpus(rows: int) -> str:
+    """Generate (once, cached) the dedicated scaling corpus; caller owns Ray."""
+    from drivers_of_global_deforestation_ray.sources.pages import generate_pages_parquet
+    from drivers_of_global_deforestation_ray.sources.miniworld import build_miniworld
+
+    build_miniworld("/tmp/graft_miniworld")
+    return generate_pages_parquet(f"/tmp/graft_pages_{rows}", rows, seed=42)
+
+
+def run_scale_worker(num_cpus: int, rows: int) -> dict:
     """One fresh-process flagship run; prints rows/s for the scaling report."""
     import ray
 
     _init_ray(num_cpus)
-    from drivers_of_global_deforestation_ray.pipelines.queries import (
-        QUERIES, _pages_dir_for)
+    from drivers_of_global_deforestation_ray.pipelines.flagship import (
+        FlagshipConfig, run_flagship)
 
-    pages_dir = _pages_dir_for(sf_dir)
-    _prewarm(sf_dir)
-    import pyarrow.parquet as pq
-
-    n_pages = sum(
-        pq.read_metadata(os.path.join(root, f)).num_rows
-        for root, _dirs, files in os.walk(pages_dir)
-        for f in files if f.endswith(".parquet"))
+    pages_dir = _gen_scale_corpus(rows)
+    cfg = FlagshipConfig(world_dir="/tmp/graft_miniworld")
     t0 = time.perf_counter()
-    out_rows = _consume(QUERIES["flagship"](sf_dir))
+    out_rows = run_flagship(pages_dir, cfg).count()
     sec = time.perf_counter() - t0
     ray.shutdown()
-    return {"num_cpus": num_cpus, "input_rows": int(n_pages), "out_rows": out_rows,
-            "sec": round(sec, 4), "rows_per_s": round(n_pages / sec, 1)}
+    return {"num_cpus": num_cpus, "input_rows": rows, "out_rows": out_rows,
+            "sec": round(sec, 4), "rows_per_s": round(rows / sec, 1)}
 
 
-def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+def run_scaling(low: int, high: int, rows: int) -> dict:
+    """Same job, same input, two fresh processes at two parallelism levels —
+    the sandbox stand-in for the N vs 4N node criterion.  The corpus is sized
+    so per-core work dominates fixed costs (scaling measurements need enough
+    data per core), and is pre-generated at full parallelism so neither timed
+    run pays generation."""
     runs = []
+    env = dict(os.environ)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_gen_worker",
+         "--scale-rows", str(rows)],
+        env=env, capture_output=True, text=True, timeout=3600)
+    if p.returncode != 0:
+        raise RuntimeError(f"corpus generation failed:\n{p.stderr[-2000:]}")
     for cpus in (low, high):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_scale_worker",
-             "--sf-dir", sf_dir],
+             "--scale-rows", str(rows)],
             env=env, capture_output=True, text=True, timeout=3600)
         if p.returncode != 0:
             raise RuntimeError(f"scale worker cpus={cpus} failed:\n{p.stderr[-2000:]}")
@@ -156,7 +171,7 @@ def run_scaling(sf_dir: str, low: int, high: int) -> dict:
         "metric": "flagship scaling efficiency (fresh sessions, same input)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
-        "sf": _sf_of(sf_dir),
+        "input_rows": rows,
         "runs": runs,
         "speedup": round(speedup, 3),
         "cpus": [low, high],
@@ -167,19 +182,29 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--_scale_worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--_gen_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR))
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of query names")
     ap.add_argument("--cpus-low", type=int, default=8)
     ap.add_argument("--cpus-high", type=int, default=32)
+    ap.add_argument("--scale-rows", type=int,
+                    default=int(os.environ.get("GRAFT_SCALE_ROWS", "1000000")))
     args = ap.parse_args()
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args._gen_worker:
+        _init_ray(num_cpus)
+        _gen_scale_corpus(args.scale_rows)
+        import ray
+        ray.shutdown()
+        print("{}")
+        return 0
     if args._scale_worker:
-        print(json.dumps(run_scale_worker(args.sf_dir, num_cpus)))
+        print(json.dumps(run_scale_worker(num_cpus, args.scale_rows)))
         return 0
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, args.cpus_low, args.cpus_high)))
+        print(json.dumps(run_scaling(args.cpus_low, args.cpus_high, args.scale_rows)))
         return 0
     names = args.queries.split(",") if args.queries else BENCH_QUERIES
     print(json.dumps(run_bench(args.sf_dir, num_cpus, names)))

@@ -45,6 +45,12 @@ _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been for on with as at by it "
     "this that from not have has had but they you he she we i".split()
 )
+# Vectorized equivalent of "count \S+ tokens that equal a stopword": the
+# lookarounds pin matches to whole whitespace-delimited tokens, so this counts
+# exactly what `w in _STOPWORDS for w in _TOKEN_RE.findall(t)` counts.
+_STOPWORD_RE = re.compile(
+    r"(?:(?<=\s)|^)(?:" + "|".join(sorted(_STOPWORDS, key=len, reverse=True)) + r")(?=\s|$)"
+)
 
 
 def quality_stats(texts: pd.Series) -> dict[str, np.ndarray]:
@@ -61,11 +67,7 @@ def quality_stats(texts: pd.Series) -> dict[str, np.ndarray]:
     n_tok = token_counts(texts)
     n_chr = char_counts_nospace(texts)
     n_punct = texts.str.count(_PUNCT_RE.pattern).to_numpy(dtype=np.int64)
-    lowered = texts.str.lower()
-    stop_hits = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(lowered):
-        if t:
-            stop_hits[i] = sum(1 for w in _TOKEN_RE.findall(t) if w in _STOPWORDS)
+    stop_hits = texts.str.lower().str.count(_STOPWORD_RE).to_numpy(dtype=np.int64)
     tok_safe = np.maximum(n_tok, 1)
     chr_safe = np.maximum(n_chr, 1)
     mean_len = n_chr / tok_safe
