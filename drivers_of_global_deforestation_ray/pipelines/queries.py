@@ -300,6 +300,49 @@ def q_tile_zonal(sf_dir: str):
                           "min_doc": ("doc_id", "min")})
 
 
+def q_range_ids(sf_dir: str):
+    """M1: the integer-sequence generator (id domain materialized as a table,
+    ``Supplemental_Data_1.R:117-120``) — ray.data.range, SQL-checked."""
+    N = _G.nrows * _G.ncols
+
+    def _ids(b) -> pa.Table:
+        return pa.table({"tile_id": pc.add(b["id"], pa.scalar(1, pa.int64()))})
+
+    return _rd().range(N).map_batches(_ids, batch_format="pyarrow")
+
+
+def q_partition_write(sf_dir: str):
+    """D3 sink as a checked query: one-pass partitioned parquet fan-out
+    (replaces the reference's six complementary filter+write passes,
+    ``Supplemental_Data_1.R:523-551``), read back and recounted."""
+    import shutil
+
+    out = "/tmp/graft_partwrite"
+    shutil.rmtree(out, ignore_errors=True)
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+    R.partitioned_write(li, out, "l_returnflag")
+    back = _rd().read_parquet(out)
+    return R.grouped_agg(back, ["l_returnflag"], {"n_rows": ("l_orderkey", "size")})
+
+
+def q_raster_roundtrip(sf_dir: str):
+    """S6/R1/R2 + M10: raster sink/source duality as a checked query — zonal
+    doc counts pivot into a dense 64x64 grid (``rastOut`` dense-realign,
+    ``Supplemental_Data_1.R:53-72``), unpivot back scanline-order, drop empty
+    cells; the roundtrip must equal the zonal table itself."""
+    from ..state.raster import assemble_grid, grid_to_table_arrays
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    zonal = R.grouped_agg(docs.map_batches(_doc_urls_batch, batch_format="pyarrow"),
+                          ["tile_id"], {"n_docs": ("doc_id", "size")})
+    df = zonal.to_pandas()  # tile-level: <= 4096 rows regardless of corpus size
+    grid = assemble_grid(df["tile_id"].to_numpy(), df["n_docs"].to_numpy(),
+                         _G.nrows, _G.ncols)
+    tiles, vals = grid_to_table_arrays(grid)
+    mask = ~np.isnan(vals)
+    return pd.DataFrame({"tile_id": tiles[mask], "n_docs": vals[mask].astype(np.int64)})
+
+
 def q_kring(sf_dir: str):
     """J7 neighborhood: k-ring size per distinct tile (edge-clipped)."""
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -508,6 +551,9 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "geocode_tiles": q_geocode_tiles,
     "tile_zonal": q_tile_zonal,
+    "range_ids": q_range_ids,
+    "partition_write": q_partition_write,
+    "raster_roundtrip": q_raster_roundtrip,
     "kring": q_kring,
     "pip_region": q_pip_region,
     "doc_tokens": q_doc_tokens,
@@ -642,6 +688,15 @@ ORACLE_SQL = {
                CAST(min(d.doc_id) AS BIGINT) AS min_doc
         FROM ({_TILE_SQL}) t JOIN documents d USING (doc_id)
         GROUP BY t.tile_id
+    """,
+    "range_ids": """
+        SELECT CAST(range + 1 AS BIGINT) AS tile_id FROM range(0, 4096)
+    """,
+    "partition_write": """
+        SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+    """,
+    "raster_roundtrip": f"""
+        SELECT tile_id, count(*) AS n_docs FROM ({_TILE_SQL}) GROUP BY tile_id
     """,
     "kring": f"""
         SELECT tile_id,

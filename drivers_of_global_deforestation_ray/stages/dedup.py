@@ -46,8 +46,11 @@ def dedup_exact_text(ds: Dataset, text_col: str, id_col: str) -> Dataset:
     the group step directly emits the winner row ids + text."""
 
     def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+        # fingerprint + per-block partial: a hot exact-dup cluster ships one
+        # row per block through the shuffle (min-of-mins == global min)
+        batch = batch.reset_index(drop=True)
         batch["__fp"] = md5_fingerprints(batch[text_col])
-        return batch
+        return batch.loc[batch.groupby("__fp", sort=False)[id_col].idxmin()]
 
     def _first(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df.groupby("__fp", sort=False)[id_col].idxmin()].drop(columns="__fp")

@@ -304,12 +304,18 @@ def dedup_exact(ds: Dataset, keys: list[str], tie_col: str, num_partitions: int 
     """Exact dedup: hash-partition by ``keys``, keep the row with the minimal
     ``tie_col`` per group (deterministic ``distinct()``,
     ``Supplemental_Data_1.R:231``).  Vectorized per partition — one pandas
-    idxmin per partition, not one Python call per distinct key."""
+    idxmin per partition, not one Python call per distinct key.
+
+    Skew-proof: a per-batch partial keeps at most one row per key per block
+    BEFORE the shuffle, so a hot key ships one row per block — never its raw
+    rows (min-of-mins == global min; the §4 salted-agg remedy for free)."""
 
     def _first(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df.groupby(keys, sort=False, observed=True)[tie_col].idxmin()]
 
-    return grouped_transform(ds, keys, _first, num_partitions)
+    partial = ds.map_batches(lambda df: _first(df.reset_index(drop=True)),
+                             batch_format="pandas")
+    return grouped_transform(partial, keys, _first, num_partitions)
 
 
 def topk(ds: Dataset, key: str | list[str], k: int, descending: bool | list[bool] = True) -> Dataset:
