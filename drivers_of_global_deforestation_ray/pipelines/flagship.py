@@ -49,7 +49,8 @@ from ..stages.relational import fill_null, grouped_agg
 from ..stages.score import fit_region_trees, score_with_trees, vote_and_gate
 from ..stages.smooth import kring_smooth
 
-__all__ = ["FlagshipConfig", "run_flagship", "build_training_table", "page_features_batch"]
+__all__ = ["FlagshipConfig", "run_flagship", "run_flagship_checkpointed",
+           "tiles_to_classes", "build_training_table", "page_features_batch"]
 
 
 @dataclass
@@ -166,13 +167,23 @@ def run_flagship(pages: Dataset | str, cfg: FlagshipConfig, out_dir: str | None 
     per_tile = grouped_agg(
         per_page,
         ["tile_id"],
-        {
-            "n_pages": ("url", "count"),
-            "sum_tokens": ("n_tokens", "sum"),
-            "mean_quality": ("quality_score", "mean"),
-        },
+        _ZONAL_SPECS,
         batch_size=cfg.batch_size,
     )
+    return tiles_to_classes(per_tile, cfg, out_dir)
+
+
+_ZONAL_SPECS = {
+    "n_pages": ("url", "count"),
+    "sum_tokens": ("n_tokens", "sum"),
+    "mean_quality": ("quality_score", "mean"),
+}
+
+
+def tiles_to_classes(per_tile: Dataset, cfg: FlagshipConfig, out_dir: str | None = None) -> Dataset:
+    """Stages 3-8 over the (already aggregated) per-tile table — shared by the
+    streaming and the checkpointed flagship runners."""
+    grid, res = cfg.grid, cfg.res
 
     # stage 3: region + covariates + loss (actor pool, state mmap'd once)
     per_tile = per_tile.map_batches(
@@ -220,6 +231,51 @@ def run_flagship(pages: Dataset | str, cfg: FlagshipConfig, out_dir: str | None 
     if out_dir is not None:
         final.write_parquet(os.path.join(out_dir, "classes"), partition_cols=["class_final"])
     return final
+
+
+def run_flagship_checkpointed(
+    pages_dir: str,
+    cfg: FlagshipConfig,
+    ckpt_root: str,
+    num_shards: int = 8,
+    out_dir: str | None = None,
+) -> Dataset:
+    """Resumable flagship (north rule: per-partition lineage + metrics).
+
+    The page-heavy stage (scan -> extract -> geocode -> tile -> PARTIAL zonal
+    agg) runs per input-file shard through :class:`StageCheckpoint` — each
+    shard writes compact tile-level partials under
+    ``<ckpt_root>/page_tiles/part=<i>/`` with a ``_manifest.jsonl`` line
+    (fingerprint, rows, bytes, wall, rows/s).  A re-run skips complete shards
+    (kill the driver mid-corpus, rerun, only unfinished shards execute).
+    Partial aggregates are associative, so the final combine over checkpoint
+    files is exact.  The tile-level tail (featurize -> score -> vote ->
+    smooth) is orders of magnitude cheaper than the page scan and recomputes.
+    """
+    import glob
+
+    import ray.data as rd
+
+    from ..sources.checkpoint import StageCheckpoint, shard_files
+    from ..stages.relational import grouped_agg_final, grouped_agg_partial
+
+    grid, res = cfg.grid, cfg.res
+
+    def _stage(files: list[str]) -> Dataset:
+        per_page = rd.read_parquet(files, columns=["url", "html"]).map_batches(
+            lambda b: page_features_batch(b, grid, res),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        return grouped_agg_partial(per_page, ["tile_id"], _ZONAL_SPECS, cfg.batch_size)
+
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    ckpt = StageCheckpoint(ckpt_root, "page_tiles")
+    ckpt.run(shard_files(files, num_shards), _stage)
+
+    partials = rd.read_parquet(ckpt.output_files())
+    per_tile = grouped_agg_final(partials, ["tile_id"], _ZONAL_SPECS)
+    return tiles_to_classes(per_tile, cfg, out_dir)
 
 
 def per_class_loss_means(final: Dataset) -> Dataset:

@@ -502,6 +502,23 @@ def q_flagship(sf_dir: str):
     return final.select_columns(["tile_id", "region", "class_final", "n_pages", "loss"])
 
 
+def q_flagship_checkpointed(sf_dir: str):
+    """Resumable flagship (S4/§4 checkpoints): per-shard page stage with
+    lineage manifest, exact same output as the streaming flagship."""
+    import shutil
+
+    from .flagship import FlagshipConfig, run_flagship_checkpointed
+    from ..sources.miniworld import build_miniworld
+
+    build_miniworld("/tmp/graft_miniworld")
+    pages_dir = _pages_dir_for(sf_dir)
+    ckpt = f"/tmp/graft_ckpt_{os.path.basename(pages_dir)}"
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh run each invocation
+    cfg = FlagshipConfig(world_dir="/tmp/graft_miniworld")
+    final = run_flagship_checkpointed(pages_dir, cfg, ckpt, num_shards=4)
+    return final.select_columns(["tile_id", "region", "class_final", "n_pages", "loss"])
+
+
 def q_extract_text(sf_dir: str):
     """M12: the byte-identity invariant as a query — md5 of extracted text
     vs md5 of the stored golden text, per url."""
@@ -569,6 +586,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "flagship": q_flagship,
+    "flagship_checkpointed": q_flagship_checkpointed,
     "extract_text": q_extract_text,
     "media_features": q_media_features,
 }

@@ -40,6 +40,8 @@ __all__ = [
     "scaled_int",
     "grouped_transform",
     "grouped_agg",
+    "grouped_agg_partial",
+    "grouped_agg_final",
     "broadcast_join",
     "hash_join",
     "one_hot",
@@ -175,9 +177,23 @@ def grouped_agg(
     unknown = {h for _, h in specs.values()} - _PARTIAL_AGGS
     if unknown:
         raise ValueError(f"unsupported aggs: {unknown}")
-    partial = ds.map_batches(
+    return grouped_agg_final(grouped_agg_partial(ds, keys, specs, batch_size),
+                             keys, specs, num_partitions)
+
+
+def grouped_agg_partial(ds: Dataset, keys: list[str], specs: dict[str, tuple[str, str]],
+                        batch_size: int = 65536) -> Dataset:
+    """Partial (per-batch) half of :func:`grouped_agg` — exposed so stages can
+    checkpoint partial aggregates per input shard and resume (partials are
+    associative: re-running the final over any sharding of them is exact)."""
+    return ds.map_batches(
         lambda b: _partial_batch(b, keys, specs), batch_format="pandas", batch_size=batch_size
     )
+
+
+def grouped_agg_final(partial: Dataset, keys: list[str], specs: dict[str, tuple[str, str]],
+                      num_partitions: int = 32) -> Dataset:
+    """Final combine half of :func:`grouped_agg` over partial outputs."""
     return grouped_transform(
         partial, keys, lambda df: _final_partition(df, keys, specs), num_partitions
     )

@@ -12,6 +12,7 @@ from drivers_of_global_deforestation_ray.pipelines.flagship import (
     class_raster,
     per_class_loss_means,
     run_flagship,
+    run_flagship_checkpointed,
 )
 from drivers_of_global_deforestation_ray.pipelines.golden import run_flagship_golden
 from drivers_of_global_deforestation_ray.sources.pages import pages_table
@@ -85,6 +86,47 @@ def test_flagship_sinks(pages_dir, miniworld, tmp_path):
     c = (df["tile_id"].to_numpy() - 1) % 64
     assert (grid[r, c] == df["class_final"].to_numpy()).all()
     assert np.isnan(grid).sum() == 64 * 64 - len(df)
+
+
+def test_flagship_checkpointed_parity_and_resume(miniworld, tmp_path):
+    import json
+
+    d = tmp_path / "pages_sharded"
+    d.mkdir()
+    total = 3000
+    for i in range(4):  # 4 input files -> 4 shards
+        t = pages_table(total // 4, seed=42, offset=i * (total // 4), total=total)
+        pq.write_table(t, str(d / f"part-{i}.parquet"))
+    cfg = FlagshipConfig(world_dir=miniworld["root"])
+    ckpt = str(tmp_path / "ckpt")
+
+    ck = run_flagship_checkpointed(str(d), cfg, ckpt, num_shards=4).to_pandas()
+    ck = ck.sort_values("tile_id").reset_index(drop=True)
+    st = run_flagship(str(d), cfg).to_pandas().sort_values("tile_id").reset_index(drop=True)
+    for c in ENG_COLS + FLOAT_COLS:
+        assert (ck[c].to_numpy() == st[c].to_numpy()).all(), c
+
+    manifest = os.path.join(ckpt, "page_tiles", "_manifest.jsonl")
+    recs1 = [json.loads(l) for l in open(manifest)]
+    assert len(recs1) == 4 and all(r["rows"] > 0 and r["rows_per_s"] > 0 for r in recs1)
+
+    # resume: rerun skips every complete shard (records byte-identical)
+    ck2 = run_flagship_checkpointed(str(d), cfg, ckpt, num_shards=4).to_pandas()
+    recs2 = [json.loads(l) for l in open(manifest)]
+    assert recs2 == recs1
+    assert (ck2.sort_values("tile_id").reset_index(drop=True)["class_final"].to_numpy()
+            == ck["class_final"].to_numpy()).all()
+
+    # invalidate one shard (bump its input mtime past 1s granularity):
+    # exactly that partition reruns
+    import time as _time
+    future = _time.time() + 5
+    os.utime(str(d / "part-2.parquet"), (future, future))
+    run_flagship_checkpointed(str(d), cfg, ckpt, num_shards=4)
+    recs3 = {r["partition"]: r for r in (json.loads(l) for l in open(manifest))}
+    changed = [i for i in range(4)
+               if recs3[i]["fingerprint"] != {r["partition"]: r for r in recs1}[i]["fingerprint"]]
+    assert len(changed) == 1
 
 
 def test_entry_contract(ray_session):
