@@ -519,6 +519,40 @@ def q_flagship_checkpointed(sf_dir: str):
     return final.select_columns(["tile_id", "region", "class_final", "n_pages", "loss"])
 
 
+def q_per_class_loss(sf_dir: str):
+    """A3 over the flagship output: per-final-class grouped mean loss + tile
+    count (``Supplemental_Data_1.R:516-521``); rows-only (miniworld-derived)."""
+    from .flagship import per_class_loss_means
+
+    final = q_flagship_full(sf_dir)
+    return per_class_loss_means(final)
+
+
+def q_flagship_full(sf_dir: str):
+    from .flagship import FlagshipConfig, run_flagship
+    from ..sources.miniworld import build_miniworld
+
+    build_miniworld("/tmp/graft_miniworld")
+    pages_dir = _pages_dir_for(sf_dir)
+    return run_flagship(pages_dir, FlagshipConfig(world_dir="/tmp/graft_miniworld"))
+
+
+def q_tree_importance(sf_dir: str):
+    """ST4: per-feature variable importance summed over the 15 (region x
+    driver) trees, as a table; rows-only (miniworld training data)."""
+    from .flagship import FlagshipConfig, build_training_table
+    from ..sources.miniworld import build_miniworld
+    from ..stages.score import fit_region_trees
+
+    build_miniworld("/tmp/graft_miniworld")
+    cfg = FlagshipConfig(world_dir="/tmp/graft_miniworld")
+    tr = build_training_table(cfg.world_dir, cfg.grid, cfg.res, cfg.feature_names)
+    _trees, imp = fit_region_trees(tr, cfg.feature_names,
+                                   regions=list(range(1, cfg.num_regions + 1)))
+    return pd.DataFrame({"feature": cfg.feature_names,
+                         "importance": np.round(imp, 6)})
+
+
 def q_extract_text(sf_dir: str):
     """M12: the byte-identity invariant as a query — md5 of extracted text
     vs md5 of the stored golden text, per url."""
@@ -587,6 +621,8 @@ QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "flagship": q_flagship,
     "flagship_checkpointed": q_flagship_checkpointed,
+    "per_class_loss": q_per_class_loss,
+    "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "media_features": q_media_features,
 }

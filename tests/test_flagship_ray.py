@@ -88,6 +88,30 @@ def test_flagship_sinks(pages_dir, miniworld, tmp_path):
     assert np.isnan(grid).sum() == 64 * 64 - len(df)
 
 
+def test_flagship_hot_tile_skew_parity(miniworld, tmp_path):
+    """E2E skew: 30% of pages share ONE url (re-crawls) -> one hot tile.
+    The two-phase zonal agg must still match the golden bit-exactly, at any
+    batching — the partial agg bounds the hot tile to one row per block."""
+    d = tmp_path / "pages_hot"
+    d.mkdir()
+    t = pages_table(3000, seed=42, hot_frac=0.3)
+    pq.write_table(t, str(d / "part-0.parquet"))
+    cfg = FlagshipConfig(world_dir=miniworld["root"], batch_size=256)
+    eng = run_flagship(str(d), cfg).to_pandas().sort_values("tile_id").reset_index(drop=True)
+    gold = run_flagship_golden(pages_table(3000, seed=42, hot_frac=0.3), cfg)
+    gold = gold.sort_values("tile_id").reset_index(drop=True)
+    assert len(eng) == len(gold) > 0
+    # the corpus really is skewed: one tile holds >= 30% of all pages
+    # (checked pre-filter — the hot tile may fall outside region/loss gates)
+    from drivers_of_global_deforestation_ray.functions.extract import geocode_urls
+    from drivers_of_global_deforestation_ray.functions.grid import latlon_to_tile
+    lat, lon = geocode_urls(t["url"].to_pylist())
+    tiles = latlon_to_tile(lat, lon, cfg.grid, cfg.res)
+    assert np.bincount(tiles).max() >= 900
+    for c in ENG_COLS + FLOAT_COLS:
+        assert (eng[c].to_numpy() == gold[c].to_numpy()).all(), c
+
+
 def test_flagship_checkpointed_parity_and_resume(miniworld, tmp_path):
     import json
 

@@ -39,6 +39,32 @@ def test_grouped_agg_matches_pandas(rd):
     assert (got["avg"].to_numpy() == want["avg"].to_numpy()).all()
 
 
+def test_grouped_transform_group_integrity(rd):
+    """grouped_transform must hand each partition_fn EVERY row of each of its
+    key groups (never a split group), for string and multi-column keys, at any
+    num_partitions / input partitioning."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "ks": np.array([f"key-{i}" for i in rng.integers(0, 400, n)]),
+        "ki": rng.integers(0, 7, n),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    want = df.groupby(["ks", "ki"]).agg(s=("v", "sum"), n=("v", "size")).reset_index()
+    want = want.sort_values(["ks", "ki"]).reset_index(drop=True)
+    for nparts, inparts in ((1, 3), (8, 16), (64, 5)):
+        got = R.grouped_transform(
+            rd.from_pandas(df).repartition(inparts), ["ks", "ki"],
+            lambda d: d.groupby(["ks", "ki"], sort=False).agg(
+                s=("v", "sum"), n=("v", "size")).reset_index(),
+            num_partitions=nparts,
+        ).to_pandas().sort_values(["ks", "ki"]).reset_index(drop=True)
+        assert (got["ks"].to_numpy() == want["ks"].to_numpy()).all()
+        assert (got["ki"].to_numpy() == want["ki"].to_numpy()).all()
+        assert (got["s"].to_numpy() == want["s"].to_numpy()).all()
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
 def test_grouped_agg_skewed_hot_key(rd):
     """One key owns 90% of rows: two-phase partial agg must stay exact (the
     salted-shuffle remedy of SURVEY.md §4 — partials bound per-key traffic)."""
