@@ -37,6 +37,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 # zonal shuffle, PIP join, LSH dedup, text analytics, ANN, extraction).
 BENCH_QUERIES = [
     "flagship",
+    "flagship_checkpointed",
     "extract_text",
     "groupby_agg",
     "hash_join",
@@ -90,9 +91,14 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     import ray
 
     _init_ray(num_cpus)
+    import ray.data as rd
+
     from drivers_of_global_deforestation_ray.pipelines.queries import QUERIES
 
     _prewarm(sf_dir)
+    # spin the worker pool up once so the first query isn't charged Ray's
+    # cold start (the per-query numbers then measure the pipelines)
+    rd.range(10_000).map_batches(lambda b: b).count()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:

@@ -21,3 +21,39 @@ owned by the driver harness, ``bench.py`` and the pytest fixture.
 """
 
 __version__ = "0.1.0"
+
+
+def _prime_fsspec_http_stub() -> None:
+    """Neutralize a thread race in Ray's path probing (offline env).
+
+    ``ray.data`` read/write path resolution imports
+    ``fsspec.implementations.http`` on EVERY call; in this sandbox the import
+    always fails (no aiohttp) and is evicted, so two concurrent Dataset
+    executions (e.g. checkpoint shards in flight) can observe each other's
+    partially initialized module and raise ``ImportError: cannot import name
+    'HTTPFileSystem'`` — which Ray only catches as ``ModuleNotFoundError``.
+    Install a cached stub module whose ``HTTPFileSystem`` sentinel class has
+    no instances: Ray's ``isinstance`` probe then always answers False (we
+    never read http:// paths) and the racy import never re-runs.
+    """
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        try:
+            import fsspec.implementations
+        except ModuleNotFoundError:
+            return
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: nothing is ever an instance
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+        fsspec.implementations.http = stub
+
+
+_prime_fsspec_http_stub()

@@ -262,7 +262,12 @@ def run_flagship_checkpointed(
     grid, res = cfg.grid, cfg.res
 
     def _stage(files: list[str]) -> Dataset:
-        per_page = rd.read_parquet(files, columns=["url", "html"]).map_batches(
+        # a shard is often ONE file: force block splitting or the fused
+        # read->map runs as a single near-serial task (~8 MB per block)
+        nblocks = max(8, sum(os.path.getsize(f) for f in files) // (8 << 20))
+        per_page = rd.read_parquet(
+            files, columns=["url", "html"], override_num_blocks=int(nblocks)
+        ).map_batches(
             lambda b: page_features_batch(b, grid, res),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,

@@ -579,6 +579,41 @@ def q_media_features(sf_dir: str):
         ["url", "media_width", "media_height"])
 
 
+def q_media_resize(sf_dir: str):
+    """Multimodal resize plumbing: payload -> bounded thumbnail; output ships
+    the thumbnail dims + byte count, never the source payload (rows-only:
+    thumb bytes are backend-derived)."""
+    from ..stages.multimodal import media_resize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = docs.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                                "payload": [t.encode() for t in b["text"].to_pylist()]}),
+        batch_format="pyarrow")
+    out = media_resize(enc, media_col="payload", width=16, height=16)
+
+    def _meta(b: pd.DataFrame) -> pd.DataFrame:
+        b["thumb_bytes"] = np.asarray([len(x) for x in b["thumb"]], dtype=np.int64)
+        return b[["doc_id", "thumb_width", "thumb_height", "thumb_bytes"]]
+
+    return out.map_batches(_meta, batch_format="pandas")
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame-sample explode (1 doc -> 4 frame rows) — the
+    (doc_id, frame_idx, ts_ms) lattice is SQL-checkable."""
+    from ..stages.multimodal import frame_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = docs.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                                "payload": [t.encode() for t in b["text"].to_pylist()]}),
+        batch_format="pyarrow")
+    frames = frame_sample(enc, media_col="payload", key_col="doc_id",
+                          num_frames=4, frame_ms=250)
+    return frames.select_columns(["doc_id", "frame_idx", "ts_ms"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -625,6 +660,8 @@ QUERIES = {
     "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -748,6 +785,11 @@ ORACLE_SQL = {
     """,
     "partition_write": """
         SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+    """,
+    "frame_sample": """
+        SELECT d.doc_id, CAST(f.range AS INTEGER) AS frame_idx,
+               CAST(f.range * 250 AS BIGINT) AS ts_ms
+        FROM documents d CROSS JOIN range(0, 4) f
     """,
     "raster_roundtrip": f"""
         SELECT tile_id, count(*) AS n_docs FROM ({_TILE_SQL}) GROUP BY tile_id

@@ -63,9 +63,12 @@ class StageCheckpoint:
     """Checkpointed execution of ``stage_fn: list[files] -> Dataset`` per shard."""
 
     def __init__(self, root: str, stage: str):
+        import threading
+
         self.dir = os.path.join(root, stage)
         os.makedirs(self.dir, exist_ok=True)
         self.manifest_path = os.path.join(self.dir, "_manifest.jsonl")
+        self._lock = threading.Lock()  # concurrent run_partition threads
         self._done: dict[int, dict] = {}
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
@@ -112,8 +115,9 @@ class StageCheckpoint:
             rows_per_s=round(rows / wall, 2) if wall > 0 else 0.0,
             inputs=sorted(input_files),
         ).__dict__
-        self._done[i] = rec
-        self._rewrite_manifest()
+        with self._lock:
+            self._done[i] = rec
+            self._rewrite_manifest()
         return rec
 
     def _rewrite_manifest(self) -> None:
@@ -123,9 +127,19 @@ class StageCheckpoint:
                 f.write(json.dumps(self._done[i]) + "\n")
         os.replace(tmp, self.manifest_path)
 
-    def run(self, shards: list[list[str]], stage_fn: Callable[[list[str]], Dataset]) -> list[dict]:
-        """Run all partitions (skipping complete ones) and return records."""
-        return [self.run_partition(i, shard, stage_fn) for i, shard in enumerate(shards)]
+    def run(self, shards: list[list[str]], stage_fn: Callable[[list[str]], Dataset],
+            max_inflight: int = 4) -> list[dict]:
+        """Run all partitions (skipping complete ones) and return records.
+
+        Partitions run ``max_inflight`` at a time (thread-dispatched — each is
+        its own internally-parallel Ray Data execution, so a few in flight
+        keep the cluster full while bounding peak memory)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as ex:
+            futs = [ex.submit(self.run_partition, i, shard, stage_fn)
+                    for i, shard in enumerate(shards)]
+            return [f.result() for f in futs]
 
     def output_files(self) -> list[str]:
         out = []

@@ -8,7 +8,9 @@ from drivers_of_global_deforestation_ray.sources.pages import PAGES_SCHEMA, page
 from drivers_of_global_deforestation_ray.stages.multimodal import (
     FEATURE_DIM,
     MediaFeaturizer,
+    frame_sample,
     media_features,
+    media_resize,
 )
 from drivers_of_global_deforestation_ray.stages.textstage import enrich_documents
 
@@ -54,6 +56,37 @@ def test_media_featurizer_fake_backend(rd):
     m1 = out.sort_values("url")["media_width"].to_numpy()
     m2 = out2.sort_values("url")["media_width"].to_numpy()
     assert (m1 == m2).all()
+
+
+def test_media_resize_bounded_output(rd):
+    t = pages_table(40, seed=2).to_pandas()
+    out = media_resize(rd.from_pandas(t[["url", "html"]]).repartition(3),
+                       media_col="html", width=16, height=16).to_pandas()
+    assert len(out) == 40
+    assert "html" not in out.columns  # source payload dropped from the output
+    assert all(len(x) == 16 * 16 for x in out["thumb"])
+    assert (out["thumb_width"] == 16).all() and (out["thumb_height"] == 16).all()
+    # deterministic across partitioning
+    out2 = media_resize(rd.from_pandas(t[["url", "html"]]).repartition(9),
+                        media_col="html", width=16, height=16).to_pandas()
+    a = out.sort_values("url")["thumb"].tolist()
+    b = out2.sort_values("url")["thumb"].tolist()
+    assert a == b
+
+
+def test_frame_sample_explode(rd):
+    t = pages_table(25, seed=3).to_pandas()
+    out = frame_sample(rd.from_pandas(t[["url", "html"]]).repartition(4),
+                       media_col="html", key_col="url",
+                       num_frames=3, frame_ms=40).to_pandas()
+    assert len(out) == 25 * 3
+    g = out.groupby("url")
+    assert (g.size() == 3).all()
+    assert sorted(out["frame_idx"].unique().tolist()) == [0, 1, 2]
+    assert (out["ts_ms"] == out["frame_idx"] * 40).all()
+    # frames are per-(payload, idx) deterministic and distinct across idx
+    one = out[out["url"] == t["url"].iloc[0]].sort_values("frame_idx")
+    assert len(set(one["frame"].tolist())) == 3
 
 
 def test_media_real_backend_is_marked_stub():
