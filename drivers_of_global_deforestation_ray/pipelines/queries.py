@@ -343,6 +343,23 @@ def q_raster_roundtrip(sf_dir: str):
     return pd.DataFrame({"tile_id": tiles[mask], "n_docs": vals[mask].astype(np.int64)})
 
 
+def q_url_host(sf_dir: str):
+    """M5 scalar ops: url construction + host/path extraction (the graft's
+    string-function surface), grouped host counts — SQL-checked."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _host(b: pa.Table) -> pa.Table:
+        urls = pa.array([f"https://{s}.example.com/d/{i}" for s, i in
+                         zip(b["source"].to_pylist(), b["doc_id"].to_pylist())])
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(urls, r"^https://", ""), r"/.*$", "")
+        return pa.table({"host": host, "doc_id": b["doc_id"]})
+
+    return R.grouped_agg(docs.map_batches(_host, batch_format="pyarrow"),
+                         ["host"], {"n_docs": ("doc_id", "size"),
+                                    "min_doc": ("doc_id", "min")})
+
+
 def q_kring(sf_dir: str):
     """J7 neighborhood: k-ring size per distinct tile (edge-clipped)."""
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -638,6 +655,7 @@ QUERIES = {
     "geocode_tiles": q_geocode_tiles,
     "tile_zonal": q_tile_zonal,
     "range_ids": q_range_ids,
+    "url_host": q_url_host,
     "partition_write": q_partition_write,
     "raster_roundtrip": q_raster_roundtrip,
     "kring": q_kring,
@@ -782,6 +800,14 @@ ORACLE_SQL = {
     """,
     "range_ids": """
         SELECT CAST(range + 1 AS BIGINT) AS tile_id FROM range(0, 4096)
+    """,
+    "url_host": """
+        SELECT regexp_replace(regexp_replace(
+                 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR),
+                 '^https://', ''), '/.*$', '') AS host,
+               count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc
+        FROM documents GROUP BY host
     """,
     "partition_write": """
         SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
