@@ -67,21 +67,49 @@ class MinHasher:
         self.b = rng.integers(0, int(_MERSENNE61), size=num_perms, dtype=np.uint64)
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        """(S,) uint64 shingle hashes -> (num_perms,) uint64 signature."""
-        if len(shingle_hashes) == 0:
-            return np.full(self.num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = shingle_hashes % _MERSENNE61
-        with np.errstate(over="ignore"):
-            # (P, S): 61-bit values multiplied in uint64 can overflow, so do the
-            # modmul in float-free 128-bit-equivalent form: split a into hi/lo 31/30 bits.
-            a_hi = self.a >> np.uint64(31)
-            a_lo = self.a & np.uint64((1 << 31) - 1)
-            # a*h mod p  =  ((a_hi*h mod p) << 31  +  a_lo*h) mod p, with the
-            # shift reduced mod p as well; all intermediates stay < 2^63.
-            hi = (a_hi[:, None] * h[None, :]) % _MERSENNE61
-            hi = ((hi << np.uint64(31)) % _MERSENNE61 + (a_lo[:, None] * h[None, :]) % _MERSENNE61) % _MERSENNE61
-            vals = (hi + self.b[:, None]) % _MERSENNE61
-        return vals.min(axis=1)
+        """(S,) uint64 shingle hashes -> (num_perms,) uint64 signature.
+
+        Hash family: ``((a*h + b) mod 2^64) mod p`` — a multiply-mod family
+        with explicit 64-bit wrap.  (Not strictly universal over the Mersenne
+        field: the product wraps before the reduction.  That is fine here —
+        MinHash needs a deterministic, well-mixing per-permutation hash, and
+        candidate pairs are verified exactly downstream.  One wrap-multiply +
+        one division-mod is ~4x cheaper than a full 128-bit modmul.)"""
+        return self.signature_many([shingle_hashes])[0]
+
+    def signature_many(self, shingle_hash_arrays: list[np.ndarray]) -> np.ndarray:
+        """Signatures for a whole batch of documents at once -> (n_docs, P).
+
+        One (P, S_chunk) wrap-multiply pass + ``np.minimum.reduceat`` over
+        document boundaries (see :meth:`signature` for the hash family).
+        Documents are processed in groups of ~4k total shingles so each
+        intermediate stays L2/L3-resident — larger chunks go memory-bound.
+        """
+        n = len(shingle_hash_arrays)
+        P = self.num_perms
+        out = np.full((n, P), np.iinfo(np.uint64).max, dtype=np.uint64)
+        sizes = np.array([len(a) for a in shingle_hash_arrays], dtype=np.int64)
+        ne = np.nonzero(sizes > 0)[0]
+        if len(ne) == 0:
+            return out
+        a = self.a[:, None]
+        b = self.b[:, None]
+        CHUNK = 4096
+        start = 0
+        while start < len(ne):
+            stop = start
+            tot = 0
+            while stop < len(ne) and (tot == 0 or tot + sizes[ne[stop]] <= CHUNK):
+                tot += sizes[ne[stop]]
+                stop += 1
+            docs = ne[start:stop]
+            h = np.concatenate([shingle_hash_arrays[i] for i in docs]) % _MERSENNE61
+            offsets = np.concatenate(([0], np.cumsum(sizes[docs])[:-1]))
+            with np.errstate(over="ignore"):
+                vals = (a * h[None, :] + b) % _MERSENNE61
+            out[docs] = np.minimum.reduceat(vals, offsets, axis=1).T
+            start = stop
+        return out
 
     def band_keys(self, sig: np.ndarray, num_bands: int) -> list[str]:
         """Split a signature into ``num_bands`` bands; each band becomes a

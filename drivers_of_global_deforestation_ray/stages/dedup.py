@@ -79,11 +79,11 @@ class _MinHashStage:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids_in = batch[self.id_col].to_numpy()
         texts_in = batch[self.text_col].tolist()
+        hashes = [hash_tokens64(word_shingles(t or "", self.shingle_k)) for t in texts_in]
+        sigs = self.hasher.signature_many(hashes)  # (n, P) one batched pass
         ids: list = []
         bands: list[str] = []
-        for did, txt in zip(ids_in, texts_in):
-            sh = word_shingles(txt or "", self.shingle_k)
-            sig = self.hasher.signature(hash_tokens64(sh))
+        for did, sig in zip(ids_in, sigs):
             keys = self.hasher.band_keys(sig, self.num_bands)
             ids.extend([did] * len(keys))
             bands.extend(keys)
