@@ -343,6 +343,35 @@ def q_raster_roundtrip(sf_dir: str):
     return pd.DataFrame({"tile_id": tiles[mask], "n_docs": vals[mask].astype(np.int64)})
 
 
+def q_asof_join(sf_dir: str):
+    """Custom operator (no Dataset-API equivalent): as-of join — each event
+    picks the user's latest order day at-or-before the event timestamp.
+    Right side pre-aggregated per (custkey, day) so ties are impossible;
+    unmatched events coalesce to 0.  Oracle: DuckDB ASOF LEFT JOIN."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    by_day = R.grouped_agg(ords.map_batches(
+        lambda b: pa.table({"o_custkey": b["o_custkey"], "o_orderdate": b["o_orderdate"],
+                            "spend_scaled": R.scaled_int(b["o_totalprice"], 100)}),
+        batch_format="pyarrow"),
+        ["o_custkey", "o_orderdate"],
+        {"day_spend_scaled": ("spend_scaled", "sum"),
+         "n_day_orders": ("spend_scaled", "size")})
+    j = R.asof_join(ev, by_day, left_ts="ts", right_ts="o_orderdate",
+                    left_by="user_id", right_by="o_custkey",
+                    num_partitions=_nparts(sf_dir, "events", "orders"))
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "day_spend_scaled": np.nan_to_num(df["day_spend_scaled"].to_numpy(np.float64)).astype(np.int64),
+            "n_day_orders": np.nan_to_num(df["n_day_orders"].to_numpy(np.float64)).astype(np.int64),
+        })
+
+    return j.map_batches(_out, batch_format="pandas")
+
+
 def q_url_host(sf_dir: str):
     """M5 scalar ops: url construction + host/path extraction (the graft's
     string-function surface), grouped host counts — SQL-checked."""
@@ -656,6 +685,7 @@ QUERIES = {
     "tile_zonal": q_tile_zonal,
     "range_ids": q_range_ids,
     "url_host": q_url_host,
+    "asof_join": q_asof_join,
     "partition_write": q_partition_write,
     "raster_roundtrip": q_raster_roundtrip,
     "kring": q_kring,
@@ -800,6 +830,18 @@ ORACLE_SQL = {
     """,
     "range_ids": """
         SELECT CAST(range + 1 AS BIGINT) AS tile_id FROM range(0, 4096)
+    """,
+    "asof_join": """
+        SELECT e.event_id, e.user_id,
+               COALESCE(o.day_spend_scaled, 0) AS day_spend_scaled,
+               COALESCE(o.n_day_orders, 0) AS n_day_orders
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT o_custkey, o_orderdate,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_spend_scaled,
+                   count(*) AS n_day_orders
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "url_host": """
         SELECT regexp_replace(regexp_replace(

@@ -44,6 +44,7 @@ __all__ = [
     "grouped_agg_final",
     "broadcast_join",
     "hash_join",
+    "asof_join",
     "one_hot",
     "fill_null",
     "argmax_vote",
@@ -261,6 +262,80 @@ def hash_join(
     r_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
     join_type = {"left": "left_outer", "inner": "inner", "right": "right_outer", "full": "full_outer"}[how]
     return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on_t, right_on=r_t)
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    left_ts: str,
+    right_ts: str,
+    left_by: str,
+    right_by: str,
+    direction: str = "backward",
+    num_partitions: int = 32,
+) -> Dataset:
+    """As-of join: each left row is matched to the single right row with the
+    largest ``right_ts <= left_ts`` (direction='backward', inclusive) sharing
+    the key — an operator the Dataset API lacks (DuckDB ``ASOF JOIN`` is the
+    test oracle).
+
+    Ray-Data-first implementation: both sides are side-tagged and
+    co-partitioned by key hash through ONE :func:`grouped_transform` shuffle;
+    each partition runs a vectorized ``pandas.merge_asof``.  Documented
+    constraints:
+
+    - column names of the two sides must be disjoint (rename upstream);
+    - key columns are integer-like; both timestamps transit as int64 us;
+    - right payload columns come back float-upcast where unmatched rows
+      introduce NaN (int payloads must stay < 2^53 — exact in float64);
+      callers coalesce+cast downstream;
+    - the right side should be unique per (key, ts) — pre-aggregate ties
+      upstream for deterministic output;
+    - partitioning assumption: every row of one key lands in one partition
+      (bounded by that partition's memory for a pathological hot key).
+    """
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"side column names must be disjoint; overlap: {overlap}")
+
+    def _tag(side: int, ts_col: str, by_col: str, other_cols: list[str]):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["__side"] = np.int8(side)
+            df["__key"] = df[by_col].to_numpy(dtype=np.int64)
+            df["__ts"] = df[ts_col].astype("datetime64[us]").astype(np.int64)
+            for c in other_cols:  # the other side's payload: typed nulls
+                df[c] = np.nan
+            return df
+
+        return _f
+
+    l2 = left.map_batches(_tag(0, left_ts, left_by, rcols), batch_format="pandas")
+    r2 = right.map_batches(_tag(1, right_ts, right_by, lcols), batch_format="pandas")
+    out_cols = lcols + rcols
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        lf = l[lcols + ["__key", "__ts"]]
+        rf = r[rcols + ["__key", "__ts"]]
+        if len(lf) == 0:  # partition holds only right-side keys
+            return df.iloc[0:0][out_cols]
+        if len(rf) == 0:
+            out = lf.drop(columns=["__key", "__ts"]).copy()
+            for c in rcols:
+                out[c] = np.nan
+            return out[out_cols]
+        merged = pd.merge_asof(
+            lf.sort_values("__ts", kind="stable"),
+            rf.sort_values("__ts", kind="stable"),
+            on="__ts", by="__key", direction=direction,
+        )
+        return merged[out_cols]
+
+    return grouped_transform(union_all([l2, r2]), ["__key"], _merge, num_partitions)
 
 
 # ---------------------------------------------------------------------------

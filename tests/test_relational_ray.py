@@ -65,6 +65,35 @@ def test_grouped_transform_group_integrity(rd):
         assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
 
 
+def test_asof_join_vs_pandas(rd):
+    """Co-partitioned asof_join == single-frame pandas merge_asof, at any
+    partitioning, including keys with no right rows (NaN payload)."""
+    rng = np.random.default_rng(11)
+    nl, nr = 4000, 1200
+    left = pd.DataFrame({
+        "eid": np.arange(nl, dtype=np.int64),
+        "k": rng.integers(0, 60, nl),
+        "lts": pd.to_datetime(rng.integers(0, 10**6, nl), unit="s"),
+    })
+    right = pd.DataFrame({
+        "k2": rng.integers(0, 40, nr),  # keys 40..59 never match
+        "rts": pd.to_datetime(rng.integers(0, 10**6, nr), unit="s"),
+        "val": rng.integers(0, 10**6, nr).astype(np.int64),
+    }).drop_duplicates(["k2", "rts"])
+    got = R.asof_join(rd.from_pandas(left).repartition(7), rd.from_pandas(right).repartition(3),
+                      left_ts="lts", right_ts="rts", left_by="k", right_by="k2",
+                      num_partitions=8).to_pandas().sort_values("eid").reset_index(drop=True)
+    lk = left.assign(__k=left["k"].astype(np.int64)).sort_values("lts", kind="stable")
+    rk = right.assign(__k=right["k2"].astype(np.int64)).sort_values("rts", kind="stable")
+    want = pd.merge_asof(lk, rk, left_on="lts", right_on="rts", by="__k",
+                         direction="backward").sort_values("eid").reset_index(drop=True)
+    assert len(got) == nl
+    gv = got["val"].to_numpy(np.float64)
+    wv = want["val"].to_numpy(np.float64)
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+    assert np.isnan(gv).any()  # unmatched keys exercised
+
+
 def test_grouped_agg_skewed_hot_key(rd):
     """One key owns 90% of rows: two-phase partial agg must stay exact (the
     salted-shuffle remedy of SURVEY.md §4 — partials bound per-key traffic)."""
