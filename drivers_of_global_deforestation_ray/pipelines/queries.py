@@ -372,6 +372,35 @@ def q_asof_join(sf_dir: str):
     return j.map_batches(_out, batch_format="pandas")
 
 
+def q_sessionize(sf_dir: str):
+    """Windowed operator: gap-based sessionization (new session when the gap
+    to the user's previous event exceeds 1 h).  Oracle: DuckDB lag + running
+    sum window."""
+    from ..stages.window import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return sessionize(ev, key_col="user_id", ts_col="ts", id_col="event_id",
+                      gap_s=3600.0, num_partitions=_nparts(sf_dir, "events"))
+
+
+def q_rolling_window(sf_dir: str):
+    """Windowed operator: per-user trailing 1 h range-window sum (SQL RANGE
+    frame semantics incl. equal-ts peers).  Oracle: DuckDB RANGE window."""
+    from ..stages.window import rolling_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "value_scaled": R.scaled_int(b["value"], 100)})
+
+    return rolling_agg(ev.map_batches(_prep, batch_format="pyarrow"),
+                       key_col="user_id", ts_col="ts", id_col="event_id",
+                       value_col="value_scaled", window_s=3600.0,
+                       num_partitions=_nparts(sf_dir, "events"))
+
+
 def q_url_host(sf_dir: str):
     """M5 scalar ops: url construction + host/path extraction (the graft's
     string-function surface), grouped host counts — SQL-checked."""
@@ -686,6 +715,8 @@ QUERIES = {
     "range_ids": q_range_ids,
     "url_host": q_url_host,
     "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "rolling_window": q_rolling_window,
     "partition_write": q_partition_write,
     "raster_roundtrip": q_raster_roundtrip,
     "kring": q_kring,
@@ -842,6 +873,25 @@ ORACLE_SQL = {
                    count(*) AS n_day_orders
             FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "sessionize": """
+        SELECT event_id, user_id,
+               CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 3600 SECOND
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_idx
+        FROM (SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+    """,
+    "rolling_window": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS rolling_sum
+        FROM events
     """,
     "url_host": """
         SELECT regexp_replace(regexp_replace(

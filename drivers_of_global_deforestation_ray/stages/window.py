@@ -1,0 +1,97 @@
+"""Windowed / ordered-by-time operators over a keyed event stream.
+
+The reference is strictly batch (SURVEY.md §2.10), but a web-scale engine
+needs the keyed-window family; each operator here is a Dataset combinator
+built on :func:`..stages.relational.grouped_transform` — ONE key-hash
+co-partition shuffle, then fully vectorized per-partition numpy/pandas:
+
+- :func:`sessionize` — gap-based session ids per key (the classic
+  sessionization operator; oracle: DuckDB ``lag`` + running ``sum`` window).
+- :func:`rolling_agg` — trailing range-window aggregate per key (oracle:
+  DuckDB ``RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW``); frame
+  semantics match SQL RANGE exactly, including equal-timestamp peers.
+
+Partitioning assumption (documented, same as the other keyed ops): all rows
+of one key land in one partition; per-key row counts are bounded by that
+partition's memory.  Determinism: all orderings tie-break on ``id_col``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .relational import grouped_transform
+
+__all__ = ["sessionize", "rolling_agg"]
+
+
+def sessionize(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_s: float,
+    out_col: str = "session_idx",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Assign 1-based per-key session indexes: a new session starts at the
+    first event and whenever the gap to the previous event exceeds ``gap_s``
+    seconds (strictly greater, matching the SQL oracle's ``> gap``)."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        ts = df[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        keys = df[key_col].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0:1] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap_us = np.int64(round(gap_s * 1e6))
+        delta = np.empty(len(df), dtype=np.int64)
+        delta[0:1] = 0
+        delta[1:] = ts[1:] - ts[:-1]
+        starts = new_key | (delta > gap_us)
+        # running count of session starts, reset per key: global cumsum minus
+        # the cumsum value just before each key's first row
+        g = np.cumsum(starts)
+        key_base = np.maximum.accumulate(np.where(new_key, g - 1, 0))
+        out = df[[id_col, key_col]].copy()
+        out[out_col] = (g - key_base).astype(np.int64)
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
+
+
+def rolling_agg(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_s: float,
+    out_col: str = "rolling_sum",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Trailing range-window sum per key: for each row, the sum of
+    ``value_col`` over that key's rows with ``row.ts - window_s <= ts <=
+    row.ts`` — *inclusive of equal-timestamp peers on both edges*, exactly
+    SQL ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``.  ``value_col``
+    should be integer (scaled) for order-independent exact sums."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        out_frames = []
+        for _, g in df.groupby(key_col, sort=False):
+            g = g.sort_values([ts_col, id_col], kind="stable")
+            ts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+            vals = g[value_col].to_numpy()
+            prefix = np.concatenate(([0], np.cumsum(vals)))
+            w_us = np.int64(round(window_s * 1e6))
+            lo = np.searchsorted(ts, ts - w_us, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # includes ts peers
+            o = g[[id_col, key_col]].copy()
+            o[out_col] = (prefix[hi] - prefix[lo]).astype(vals.dtype)
+            out_frames.append(o)
+        return pd.concat(out_frames, ignore_index=True)
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)

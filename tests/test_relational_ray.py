@@ -94,6 +94,32 @@ def test_asof_join_vs_pandas(rd):
     assert np.isnan(gv).any()  # unmatched keys exercised
 
 
+def test_window_ops_partitioning_invariant(rd):
+    """sessionize / rolling_agg give identical output at any input
+    partitioning and shuffle partition count (per-key global view holds)."""
+    from drivers_of_global_deforestation_ray.stages.window import rolling_agg, sessionize
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 25, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "v": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    outs_s, outs_r = [], []
+    for inparts, nparts in ((2, 4), (16, 32)):
+        ds = rd.from_pandas(df).repartition(inparts)
+        s = sessionize(ds, "k", "ts", "eid", gap_s=5000.0, num_partitions=nparts)
+        r = rolling_agg(ds, "k", "ts", "eid", "v", window_s=5000.0, num_partitions=nparts)
+        outs_s.append(s.to_pandas().sort_values("eid").reset_index(drop=True))
+        outs_r.append(r.to_pandas().sort_values("eid").reset_index(drop=True))
+    assert (outs_s[0]["session_idx"].to_numpy() == outs_s[1]["session_idx"].to_numpy()).all()
+    assert (outs_r[0]["rolling_sum"].to_numpy() == outs_r[1]["rolling_sum"].to_numpy()).all()
+    assert outs_s[0]["session_idx"].max() > 1  # gaps actually split sessions
+    assert (outs_r[0]["rolling_sum"] >= df.sort_values("eid")["v"].to_numpy()).all()
+
+
 def test_grouped_agg_skewed_hot_key(rd):
     """One key owns 90% of rows: two-phase partial agg must stay exact (the
     salted-shuffle remedy of SURVEY.md §4 — partials bound per-key traffic)."""
