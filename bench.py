@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "doc_quality",
     "knn_brute",
     "sort_limit",
+    "asof_join",
+    "sessionize",
+    "rolling_window",
+    "range_join",
 ]
 
 

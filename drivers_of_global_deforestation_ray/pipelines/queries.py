@@ -372,6 +372,38 @@ def q_asof_join(sf_dir: str):
     return j.map_batches(_out, batch_format="pandas")
 
 
+def q_semi_join(sf_dir: str):
+    """Broadcast semi join: customers with at least one order (J2 semi)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ords = _read(sf_dir, "orders", ["o_custkey"])
+    return R.semi_join(cust, ords, on="c_custkey", right_on="o_custkey")
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast anti join: customers who never triggered an event (J2
+    anti; events.user_id covers only a prefix of the customer keys, so the
+    result is non-empty at every sf)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ev = _read(sf_dir, "events", ["user_id"])
+    return R.semi_join(cust, ev, on="c_custkey", right_on="user_id", anti=True)
+
+
+def q_range_join(sf_dir: str):
+    """Non-equi range join: every part against every overlapping brand price
+    band (lo = brand min price, hi = brand max price), then per-part band
+    counts.  Oracle: DuckDB BETWEEN join."""
+    import pyarrow.parquet as pq_
+
+    bands = pq_.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_brand", "p_retailprice"]).to_pandas()
+    bands = bands.groupby("p_brand", sort=False).agg(
+        lo=("p_retailprice", "min"), hi=("p_retailprice", "max")).reset_index()
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    j = R.range_join(parts, bands, left_val="p_retailprice", lo_col="lo", hi_col="hi")
+    return R.grouped_agg(j, ["p_partkey"], {"n_bands": ("p_brand", "size"),
+                                            "min_band_brand": ("p_brand", "min")})
+
+
 def q_sessionize(sf_dir: str):
     """Windowed operator: gap-based sessionization (new session when the gap
     to the user's previous event exceeds 1 h).  Oracle: DuckDB lag + running
@@ -717,6 +749,9 @@ QUERIES = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "rolling_window": q_rolling_window,
+    "range_join": q_range_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     "partition_write": q_partition_write,
     "raster_roundtrip": q_raster_roundtrip,
     "kring": q_kring,
@@ -873,6 +908,22 @@ ORACLE_SQL = {
                    count(*) AS n_day_orders
             FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "semi_join": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    """,
+    "range_join": """
+        SELECT p.p_partkey, count(*) AS n_bands, min(b.p_brand) AS min_band_brand
+        FROM part p JOIN (
+            SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+            FROM part GROUP BY p_brand
+        ) b ON p.p_retailprice BETWEEN b.lo AND b.hi
+        GROUP BY p.p_partkey
     """,
     "sessionize": """
         SELECT event_id, user_id,

@@ -45,6 +45,8 @@ __all__ = [
     "broadcast_join",
     "hash_join",
     "asof_join",
+    "range_join",
+    "semi_join",
     "one_hot",
     "fill_null",
     "argmax_vote",
@@ -262,6 +264,72 @@ def hash_join(
     r_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
     join_type = {"left": "left_outer", "inner": "inner", "right": "right_outer", "full": "full_outer"}[how]
     return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on_t, right_on=r_t)
+
+
+def semi_join(left: Dataset, right: Dataset, on: str, right_on: str,
+              anti: bool = False) -> Dataset:
+    """Broadcast semi join (keep left rows whose key appears on the right) or
+    anti join (``anti=True``: keep rows whose key does NOT).  The right side
+    ships as a deduplicated key array — ``ray.put`` once, ``np.isin`` per
+    batch; never a shuffle (J2/J6 semi/anti variants)."""
+    keys = np.unique(right.select_columns([right_on]).to_pandas()[right_on].to_numpy())
+    ref = ray.put(keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch[on].to_numpy(), ray.get(ref), invert=anti)
+        return batch.filter(pa.array(mask))
+
+    return left.map_batches(_filter, batch_format="pyarrow")
+
+
+def range_join(
+    left: Dataset,
+    intervals: "pd.DataFrame | Dataset",
+    left_val: str,
+    lo_col: str,
+    hi_col: str,
+) -> Dataset:
+    """Broadcast interval (range) join: one output row per (left row,
+    interval) pair with ``lo <= left_val <= hi`` (inclusive) — the non-equi
+    join the Dataset API lacks (IP->geo ranges, price bands, time windows).
+
+    The interval table is the SMALL side by contract: materialized once,
+    ``ray.put`` once, fetched zero-copy per actor — never re-shipped per
+    batch.  Matching is a vectorized mask per interval (O(|intervals| x
+    batch_rows) numpy passes, the `assign_regions` pattern).  For a large
+    interval side, co-partition both sides on a coarse band key and apply
+    this within partitions instead."""
+    if isinstance(intervals, Dataset):
+        intervals = intervals.to_pandas()
+    iv_payload = [c for c in intervals.columns if c not in (lo_col, hi_col)]
+    overlap = set(iv_payload) & set(left.schema().names)
+    if overlap:
+        raise ValueError(f"interval payload columns collide with left side: {overlap}")
+    ref = ray.put({
+        "lo": intervals[lo_col].to_numpy(),
+        "hi": intervals[hi_col].to_numpy(),
+        **{c: intervals[c].to_numpy() for c in iv_payload},
+    })
+
+    def _join(batch: pd.DataFrame) -> pd.DataFrame:
+        iv = ray.get(ref)
+        v = batch[left_val].to_numpy()
+        parts = []
+        for j in range(len(iv["lo"])):
+            m = (v >= iv["lo"][j]) & (v <= iv["hi"][j])
+            if m.any():
+                hit = batch[m].copy(deep=False)
+                for c in iv_payload:
+                    hit[c] = iv[c][j]
+                parts.append(hit)
+        if not parts:
+            out = batch.iloc[0:0].copy()
+            for c in iv_payload:
+                out[c] = iv[c][:0]
+            return out
+        return pd.concat(parts, ignore_index=True)
+
+    return left.map_batches(_join, batch_format="pandas")
 
 
 def asof_join(
