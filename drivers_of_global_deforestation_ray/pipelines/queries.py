@@ -372,6 +372,26 @@ def q_asof_join(sf_dir: str):
     return j.map_batches(_out, batch_format="pandas")
 
 
+def q_grouped_median(sf_dir: str):
+    """Holistic aggregate: exact per-group median (SQL median interpolation)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return R.grouped_median(li, ["l_returnflag"], "l_quantity", out_col="median_qty")
+
+
+def q_count_distinct(sf_dir: str):
+    """Exact grouped count-distinct (two-phase pair dedup)."""
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    return R.grouped_count_distinct(ords, ["o_orderpriority"], "o_custkey",
+                                    out_col="n_custs")
+
+
+def q_approx_count_distinct(sf_dir: str):
+    """HyperLogLog sketch count-distinct (p=12) — rows-only (approximate by
+    design; the pytest asserts <5% error vs exact)."""
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    return R.approx_count_distinct(ords, ["o_orderpriority"], "o_custkey")
+
+
 def q_semi_join(sf_dir: str):
     """Broadcast semi join: customers with at least one order (J2 semi)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
@@ -752,6 +772,9 @@ QUERIES = {
     "range_join": q_range_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "grouped_median": q_grouped_median,
+    "count_distinct": q_count_distinct,
+    "approx_count_distinct": q_approx_count_distinct,
     "partition_write": q_partition_write,
     "raster_roundtrip": q_raster_roundtrip,
     "kring": q_kring,
@@ -908,6 +931,14 @@ ORACLE_SQL = {
                    count(*) AS n_day_orders
             FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "grouped_median": """
+        SELECT l_returnflag, median(l_quantity) AS median_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "count_distinct": """
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY o_orderpriority
     """,
     "semi_join": """
         SELECT c_custkey, c_acctbal FROM customer
