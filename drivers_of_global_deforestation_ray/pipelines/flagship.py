@@ -63,7 +63,9 @@ class FlagshipConfig:
     loss_threshold: float = 0.005   # Supplemental_Data_1.R:407,496
     smooth_k: int = 2               # Expand neighborhood depth (J7)
     batch_size: int = 8192
-    scorer_concurrency: tuple = (1, 8)
+    # None -> sized from the cluster at run time: (1, max(2, CPUs//4)) so the
+    # two actor pools can't starve the page-map tasks on small clusters
+    scorer_concurrency: tuple | None = None
     feature_names: list = field(default_factory=lambda: list(FEATURE_NAMES))
 
 
@@ -180,10 +182,18 @@ _ZONAL_SPECS = {
 }
 
 
+def _pool_concurrency(cfg: FlagshipConfig) -> tuple:
+    if cfg.scorer_concurrency is not None:
+        return cfg.scorer_concurrency
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(2, cpus // 4))
+
+
 def tiles_to_classes(per_tile: Dataset, cfg: FlagshipConfig, out_dir: str | None = None) -> Dataset:
     """Stages 3-8 over the (already aggregated) per-tile table — shared by the
     streaming and the checkpointed flagship runners."""
     grid, res = cfg.grid, cfg.res
+    pool_conc = _pool_concurrency(cfg)
 
     # stage 3: region + covariates + loss (actor pool, state mmap'd once)
     per_tile = per_tile.map_batches(
@@ -194,7 +204,7 @@ def tiles_to_classes(per_tile: Dataset, cfg: FlagshipConfig, out_dir: str | None
         },
         batch_format="pandas",
         batch_size=cfg.batch_size,
-        concurrency=cfg.scorer_concurrency,
+        concurrency=pool_conc,
     )
 
     # stage 4: prediction universe — region assigned (:274), loss > 0 (:241)
@@ -209,7 +219,7 @@ def tiles_to_classes(per_tile: Dataset, cfg: FlagshipConfig, out_dir: str | None
     )
     scored = score_with_trees(
         universe, trees, cfg.feature_names,
-        concurrency=cfg.scorer_concurrency, batch_size=cfg.batch_size,
+        concurrency=pool_conc, batch_size=cfg.batch_size,
     )
 
     # stage 6: vote + confidence/loss gates (A5/M9)
