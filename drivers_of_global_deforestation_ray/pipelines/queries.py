@@ -565,6 +565,30 @@ def q_dedup_jaccard_pairs(sf_dir: str):
     return D.minhash_lsh_pairs(docs, threshold=0.8, exact_verify=True)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Transitive duplicate clustering: CHAIN edges (consecutive doc ids
+    within each n_chars group) -> connected components -> every doc labelled
+    with its component's min id.  The chain shape forces real transitive
+    closure (a~b~c with a!~c); oracle: min over the n_chars partition."""
+    from ..stages.relational import grouped_transform
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _chain(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("n_chars", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) > 1:
+                out.append(pd.DataFrame({"a": ids[:-1], "b": ids[1:]}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    edges = grouped_transform(docs, ["n_chars"], _chain)
+    return D.dedup_clusters(edges, docs, "doc_id").select_columns(["doc_id", "component"])
+
+
 def q_langid(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return enrich_documents(docs, fingerprints=False).select_columns(["doc_id", "lang_pred"])
@@ -786,6 +810,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "langid": q_langid,
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
@@ -931,6 +956,10 @@ ORACLE_SQL = {
                    count(*) AS n_day_orders
             FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "dedup_clusters": """
+        SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY n_chars) AS BIGINT) AS component
+        FROM documents
     """,
     "grouped_median": """
         SELECT l_returnflag, median(l_quantity) AS median_qty

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash_pairs",
     "simhash_dedup",
+    "dedup_clusters",
     "drop_ids",
 ]
 
@@ -195,6 +196,46 @@ def minhash_lsh_pairs(
         return batch[sims >= threshold]
 
     return pairs.map_batches(_verify, batch_format="pandas")
+
+
+def dedup_clusters(pairs: Dataset, ds: Dataset, id_col: str,
+                   out_col: str = "component") -> Dataset:
+    """Transitive near-dup clustering: assign every row the minimal id of its
+    connected component in the pair graph (a~b, b~c => a,b,c share one
+    cluster — the closure that pairwise ``drop_ids`` doesn't compute).
+
+    Scale contract (same as :func:`drop_ids`): the PAIR set is orders of
+    magnitude smaller than the corpus — candidate pairs from LSH, not the
+    rows themselves — so union-find runs driver-side with path compression
+    and the node->component map broadcasts once.  Rows in no pair are their
+    own singleton component."""
+    edges = pairs.select_columns(["a", "b"]).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:  # union by min id -> component label IS the min member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp = {n: find(n) for n in list(parent)}
+    ref = ray.put(comp)
+
+    def _attach(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        batch = batch.copy(deep=False)
+        batch[out_col] = np.asarray([c.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return batch
+
+    return ds.map_batches(_attach, batch_format="pandas")
 
 
 def drop_ids(pairs: Dataset, ds: Dataset, id_col: str) -> Dataset:

@@ -132,3 +132,19 @@ def test_embedding_neardup_exact_and_lsh(rd, vectors):
     assert len(planted & set(zip(lsh["a"], lsh["b"]))) >= 3
     # and every LSH pair is a true pair
     assert set(zip(lsh["a"], lsh["b"])) <= set(zip(exact["a"], exact["b"]))
+
+
+def test_dedup_clusters_transitive_chain(rd):
+    """a~b, b~c (a!~c directly) must land in ONE component labelled min(a);
+    untouched nodes stay singleton components."""
+    import pandas as pd
+
+    from drivers_of_global_deforestation_ray.stages.dedup import dedup_clusters
+
+    docs = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64)})
+    # chain 1: 0-1-2-3 (edges given in scrambled order), chain 2: 7-8; 4,5,6,9 isolated
+    pairs = pd.DataFrame({"a": np.array([2, 0, 1, 7], dtype=np.int64),
+                          "b": np.array([3, 1, 2, 8], dtype=np.int64)})
+    out = dedup_clusters(rd.from_pandas(pairs), rd.from_pandas(docs).repartition(3),
+                         "doc_id").to_pandas().sort_values("doc_id")
+    assert out["component"].tolist() == [0, 0, 0, 0, 4, 5, 6, 7, 7, 9]
