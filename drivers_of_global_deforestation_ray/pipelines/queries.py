@@ -300,6 +300,29 @@ def q_tile_zonal(sf_dir: str):
                           "min_doc": ("doc_id", "min")})
 
 
+def q_zonal_two_level(sf_dir: str):
+    """A7's two-level zonal lineage (the reference's ``_10kMean1kMax``-style
+    rollups): docs -> FINE cells (res 1, 128x128) -> per-fine counts -> parent
+    res-0 tile <- mean over its non-empty fine cells.  Two chained grouped
+    aggs; parent ids via the hierarchical codec's bit-shift coarsening."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _fine(b: pa.Table) -> pd.DataFrame:
+        df = _doc_urls_batch(b)
+        row, col = latlon_to_rowcol(df["lat"].to_numpy(), df["lon"].to_numpy(), _G, 1)
+        return pd.DataFrame({
+            "tile_id": (row >> 1) * _G.ncols + (col >> 1) + 1,  # parent, res 0
+            "fine_tile": row * (_G.ncols << 1) + col + 1,       # res 1
+            "doc_id": df["doc_id"],
+        })
+
+    fine_counts = R.grouped_agg(docs.map_batches(_fine, batch_format="pyarrow"),
+                                ["tile_id", "fine_tile"], {"n": ("doc_id", "size")})
+    return R.grouped_agg(fine_counts, ["tile_id"],
+                         {"mean_fine_docs": ("n", "mean"),
+                          "n_fine_tiles": ("n", "size")})
+
+
 def q_range_ids(sf_dir: str):
     """M1: the integer-sequence generator (id domain materialized as a table,
     ``Supplemental_Data_1.R:117-120``) — ray.data.range, SQL-checked."""
@@ -788,6 +811,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "geocode_tiles": q_geocode_tiles,
     "tile_zonal": q_tile_zonal,
+    "zonal_two_level": q_zonal_two_level,
     "range_ids": q_range_ids,
     "url_host": q_url_host,
     "asof_join": q_asof_join,
@@ -941,6 +965,23 @@ ORACLE_SQL = {
                CAST(min(d.doc_id) AS BIGINT) AS min_doc
         FROM ({_TILE_SQL}) t JOIN documents d USING (doc_id)
         GROUP BY t.tile_id
+    """,
+    "zonal_two_level": f"""
+        WITH cells AS (
+          SELECT doc_id,
+                 LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 128) AS BIGINT), 0), 127) AS frow,
+                 LEAST(GREATEST(CAST(floor((lon - -180.0) / 360.0 * 128) AS BIGINT), 0), 127) AS fcol
+          FROM ({_GEO_SQL})
+        ), fine AS (
+          SELECT (frow // 2) * 64 + (fcol // 2) + 1 AS tile_id,
+                 frow * 128 + fcol + 1 AS fine_tile,
+                 count(*) AS n
+          FROM cells GROUP BY 1, 2
+        )
+        SELECT tile_id,
+               sum(n) / CAST(count(*) AS DOUBLE) AS mean_fine_docs,
+               count(*) AS n_fine_tiles
+        FROM fine GROUP BY tile_id
     """,
     "range_ids": """
         SELECT CAST(range + 1 AS BIGINT) AS tile_id FROM range(0, 4096)
