@@ -476,6 +476,25 @@ def q_rolling_window(sf_dir: str):
                        num_partitions=_nparts(sf_dir, "events"))
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured scalar op: extract the integer field ``k`` from the
+    JSON ``props`` column and aggregate per event type (a flat-JSON fast
+    path via compiled regex; DuckDB ``json_extract`` is the oracle)."""
+    import re
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    pat = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    def _k(b: pa.Table) -> pd.DataFrame:
+        ks = np.asarray([int(m.group(1)) if (m := pat.search(p or "")) else 0
+                         for p in b["props"].to_pylist()], dtype=np.int64)
+        return pd.DataFrame({"event_type": b["event_type"].to_pylist(), "k": ks})
+
+    return R.grouped_agg(ev.map_batches(_k, batch_format="pyarrow"),
+                         ["event_type"], {"sum_k": ("k", "sum"),
+                                          "n_events": ("k", "size")})
+
+
 def q_url_host(sf_dir: str):
     """M5 scalar ops: url construction + host/path extraction (the graft's
     string-function surface), grouped host counts — SQL-checked."""
@@ -814,6 +833,7 @@ QUERIES = {
     "zonal_two_level": q_zonal_two_level,
     "range_ids": q_range_ids,
     "url_host": q_url_host,
+    "json_extract": q_json_extract,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "rolling_window": q_rolling_window,
@@ -985,6 +1005,12 @@ ORACLE_SQL = {
     """,
     "range_ids": """
         SELECT CAST(range + 1 AS BIGINT) AS tile_id FROM range(0, 4096)
+    """,
+    "json_extract": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
     """,
     "asof_join": """
         SELECT e.event_id, e.user_id,
