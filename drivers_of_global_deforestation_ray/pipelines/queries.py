@@ -495,6 +495,49 @@ def q_json_extract(sf_dir: str):
                                           "n_events": ("k", "size")})
 
 
+def q_lag(sf_dir: str):
+    """Ordered navigation: per-user lag(value) over (ts, event_id) order;
+    NULL-at-start coalesced to -1 on both sides (NaN vs NULL hash parity)."""
+    from ..stages.window import lag_shift
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "value_scaled": R.scaled_int(b["value"], 100)})
+
+    lagged = lag_shift(ev.map_batches(_prep, batch_format="pyarrow"),
+                       key_col="user_id", ts_col="ts", id_col="event_id",
+                       value_col="value_scaled",
+                       num_partitions=_nparts(sf_dir, "events"))
+
+    def _coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["lag_value"] = np.nan_to_num(df["lag_value"].to_numpy(np.float64),
+                                        nan=-1.0).astype(np.int64)
+        return df
+
+    return lagged.map_batches(_coalesce, batch_format="pandas")
+
+
+def q_pivot(sf_dir: str):
+    """Pivot (long -> wide): per-user event counts, one column per event
+    type — indicator columns + grouped sums (M3 one-hot composed with A3)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def _ind(b: pa.Table) -> pd.DataFrame:
+        et = np.asarray(b["event_type"].to_pylist())
+        out = {"user_id": b["user_id"].to_numpy()}
+        for t in types:
+            out[f"n_{t}"] = (et == t).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return R.grouped_agg(ev.map_batches(_ind, batch_format="pyarrow"), ["user_id"],
+                         {f"n_{t}": (f"n_{t}", "sum") for t in types})
+
+
 def q_url_host(sf_dir: str):
     """M5 scalar ops: url construction + host/path extraction (the graft's
     string-function surface), grouped host counts — SQL-checked."""
@@ -834,6 +877,8 @@ QUERIES = {
     "range_ids": q_range_ids,
     "url_host": q_url_host,
     "json_extract": q_json_extract,
+    "lag": q_lag,
+    "pivot": q_pivot,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "rolling_window": q_rolling_window,
@@ -1005,6 +1050,22 @@ ORACLE_SQL = {
     """,
     "range_ids": """
         SELECT CAST(range + 1 AS BIGINT) AS tile_id FROM range(0, 4096)
+    """,
+    "lag": """
+        SELECT event_id, user_id,
+               CAST(COALESCE(lag(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT)
+                 AS lag_value
+        FROM events
+    """,
+    "pivot": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
     """,
     "json_extract": """
         SELECT event_type,

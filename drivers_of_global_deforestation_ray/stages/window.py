@@ -24,7 +24,31 @@ from ray.data import Dataset
 
 from .relational import grouped_transform
 
-__all__ = ["sessionize", "rolling_agg"]
+__all__ = ["sessionize", "rolling_agg", "lag_shift"]
+
+
+def lag_shift(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    periods: int = 1,
+    out_col: str = "lag_value",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Ordered navigation: per-key ``lag(value, periods)`` over rows sorted by
+    (ts, id) — NULL (NaN) for the first ``periods`` rows of each key, exactly
+    SQL ``lag(...) OVER (PARTITION BY key ORDER BY ts, id)``."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        lagged = df.groupby(key_col, sort=False)[value_col].shift(periods)
+        out = df[[id_col, key_col]].copy()
+        out[out_col] = lagged.to_numpy()
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
 
 
 def sessionize(
