@@ -136,7 +136,7 @@ def _partial_batch(batch: pd.DataFrame, keys: list[str], specs: dict) -> pd.Data
             agg_map[f"__{alias}_m"] = (col, "min")
         if how == "max":
             agg_map[f"__{alias}_M"] = (col, "max")
-    g = batch.groupby(keys, sort=False, observed=True)
+    g = batch.groupby(keys, sort=False, observed=True, dropna=False)
     out = g.agg(**agg_map) if agg_map else g.size().to_frame("__drop").drop(columns="__drop")
     sizes = [a for a, (_, how) in specs.items() if how == "size"]
     if sizes:
@@ -149,7 +149,7 @@ def _partial_batch(batch: pd.DataFrame, keys: list[str], specs: dict) -> pd.Data
 def _final_partition(df: pd.DataFrame, keys: list[str], specs: dict) -> pd.DataFrame:
     """Vectorized final combine over one hash partition of partials: one
     pandas groupby per partition instead of one Python call per key group."""
-    g = df.groupby(keys, sort=False, observed=True)
+    g = df.groupby(keys, sort=False, observed=True, dropna=False)
     cols: dict[str, pd.Series] = {}
     for alias, (_, how) in specs.items():
         if how == "sum":
@@ -277,7 +277,7 @@ def grouped_median(ds: Dataset, keys: list[str], col: str, out_col: str = "media
     semantics match SQL ``median()`` for even counts."""
 
     def _med(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False, observed=True)[col].median()
+        g = df.groupby(keys, sort=False, observed=True, dropna=False)[col].median()
         return g.rename(out_col).reset_index()
 
     return grouped_transform(ds.select_columns(keys + [col]), keys, _med, num_partitions)
@@ -294,7 +294,7 @@ def grouped_count_distinct(ds: Dataset, keys: list[str], col: str,
         lambda df: df.drop_duplicates(keys + [col]), batch_format="pandas")
 
     def _cd(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop_duplicates(keys + [col]).groupby(keys, sort=False, observed=True)[col].size()
+        g = df.drop_duplicates(keys + [col]).groupby(keys, sort=False, observed=True, dropna=False)[col].size()
         return g.rename(out_col).astype(np.int64).reset_index()
 
     return grouped_transform(partial, keys, _cd, num_partitions)
@@ -342,7 +342,7 @@ def approx_count_distinct(ds: Dataset, keys: list[str], col: str,
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for kv, g in df.groupby(keys, sort=False, observed=True):
+        for kv, g in df.groupby(keys, sort=False, observed=True, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             rows.append((*kv, _hll_registers(g[col].to_numpy()).tobytes()))
         return pd.DataFrame(rows, columns=keys + ["__regs"])
@@ -351,7 +351,7 @@ def approx_count_distinct(ds: Dataset, keys: list[str], col: str,
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for kv, g in df.groupby(keys, sort=False, observed=True):
+        for kv, g in df.groupby(keys, sort=False, observed=True, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
             for rb in g["__regs"]:
@@ -566,7 +566,7 @@ def dedup_exact(ds: Dataset, keys: list[str], tie_col: str, num_partitions: int 
     rows (min-of-mins == global min; the §4 salted-agg remedy for free)."""
 
     def _first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df.groupby(keys, sort=False, observed=True)[tie_col].idxmin()]
+        return df.loc[df.groupby(keys, sort=False, observed=True, dropna=False)[tie_col].idxmin()]
 
     partial = ds.map_batches(lambda df: _first(df.reset_index(drop=True)),
                              batch_format="pandas")

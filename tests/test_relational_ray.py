@@ -94,6 +94,19 @@ def test_asof_join_vs_pandas(rd):
     assert np.isnan(gv).any()  # unmatched keys exercised
 
 
+def test_grouped_agg_keeps_null_keys(rd):
+    """SQL groups NULL keys; pandas groupby drops them by default — the
+    combinators must pass dropna=False all the way through."""
+    df = pd.DataFrame({"k": [1.0, 1.0, np.nan, np.nan, 2.0],
+                       "v": np.array([10, 20, 30, 40, 50], dtype=np.int64)})
+    got = R.grouped_agg(rd.from_pandas(df).repartition(3), ["k"],
+                        {"s": ("v", "sum"), "n": ("v", "size")}).to_pandas()
+    got = got.sort_values("k", na_position="last").reset_index(drop=True)
+    assert len(got) == 3  # the NaN-key group survives
+    nan_row = got[got["k"].isna()]
+    assert nan_row["s"].iloc[0] == 70 and nan_row["n"].iloc[0] == 2
+
+
 def test_hll_approx_count_distinct(rd):
     """HLL sketch (p=12): <5% error vs exact at 10k-100k cardinalities,
     deterministic, and merge-invariant across partitionings."""
