@@ -157,14 +157,21 @@ def run_scale_worker(num_cpus: int, rows: int) -> dict:
     cfg = FlagshipConfig(world_dir="/tmp/graft_miniworld")
     tot0, st0 = _cpu_stat()
     t0 = time.perf_counter()
-    out_rows = run_flagship(pages_dir, cfg).count()
+    final = run_flagship(pages_dir, cfg)
+    out = final.select_columns(["tile_id", "class_final"]).to_pandas()
     sec = time.perf_counter() - t0
     tot1, st1 = _cpu_stat()
     steal_pct = 100.0 * (st1 - st0) / max(1, tot1 - tot0)
+    # content hash over sorted output: equal hashes across parallelism levels
+    # prove bit-determinism, not just equal row counts
+    import hashlib
+
+    out = out.sort_values("tile_id")
+    h = hashlib.blake2b(out.to_records(index=False).tobytes(), digest_size=8).hexdigest()
     ray.shutdown()
-    return {"num_cpus": num_cpus, "input_rows": rows, "out_rows": out_rows,
+    return {"num_cpus": num_cpus, "input_rows": rows, "out_rows": len(out),
             "sec": round(sec, 4), "rows_per_s": round(rows / sec, 1),
-            "steal_pct": round(steal_pct, 2)}
+            "steal_pct": round(steal_pct, 2), "result_hash": h}
 
 
 def _calib_worker(n_iter: int) -> float:
