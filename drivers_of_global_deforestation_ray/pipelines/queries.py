@@ -415,6 +415,30 @@ def q_approx_count_distinct(sf_dir: str):
     return R.approx_count_distinct(ords, ["o_orderpriority"], "o_custkey")
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Holistic multi-quantile aggregate (SQL quantile_cont interpolation)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return R.grouped_quantiles(li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75])
+
+
+def q_percent_rank(sf_dir: str):
+    """Window rank: percent_rank of order totalprice within each priority
+    (gaps-rank tie semantics, scaled-int values for exact rank parity)."""
+    from ..stages.window import percent_rank
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "price_scaled": R.scaled_int(b["o_totalprice"], 100)})
+
+    return percent_rank(ords.map_batches(_prep, batch_format="pyarrow"),
+                        key_col="o_orderpriority", value_col="price_scaled",
+                        id_col="o_orderkey",
+                        num_partitions=_nparts(sf_dir, "orders"))
+
+
 def q_semi_join(sf_dir: str):
     """Broadcast semi join: customers with at least one order (J2 semi)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
@@ -886,6 +910,8 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "grouped_median": q_grouped_median,
+    "grouped_quantiles": q_grouped_quantiles,
+    "percent_rank": q_percent_rank,
     "count_distinct": q_count_distinct,
     "approx_count_distinct": q_approx_count_distinct,
     "partition_write": q_partition_write,
@@ -1092,6 +1118,20 @@ ORACLE_SQL = {
     "grouped_median": """
         SELECT l_returnflag, median(l_quantity) AS median_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.50) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "percent_rank": """
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS pct_rank
+        FROM orders
     """,
     "count_distinct": """
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs

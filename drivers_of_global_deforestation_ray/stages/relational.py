@@ -43,6 +43,7 @@ __all__ = [
     "grouped_agg_partial",
     "grouped_agg_final",
     "grouped_median",
+    "grouped_quantiles",
     "grouped_count_distinct",
     "approx_count_distinct",
     "broadcast_join",
@@ -281,6 +282,24 @@ def grouped_median(ds: Dataset, keys: list[str], col: str, out_col: str = "media
         return g.rename(out_col).reset_index()
 
     return grouped_transform(ds.select_columns(keys + [col]), keys, _med, num_partitions)
+
+
+def grouped_quantiles(ds: Dataset, keys: list[str], col: str,
+                      qs: "list[float]", prefix: str = "q",
+                      num_partitions: int = 32) -> Dataset:
+    """Grouped exact quantiles (linear interpolation, SQL ``quantile_cont``
+    semantics) — holistic like :func:`grouped_median`; one vectorized pandas
+    quantile per partition.  Output columns ``<prefix><percent>``."""
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, observed=True, dropna=False)[col]
+        out = None
+        for q in qs:
+            s = g.quantile(q, interpolation="linear").rename(f"{prefix}{int(q * 100)}")
+            out = s.to_frame() if out is None else out.join(s)
+        return out.reset_index()
+
+    return grouped_transform(ds.select_columns(keys + [col]), keys, _q, num_partitions)
 
 
 def grouped_count_distinct(ds: Dataset, keys: list[str], col: str,

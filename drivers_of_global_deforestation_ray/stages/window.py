@@ -24,7 +24,30 @@ from ray.data import Dataset
 
 from .relational import grouped_transform
 
-__all__ = ["sessionize", "rolling_agg", "lag_shift"]
+__all__ = ["sessionize", "rolling_agg", "lag_shift", "percent_rank"]
+
+
+def percent_rank(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "pct_rank",
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY key ORDER BY value)``:
+    (rank-1)/(n-1) per key with gaps-rank tie semantics (pandas
+    ``rank(method='min')``); 0.0 for single-row keys."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False, observed=True, dropna=False)
+        rank = g[value_col].rank(method="min").to_numpy()
+        n = g[value_col].transform("size").to_numpy().astype(np.float64)
+        out = df[[id_col, key_col]].copy()
+        out[out_col] = np.where(n > 1, (rank - 1.0) / (n - 1.0), 0.0)
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
 
 
 def lag_shift(
