@@ -45,7 +45,7 @@ from ..functions.text import quality_stats
 from ..sources.miniworld import FEATURE_NAMES, load_polygons, miniworld_paths
 from ..state.geo import assign_regions
 from ..state.raster import RasterRegistry, assemble_grid, read_raster
-from ..stages.relational import fill_null, grouped_agg
+from ..stages.relational import grouped_agg
 from ..stages.score import fit_region_trees, score_with_trees, vote_and_gate
 from ..stages.smooth import kring_smooth
 
