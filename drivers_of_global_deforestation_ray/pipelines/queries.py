@@ -395,6 +395,54 @@ def q_asof_join(sf_dir: str):
     return j.map_batches(_out, batch_format="pandas")
 
 
+def q_grouped_topk(sf_dir: str):
+    """Per-key top-k: the 3 priciest orders per priority (skew-proof local
+    top-k partial before the shuffle).  Oracle: row_number() window filter."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "price_scaled": R.scaled_int(b["o_totalprice"], 100)})
+
+    return R.grouped_topk(ords.map_batches(_prep, batch_format="pyarrow"),
+                          ["o_orderpriority"], "price_scaled", k=3,
+                          tie_col="o_orderkey",
+                          num_partitions=_nparts(sf_dir, "orders"))
+
+
+def q_arg_extremes(sf_dir: str):
+    """arg_min / arg_max parity: per nation, the customer id holding the
+    min and max account balance (deterministic tie-break: lowest custkey) —
+    expressed via two dedup_exact passes + broadcast-join merge."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        bal = R.scaled_int(b["c_acctbal"], 100)
+        return pa.table({"c_custkey": b["c_custkey"], "c_nationkey": b["c_nationkey"],
+                         "bal_scaled": bal})
+
+    p = cust.map_batches(_prep, batch_format="pyarrow")
+    # composite sort keys make (value, id) lexicographic min == arg_min
+    def _keyed(sign: int):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            # bal fits ~2^20 scaled; compose (bal, custkey) into one int64
+            df["__k"] = sign * df["bal_scaled"].to_numpy() * 10_000_000 + df["c_custkey"].to_numpy()
+            return df
+        return _f
+
+    lo = R.dedup_exact(p.map_batches(_keyed(1), batch_format="pandas"),
+                       ["c_nationkey"], "__k")
+    hi = R.dedup_exact(p.map_batches(_keyed(-1), batch_format="pandas"),
+                       ["c_nationkey"], "__k")
+    lo_df = lo.to_pandas()[["c_nationkey", "c_custkey"]].rename(columns={"c_custkey": "min_bal_cust"})
+    hi_df = hi.to_pandas()[["c_nationkey", "c_custkey"]].rename(columns={"c_custkey": "max_bal_cust"})
+    out = lo_df.merge(hi_df, on="c_nationkey")  # 25 nations: driver-side merge
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int32)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
 def q_grouped_median(sf_dir: str):
     """Holistic aggregate: exact per-group median (SQL median interpolation)."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
@@ -910,6 +958,8 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "grouped_median": q_grouped_median,
+    "grouped_topk": q_grouped_topk,
+    "arg_extremes": q_arg_extremes,
     "grouped_quantiles": q_grouped_quantiles,
     "percent_rank": q_percent_rank,
     "count_distinct": q_count_distinct,
@@ -1118,6 +1168,27 @@ ORACLE_SQL = {
     "grouped_median": """
         SELECT l_returnflag, median(l_quantity) AS median_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_topk": """
+        SELECT o_orderkey, o_orderpriority, price_scaled FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_scaled,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+            FROM orders) WHERE rn <= 3
+    """,
+    "arg_extremes": """
+        WITH k AS (SELECT c_nationkey, c_custkey,
+                          CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        mn AS (SELECT c_nationkey, c_custkey AS min_bal_cust,
+                      row_number() OVER (PARTITION BY c_nationkey ORDER BY bal, c_custkey) AS rn
+               FROM k),
+        mx AS (SELECT c_nationkey, c_custkey AS max_bal_cust,
+                      row_number() OVER (PARTITION BY c_nationkey ORDER BY bal DESC, c_custkey) AS rn
+               FROM k)
+        SELECT mn.c_nationkey, mn.min_bal_cust, mx.max_bal_cust
+        FROM mn JOIN mx ON mn.c_nationkey = mx.c_nationkey
+        WHERE mn.rn = 1 AND mx.rn = 1
     """,
     "grouped_quantiles": """
         SELECT l_returnflag,

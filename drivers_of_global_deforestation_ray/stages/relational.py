@@ -56,6 +56,7 @@ __all__ = [
     "argmax_vote",
     "dedup_exact",
     "topk",
+    "grouped_topk",
     "stratified_sample",
     "add_rank",
     "union_all",
@@ -596,6 +597,25 @@ def topk(ds: Dataset, key: str | list[str], k: int, descending: bool | list[bool
     """Global top-k = range-shuffle sort + limit.  Callers include a unique
     tie-break key so the boundary row is deterministic (SURVEY.md O4)."""
     return ds.sort(key, descending=descending).limit(k)
+
+
+def grouped_topk(ds: Dataset, keys: list[str], order_col: str, k: int,
+                 tie_col: str | None = None, descending: bool = True,
+                 num_partitions: int = 32) -> Dataset:
+    """Per-key top-k rows by ``order_col`` (ties broken by ``tie_col``
+    ascending — pass a unique id for determinism).  Skew-proof two-phase:
+    each block keeps its local top-k per key BEFORE the shuffle (local top-k
+    superset contains the global top-k), so a hot key ships k rows per block."""
+    by = [order_col] + ([tie_col] if tie_col else [])
+    asc = [not descending] + ([True] if tie_col else [])
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(by, ascending=asc, kind="stable")
+                .groupby(keys, sort=False, observed=True, dropna=False)
+                .head(k))
+
+    partial = ds.map_batches(_local, batch_format="pandas")
+    return grouped_transform(partial, keys, _local, num_partitions)
 
 
 def stratified_sample(

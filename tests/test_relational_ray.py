@@ -94,6 +94,23 @@ def test_asof_join_vs_pandas(rd):
     assert np.isnan(gv).any()  # unmatched keys exercised
 
 
+def test_grouped_topk_hot_key(rd):
+    """Per-key top-k with one key owning 90% of rows: the local-top-k partial
+    bounds shuffle traffic and the global result equals a pandas reference."""
+    rng = np.random.default_rng(23)
+    n = 50_000
+    k = np.where(rng.uniform(size=n) < 0.9, 0, rng.integers(1, 20, n))
+    df = pd.DataFrame({"k": k, "id": np.arange(n, dtype=np.int64),
+                       "v": rng.integers(0, 10**6, n).astype(np.int64)})
+    got = R.grouped_topk(rd.from_pandas(df).repartition(16), ["k"], "v", k=5,
+                         tie_col="id").to_pandas()
+    got = got.sort_values(["k", "v", "id"], ascending=[True, False, True]).reset_index(drop=True)
+    want = (df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+            .groupby("k", sort=False).head(5)
+            .sort_values(["k", "v", "id"], ascending=[True, False, True]).reset_index(drop=True))
+    assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+
+
 def test_grouped_agg_keeps_null_keys(rd):
     """SQL groups NULL keys; pandas groupby drops them by default — the
     combinators must pass dropna=False all the way through."""
