@@ -487,6 +487,24 @@ def q_percent_rank(sf_dir: str):
                         num_partitions=_nparts(sf_dir, "orders"))
 
 
+def q_ntile(sf_dir: str):
+    """Window bucketing: ntile(4) of order totalprice within each priority
+    (deterministic order: value then orderkey)."""
+    from ..stages.window import ntile
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "price_scaled": R.scaled_int(b["o_totalprice"], 100)})
+
+    return ntile(ords.map_batches(_prep, batch_format="pyarrow"),
+                 key_col="o_orderpriority", value_col="price_scaled",
+                 id_col="o_orderkey", n=4,
+                 num_partitions=_nparts(sf_dir, "orders"))
+
+
 def q_semi_join(sf_dir: str):
     """Broadcast semi join: customers with at least one order (J2 semi)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
@@ -958,6 +976,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "grouped_median": q_grouped_median,
+    "ntile": q_ntile,
     "grouped_topk": q_grouped_topk,
     "arg_extremes": q_arg_extremes,
     "grouped_quantiles": q_grouped_quantiles,
@@ -1168,6 +1187,13 @@ ORACLE_SQL = {
     "grouped_median": """
         SELECT l_returnflag, median(l_quantity) AS median_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "ntile": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+                 AS BIGINT) AS bucket
+        FROM orders
     """,
     "grouped_topk": """
         SELECT o_orderkey, o_orderpriority, price_scaled FROM (

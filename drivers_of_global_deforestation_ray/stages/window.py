@@ -24,7 +24,41 @@ from ray.data import Dataset
 
 from .relational import grouped_transform
 
-__all__ = ["sessionize", "rolling_agg", "lag_shift", "percent_rank"]
+__all__ = ["sessionize", "rolling_agg", "lag_shift", "percent_rank", "ntile"]
+
+
+def ntile(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    n: int,
+    out_col: str = "bucket",
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``ntile(n) OVER (PARTITION BY key ORDER BY value, id)``: rows of
+    each key split into ``n`` buckets by row position, the first
+    ``count % n`` buckets one row larger (exact SQL sizing rule)."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, value_col, id_col], kind="stable")
+        g = df.groupby(key_col, sort=False, observed=True, dropna=False)
+        pos = g.cumcount().to_numpy()                      # 0-based row position
+        cnt = g[value_col].transform("size").to_numpy()
+        base, rem = cnt // n, cnt % n
+        # first `rem` buckets get (base+1) rows; position threshold splits them
+        big_span = (base + 1) * rem
+        in_big = pos < big_span
+        bucket = np.where(
+            in_big,
+            pos // np.maximum(base + 1, 1),
+            rem + np.where(base > 0, (pos - big_span) // np.maximum(base, 1), 0),
+        ) + 1
+        out = df[[id_col, key_col]].copy()
+        out[out_col] = bucket.astype(np.int64)
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
 
 
 def percent_rank(
