@@ -50,6 +50,7 @@ __all__ = [
     "hash_join",
     "asof_join",
     "range_join",
+    "distinct_keys",
     "semi_join",
     "one_hot",
     "fill_null",
@@ -321,13 +322,12 @@ def grouped_count_distinct(ds: Dataset, keys: list[str], col: str,
 
 
 _HLL_P = 12  # 4096 registers, ~1.6% relative error
+_HLL_M = 1 << _HLL_P
 
 
-def _hll_registers(values: np.ndarray) -> np.ndarray:
-    """(4096,) uint8 HyperLogLog registers for a value array (uint64 hashes)."""
-    h = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):  # values are python-hashable scalars
-        h[i] = stable_hash64(str(v))
+def _hll_registers_many(h: np.ndarray, gid: np.ndarray, n_groups: int) -> np.ndarray:
+    """(n_groups, 4096) uint8 HLL registers from uint64 hashes with a group id
+    per hash — one vectorized ``np.maximum.at`` scatter, no per-value loop."""
     idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
     rest = h << np.uint64(_HLL_P)
     # rank = leading zeros of the remaining 64-P bits + 1 (capped)
@@ -336,19 +336,21 @@ def _hll_registers(values: np.ndarray) -> np.ndarray:
     if nz.any():
         bits = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
         rank[nz] = (bits + 1).clip(1, 64 - _HLL_P + 1).astype(np.uint8)
-    regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
-    np.maximum.at(regs, idx, rank)
+    regs = np.zeros((n_groups, _HLL_M), dtype=np.uint8)
+    np.maximum.at(regs, (gid, idx), rank)
     return regs
 
 
-def _hll_estimate(regs: np.ndarray) -> float:
-    m = float(1 << _HLL_P)
+def _hll_estimate_many(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimates for a (n_groups, 4096) register matrix."""
+    m = float(_HLL_M)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # small-range correction
-    return float(est)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    if small.any():  # small-range (linear counting) correction
+        est[small] = m * np.log(m / zeros[small])
+    return est
 
 
 def approx_count_distinct(ds: Dataset, keys: list[str], col: str,
@@ -357,45 +359,107 @@ def approx_count_distinct(ds: Dataset, keys: list[str], col: str,
     """Grouped APPROXIMATE count-distinct via a from-scratch HyperLogLog
     sketch (p=12, ~1.6% error): per-batch registers per key (4 KB each,
     bounded regardless of cardinality), register-wise max merge per
-    partition.  This is the sketch path for cardinalities where the exact
-    two-phase dedup would shuffle too many (key, value) pairs."""
+    partition.  Fully vectorized — value hashing is one
+    ``pd.util.hash_pandas_object`` pass (deterministic cross-process
+    siphash), register build is one scatter-max, merge is one
+    ``maximum.reduceat`` — this operator exists FOR high cardinality, so the
+    per-row path must be C-speed."""
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for kv, g in df.groupby(keys, sort=False, observed=True, dropna=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            rows.append((*kv, _hll_registers(g[col].to_numpy()).tobytes()))
-        return pd.DataFrame(rows, columns=keys + ["__regs"])
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy(dtype=np.uint64)
+        grp = df.groupby(keys, sort=False, observed=True, dropna=False)
+        gid = grp.ngroup().to_numpy()
+        n_groups = int(gid.max()) + 1 if len(gid) else 0
+        if not n_groups:
+            return pd.DataFrame({**{k: df[k] for k in keys}, "__regs": []})
+        regs = _hll_registers_many(h, gid, n_groups)
+        _, first_idx = np.unique(gid, return_index=True)  # gid g -> first row
+        out = df.iloc[first_idx][keys].reset_index(drop=True)
+        out["__regs"] = [regs[g].tobytes() for g in range(n_groups)]
+        return out
 
     partial = ds.select_columns(keys + [col]).map_batches(_partial, batch_format="pandas")
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for kv, g in df.groupby(keys, sort=False, observed=True, dropna=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
-            for rb in g["__regs"]:
-                regs = np.maximum(regs, np.frombuffer(rb, dtype=np.uint8))
-            out.append((*kv, np.int64(round(_hll_estimate(regs)))))
-        return pd.DataFrame(out, columns=keys + [out_col])
+        grp = df.groupby(keys, sort=False, observed=True, dropna=False)
+        gid = grp.ngroup().to_numpy()
+        n_groups = int(gid.max()) + 1 if len(gid) else 0
+        if not n_groups:
+            return pd.DataFrame({**{k: df[k] for k in keys}, out_col: []})
+        R = np.frombuffer(b"".join(df["__regs"]), dtype=np.uint8).reshape(len(df), _HLL_M)
+        order = np.argsort(gid, kind="stable")
+        starts = np.concatenate(([0], np.cumsum(np.bincount(gid))[:-1]))
+        merged = np.maximum.reduceat(R[order], starts, axis=0)
+        est = np.round(_hll_estimate_many(merged)).astype(np.int64)
+        _, first_idx = np.unique(gid, return_index=True)
+        out = df.iloc[first_idx][keys].reset_index(drop=True)
+        out[out_col] = est
+        return out
 
     return grouped_transform(partial, keys, _merge, num_partitions)
 
 
+def distinct_keys(ds: Dataset, col: str, num_partitions: int = 32) -> Dataset:
+    """Distributed distinct of one column.  Two-phase: a per-block dedup
+    bounds shuffle traffic to |distinct-in-block| rows per block (a hot key
+    ships ONE row per block, never its raw rows), then a per-partition dedup
+    after the key-hash co-partition.  The result Dataset has exactly
+    |distinct| rows and never touches the driver."""
+    proj = ds.select_columns([col])
+    partial = proj.map_batches(lambda df: df.drop_duplicates(col), batch_format="pandas")
+    return grouped_transform(partial, [col], lambda df: df.drop_duplicates(col),
+                             num_partitions)
+
+
 def semi_join(left: Dataset, right: Dataset, on: str, right_on: str,
-              anti: bool = False) -> Dataset:
-    """Broadcast semi join (keep left rows whose key appears on the right) or
-    anti join (``anti=True``: keep rows whose key does NOT).  The right side
-    ships as a deduplicated key array — ``ray.put`` once, ``np.isin`` per
-    batch; never a shuffle (J2/J6 semi/anti variants)."""
-    keys = np.unique(right.select_columns([right_on]).to_pandas()[right_on].to_numpy())
-    ref = ray.put(keys)
+              anti: bool = False, broadcast: bool = True,
+              num_partitions: int = 32) -> Dataset:
+    """Semi join (keep left rows whose key appears on the right) or anti join
+    (``anti=True``: keep rows whose key does NOT).
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch[on].to_numpy(), ray.get(ref), invert=anti)
-        return batch.filter(pa.array(mask))
+    The right side's distinct-key build is DISTRIBUTED either way
+    (:func:`distinct_keys`: per-block dedup -> key-hash shuffle -> per-
+    partition dedup), so no path ever materializes the raw right side on the
+    driver.  Two execution shapes:
 
-    return left.map_batches(_filter, batch_format="pyarrow")
+    - ``broadcast=True`` (default): the deduped key set — |distinct| rows,
+      not |right| — is collected, ``ray.put`` once, and applied as an
+      ``np.isin`` filter per batch; zero shuffle on the left.  Use when the
+      distinct keys fit in one object-store value (the overwhelmingly common
+      case: semi joins against id sets).
+    - ``broadcast=False``: fully-distributed fallback for a huge distinct-key
+      set — the deduped keys get a marker column and ``Dataset.join`` does a
+      left outer hash join; semi keeps marked rows, anti keeps unmarked.
+      Driver footprint is O(1).
+    """
+    uniq = distinct_keys(right, right_on, num_partitions)
+    if broadcast:
+        keys = np.sort(uniq.to_pandas()[right_on].to_numpy())
+        ref = ray.put(keys)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch[on].to_numpy(), ray.get(ref), invert=anti)
+            return batch.filter(pa.array(mask))
+
+        return left.map_batches(_filter, batch_format="pyarrow")
+
+    marker, key_alias = "__semi_m", "__semi_k"  # private names: no collision
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        return pa.table({key_alias: batch[right_on],
+                         marker: pa.array(np.ones(len(batch), dtype=np.int8))})
+
+    marked = uniq.map_batches(_mark, batch_format="pyarrow")
+    out_cols = list(left.schema().names)
+    j = hash_join(left, marked, on=on, right_on=key_alias, how="left",
+                  num_partitions=num_partitions)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        m = batch[marker]
+        mask = pc.is_null(m) if anti else pc.is_valid(m)
+        return batch.filter(mask).select(out_cols)
+
+    return j.map_batches(_keep, batch_format="pyarrow")
 
 
 def range_join(
@@ -640,26 +704,73 @@ def stratified_sample(
     return ds.groupby(stratum_col).map_groups(_sample, batch_format="pandas")
 
 
-def add_rank(ds: Dataset, key: str, rank_col: str = "rank") -> Dataset:
-    """Dense global rank of ``key`` (1-based; ties share intra-key order by
-    key only — callers use unique keys).  Implementation: groupby-count ->
-    driver-side cumulative offsets -> broadcast lookup.  Scales to any row
-    count but assumes |distinct keys| fits on the driver; beyond that, swap the
-    offset table for a range-partitioned histogram (same contract).
+def add_rank(ds: Dataset, key: str, rank_col: str = "rank",
+             num_buckets: int = 64, sample_per_block: int = 64) -> Dataset:
+    """Global 1-based rank of ``key`` (row_number over key order; with tied
+    keys, intra-key order is partition order — callers use unique keys).
+
+    Range-partitioned histogram implementation — driver footprint is
+    O(num_buckets), independent of row count AND key cardinality:
+
+    1. sample ~``sample_per_block`` keys per block -> ``num_buckets-1``
+       positional split points (works for any sortable dtype, no numeric
+       quantiles needed);
+    2. one distributed pass counts rows per bucket (per-batch ``bincount``
+       partials -> tiny global combine -> num_buckets rows on the driver);
+    3. cumulative bucket offsets broadcast via ``ray.put``; a key-range
+       co-partition (:func:`grouped_transform` on the bucket id) sorts each
+       bucket by key and emits ``offset + position + 1``.
+
+    Equal keys always share a bucket (``searchsorted side='right'``), so the
+    result is deterministic for unique keys regardless of block layout.  A
+    single massively-hot key concentrates its bucket in one partition —
+    documented skew bound, irrelevant under the unique-key contract.
     """
-    counts = ds.groupby(key).count().to_pandas().sort_values(key, kind="stable")
-    counts["__offset"] = counts["count()"].cumsum().shift(fill_value=0)
-    lookup = pa.table({key: counts[key].to_numpy(), "__offset": counts["__offset"].to_numpy()})
-    ref = ray.put(lookup)
+    proj = ds.select_columns([key])
+    samp = proj.map_batches(
+        lambda df: df.iloc[:: max(1, len(df) // sample_per_block)],
+        batch_format="pandas").to_pandas()
+    vals = np.sort(samp[key].to_numpy())
+    if len(vals):
+        cuts = vals[np.linspace(0, len(vals) - 1, num_buckets + 1).astype(np.int64)[1:-1]]
+        bounds = np.unique(cuts)
+    else:
+        bounds = vals  # empty input: single bucket 0
+    b_ref = ray.put(bounds)
 
-    def _rank(batch: pd.DataFrame, *, _ref=ref) -> pd.DataFrame:
-        lk = ray.get(_ref).to_pandas()
-        merged = batch.merge(lk, on=key, how="left")
-        # intra-key index: stable order within one batch group
-        merged[rank_col] = merged["__offset"].astype(np.int64) + merged.groupby(key).cumcount() + 1
-        return merged.drop(columns="__offset")
+    def _bucket_of(keys_arr: np.ndarray) -> np.ndarray:
+        return np.searchsorted(ray.get(b_ref), keys_arr, side="right")
 
-    return ds.map_batches(_rank, batch_format="pandas")
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket_of(df[key].to_numpy())
+        n = np.bincount(b, minlength=len(bounds) + 1)
+        return pd.DataFrame({"__bucket": np.arange(len(n), dtype=np.int64),
+                             "__n": n.astype(np.int64)})
+
+    counts = (grouped_agg(proj.map_batches(_count, batch_format="pandas"),
+                          ["__bucket"], {"n": ("__n", "sum")})
+              .to_pandas().sort_values("__bucket"))
+    offsets = np.zeros(len(bounds) + 1, dtype=np.int64)
+    cum = np.concatenate(([0], counts["n"].to_numpy().cumsum()[:-1]))
+    offsets[counts["__bucket"].to_numpy()] = cum
+    o_ref = ray.put(offsets)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__bucket"] = _bucket_of(df[key].to_numpy()).astype(np.int64)
+        return df
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(o_ref)
+        out = []
+        for b, g in df.groupby("__bucket", sort=False):
+            g = g.sort_values(key, kind="stable")
+            g[rank_col] = off[int(b)] + np.arange(1, len(g) + 1, dtype=np.int64)
+            out.append(g)
+        return pd.concat(out, ignore_index=True).drop(columns="__bucket")
+
+    tagged = ds.map_batches(_tag, batch_format="pandas")
+    return grouped_transform(tagged, ["__bucket"], _rank)
 
 
 def union_all(datasets: list[Dataset]) -> Dataset:

@@ -161,17 +161,48 @@ def rolling_agg(
     should be integer (scaled) for order-independent exact sums."""
 
     def _part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        ts = df[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        keys = df[key_col].to_numpy()
+        vals = df[value_col].to_numpy()
+        w_us = np.int64(round(window_s * 1e6))
+        n = len(df)
+        if n == 0:
+            out = df[[id_col, key_col]].copy()
+            out[out_col] = vals
+            return out
+        new_key = np.empty(n, dtype=bool)
+        new_key[0:1] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(new_key) - 1  # 0-based key-segment index per row
+        # Vectorized across ALL keys: remap each segment's timestamps onto a
+        # disjoint strictly-increasing axis, so ONE global searchsorted finds
+        # every row's window start without windows crossing segments.
+        seg_starts = np.nonzero(new_key)[0]
+        seg_min = ts[seg_starts]                          # per-segment min ts
+        rel = ts - seg_min[seg_id]                        # >= 0 within segment
+        seg_ends = np.concatenate((seg_starts[1:], [n])) - 1
+        span = ts[seg_ends] - seg_min                     # per-segment ts span
+        stride = span + w_us + 1                          # gap defeats carryover
+        base = np.concatenate(([0], np.cumsum(stride)[:-1]))
+        if int(base[-1]) + int(span[-1]) + int(w_us) < (1 << 62):
+            adj = rel + base[seg_id]
+            prefix = np.concatenate(([0], np.cumsum(vals)))
+            lo = np.searchsorted(adj, adj - w_us, side="left")
+            hi = np.searchsorted(adj, adj, side="right")  # includes ts peers
+            out = df[[id_col, key_col]].copy()
+            out[out_col] = (prefix[hi] - prefix[lo]).astype(vals.dtype)
+            return out
+        # int64-overflow fallback (astronomical spans x keys): per-key loop
         out_frames = []
         for _, g in df.groupby(key_col, sort=False):
-            g = g.sort_values([ts_col, id_col], kind="stable")
-            ts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
-            vals = g[value_col].to_numpy()
-            prefix = np.concatenate(([0], np.cumsum(vals)))
-            w_us = np.int64(round(window_s * 1e6))
-            lo = np.searchsorted(ts, ts - w_us, side="left")
-            hi = np.searchsorted(ts, ts, side="right")  # includes ts peers
+            gts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+            gv = g[value_col].to_numpy()
+            prefix = np.concatenate(([0], np.cumsum(gv)))
+            lo = np.searchsorted(gts, gts - w_us, side="left")
+            hi = np.searchsorted(gts, gts, side="right")
             o = g[[id_col, key_col]].copy()
-            o[out_col] = (prefix[hi] - prefix[lo]).astype(vals.dtype)
+            o[out_col] = (prefix[hi] - prefix[lo]).astype(gv.dtype)
             out_frames.append(o)
         return pd.concat(out_frames, ignore_index=True)
 

@@ -254,6 +254,48 @@ def test_add_rank_unique_keys(rd):
     assert (out["rn"].to_numpy() == np.arange(1, 501)).all()
 
 
+def test_add_rank_high_cardinality_histogram(rd):
+    """The range-partitioned histogram must rank a fully-unique key column
+    (the driver-killer case for the old count-table design) exactly, across
+    any bucket count and block layout."""
+    rng = np.random.default_rng(11)
+    n = 50_000
+    keys = rng.permutation(n) * 7 + 3  # unique, non-contiguous
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(16)
+    out = R.add_rank(ds, "k", "rn", num_buckets=8).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert (out["rn"].to_numpy() == np.arange(1, n + 1)).all()
+
+
+def test_add_rank_string_keys(rd):
+    """Positional split points must work for non-numeric sortable keys."""
+    keys = [f"host-{i:05d}" for i in range(997)]
+    rng = np.random.default_rng(3)
+    ds = rd.from_pandas(pd.DataFrame({"k": rng.permutation(keys)})).repartition(4)
+    out = R.add_rank(ds, "k", "rn").to_pandas().sort_values("k").reset_index(drop=True)
+    assert (out["rn"].to_numpy() == np.arange(1, 998)).all()
+
+
+def test_semi_anti_join_broadcast_vs_shuffle(rd):
+    """Both execution shapes (broadcast key-set filter / distributed marker
+    join) must return identical rows, for semi and anti."""
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 200, 1000), "v": np.arange(1000)})
+    right = pd.DataFrame({"rk": np.repeat(rng.choice(200, 60, replace=False), 5)})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+    for anti in (False, True):
+        a = R.semi_join(lds, rds, "k", "rk", anti=anti, broadcast=True).to_pandas()
+        b = R.semi_join(lds, rds, "k", "rk", anti=anti, broadcast=False,
+                        num_partitions=4).to_pandas()
+        a = a.sort_values(["k", "v"]).reset_index(drop=True)
+        b = b.sort_values(["k", "v"]).reset_index(drop=True)[a.columns]
+        expect = left[left["k"].isin(right["rk"]) != anti].sort_values(
+            ["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, expect)
+        pd.testing.assert_frame_equal(b, expect)
+
+
 def test_union_and_partitioned_write(rd, tmp_path):
     df1 = pd.DataFrame({"k": [1, 2], "c": [0, 1]})
     df2 = pd.DataFrame({"k": [3, 4], "c": [0, 1]})
