@@ -185,25 +185,13 @@ def polygon_bounds(rings: list[np.ndarray]) -> np.ndarray:
     ).reshape(-1, 4)
 
 
-def assign_regions(
-    pts: np.ndarray,
-    rings: list[np.ndarray],
-    region_ids: np.ndarray,
-    tree: STRtree | None = None,
-) -> np.ndarray:
-    """Assign each point the region id of the containing polygon (lowest id on
-    overlap), -1 if none.  Candidate filter via STRtree (built by the caller
-    once per actor), exact test via :func:`points_in_polygon`.
-
-    Strategy: iterate *polygons* (few), test the point subset whose bbox
-    matches — vectorized over points, so cost is O(polygons x edges) numpy
-    passes, not per-point Python work.
-    """
-    region_ids = np.asarray(region_ids, dtype=np.int64)
+def _assign_linear(pts: np.ndarray, rings: list[np.ndarray],
+                   region_ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Small-P path: iterate polygons, vectorized bbox mask + PIP over the
+    whole point batch.  O(P) full numpy passes — fine for a handful of
+    polygons, wrong at country/ecoregion scale (100s-1000s)."""
     out = np.full(len(pts), -1, dtype=np.int64)
-    bounds = polygon_bounds(rings)
-    # polygons in ascending region id so the first (lowest) winner sticks
-    order = np.argsort(region_ids, kind="stable")
+    order = np.argsort(region_ids, kind="stable")  # lowest region id wins
     for pi in order:
         b = bounds[pi]
         cand = (
@@ -214,6 +202,80 @@ def assign_regions(
         idx = np.nonzero(cand)[0]
         hit = points_in_polygon(pts[idx], rings[pi])
         out[idx[hit]] = region_ids[pi]
+    return out
+
+
+def assign_regions(
+    pts: np.ndarray,
+    rings: list[np.ndarray],
+    region_ids: np.ndarray,
+    tree: STRtree | None = None,
+    cell_bits: int = 5,
+    linear_threshold: int = 16,
+) -> np.ndarray:
+    """Assign each point the region id of the containing polygon (lowest id on
+    overlap), -1 if none.
+
+    Two strategies, chosen by polygon count:
+
+    - ``P <= linear_threshold``: per-polygon vectorized pass (no tree needed).
+    - ``P > linear_threshold``: batched STRtree descent — points are binned
+      into a ``2^cell_bits x 2^cell_bits`` grid over the batch extent, ONE
+      ``query_rect`` per occupied cell culls the polygon set to the few whose
+      bbox overlaps that cell, then the vectorized PIP runs per (cell,
+      candidate).  Cost is O(occupied_cells x avg_candidates) numpy passes
+      instead of O(P) full-batch passes, so runtime grows with the LOCAL
+      polygon density, not the global polygon count.
+
+    ``tree`` may be prebuilt by an actor's ``__init__`` (the flagship
+    featurizer does); when ``None`` and the tree path is taken, it is built
+    here from the ring bboxes (cheap: STR bulk pack, no geometry copies).
+    Ties (overlapping polygons) resolve to the lowest region id on both
+    paths — identical, deterministic output.
+    """
+    region_ids = np.asarray(region_ids, dtype=np.int64)
+    bounds = polygon_bounds(rings)
+    if len(pts) == 0:
+        return np.full(0, -1, dtype=np.int64)
+    if len(rings) <= linear_threshold:
+        return _assign_linear(pts, rings, region_ids, bounds)
+    if tree is None:
+        tree = STRtree(bounds)
+    n_cells = 1 << cell_bits
+    x, y = pts[:, 0], pts[:, 1]
+    xmin, xmax = float(x.min()), float(x.max())
+    ymin, ymax = float(y.min()), float(y.max())
+    dx = (xmax - xmin) / n_cells or 1.0
+    dy = (ymax - ymin) / n_cells or 1.0
+    cx = np.minimum(((x - xmin) / dx).astype(np.int64), n_cells - 1)
+    cy = np.minimum(((y - ymin) / dy).astype(np.int64), n_cells - 1)
+    cell = cx * n_cells + cy
+    order = np.argsort(cell, kind="stable")
+    sorted_cells = cell[order]
+    uniq, starts = np.unique(sorted_cells, return_index=True)
+    ends = np.concatenate((starts[1:], [len(order)]))
+    out = np.full(len(pts), -1, dtype=np.int64)
+    for c, s, e in zip(uniq, starts, ends):
+        gx, gy = c // n_cells, c % n_cells
+        cand = tree.query_rect(xmin + gx * dx, ymin + gy * dy,
+                               xmin + (gx + 1) * dx, ymin + (gy + 1) * dy)
+        if len(cand) == 0:
+            continue
+        idx = order[s:e]
+        sub = pts[idx]
+        # ascending region id so the first (lowest) winner sticks
+        for pi in cand[np.argsort(region_ids[cand], kind="stable")]:
+            todo = out[idx] == -1
+            if not todo.any():
+                break
+            b = bounds[pi]
+            m = todo & (sub[:, 0] >= b[0]) & (sub[:, 0] <= b[2]) \
+                & (sub[:, 1] >= b[1]) & (sub[:, 1] <= b[3])
+            if not m.any():
+                continue
+            j = np.nonzero(m)[0]
+            hit = points_in_polygon(sub[j], rings[pi])
+            out[idx[j[hit]]] = region_ids[pi]
     return out
 
 

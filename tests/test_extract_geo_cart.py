@@ -79,6 +79,34 @@ def test_pip_matches_bruteforce_and_tiebreak():
     assert (fast > 0).any() and (fast == -1).any()
 
 
+def test_assign_regions_many_polygons_tree_path():
+    """Country/ecoregion scale: >linear_threshold polygons routes through the
+    batched STRtree descent; result must equal the brute-force per-polygon
+    scan (lowest-id tie-break) exactly."""
+    rng = np.random.default_rng(12)
+    n_poly = 400
+    rings, ids = [], []
+    for r in range(1, n_poly + 1):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        nv = int(rng.integers(5, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(2.0, 9.0, nv)  # small, country-sized blobs
+        rings.append(np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1))
+        ids.append(r)
+    ids = np.asarray(ids, dtype=np.int64)
+    pts = np.stack([rng.uniform(-180, 180, 5000), rng.uniform(-90, 90, 5000)], axis=1)
+    fast = geo.assign_regions(pts, rings, ids)  # tree path (400 > threshold)
+    brute = np.full(len(pts), -1, dtype=np.int64)
+    for pi in np.argsort(ids):
+        m = geo.points_in_polygon(pts, rings[pi]) & (brute == -1)
+        brute[m] = ids[pi]
+    assert (fast == brute).all()
+    assert (fast > 0).any() and (fast == -1).any()
+    # prebuilt tree (the actor-pool __init__ path) gives the same answer
+    tree = geo.STRtree(geo.polygon_bounds(rings))
+    assert (geo.assign_regions(pts, rings, ids, tree=tree) == brute).all()
+
+
 def test_pip_simple_square():
     ring = np.asarray([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
     pts = np.asarray([[5, 5], [15, 5], [-1, -1], [9.99, 9.99]])
