@@ -23,7 +23,7 @@ from ray.data import Dataset
 
 from ..functions.hashing import MinHasher, hash_tokens64, jaccard, simhash64, word_shingles
 from ..functions.text import md5_fingerprints
-from .relational import grouped_transform
+from .relational import grouped_agg, grouped_transform, hash_join, union_all
 
 __all__ = [
     "dedup_exact_text",
@@ -32,6 +32,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_dedup",
     "dedup_clusters",
+    "connected_components_distributed",
     "drop_ids",
 ]
 
@@ -122,19 +123,32 @@ def minhash_lsh_pairs(
     seed: int = 7,
     exact_verify: bool = False,
     concurrency=(1, 8),
+    verify: str = "auto",
+    broadcast_limit: int = 100_000,
+    num_partitions: int = 32,
 ) -> Dataset:
     """Candidate near-dup pairs (a < b, sim >= threshold).
 
-    Shuffle discipline: the only thing that ever shuffles is the compact
-    exploded table (id:int64, band:str) — text and signatures stay put.
-    Candidate pairs form from band-bucket collisions; a second pass verifies
-    each candidate once, against the candidate docs' texts fetched via a
-    broadcast id-set filter: ``exact_verify=False`` recomputes MinHash
-    signatures (pure function of text) and keeps pairs whose full-signature
-    agreement >= threshold, ``True`` keeps pairs whose true n-gram Jaccard >=
-    threshold.  Candidates are orders of magnitude fewer than docs; for a
-    corpus where near-dups are a large fraction, swap the broadcast fetch for
-    two hash joins — same contract."""
+    Shuffle discipline: the only thing that ever shuffles in the candidate
+    phase is the compact exploded table (id:int64, band:str) — text and
+    signatures stay put.  Candidate pairs form from band-bucket collisions;
+    a second pass verifies each candidate once: ``exact_verify=False``
+    recomputes MinHash signatures (pure function of text) and keeps pairs
+    whose full-signature agreement >= threshold, ``True`` keeps pairs whose
+    true n-gram Jaccard >= threshold.
+
+    Two verify shapes (``verify=``):
+
+    - ``"broadcast"``: candidate doc ids collected, matching texts fetched
+      into ONE driver dict and ``ray.put`` — fastest when candidates are
+      orders of magnitude fewer than docs (the typical LSH regime).
+    - ``"join"``: the scale path for dup-heavy corpora (web crawls, where
+      candidates ~ corpus size) — texts reach the verifier through TWO hash
+      joins (pairs x docs on ``a``, then on ``b``); nothing text-sized ever
+      lands on the driver, and each pair's two texts co-locate in one batch.
+    - ``"auto"`` (default): count candidates (cheap aggregate on an
+      id-pair Dataset) and pick: <= ``broadcast_limit`` distinct pair rows
+      -> broadcast, else join."""
     exploded = ds.map_batches(
         _MinHashStage,
         fn_constructor_kwargs=dict(
@@ -161,54 +175,178 @@ def minhash_lsh_pairs(
         lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
     )
 
-    pairs = pairs.materialize()  # consumed twice: id collection + verify pass
-    cand = pairs.select_columns(["a", "b"]).to_pandas()
-    need = (np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-            if len(cand) else np.array([], dtype=np.int64))
-    need_ref = ray.put(need)
+    pairs = pairs.materialize()  # consumed twice: count/ids + verify pass
 
-    def _fetch(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = batch[np.isin(batch[id_col].to_numpy(), ray.get(need_ref))]
-        return keep[[id_col, text_col]]
-
-    texts = ds.map_batches(_fetch, batch_format="pandas").to_pandas()
-    text_ref = ray.put(dict(zip(texts[id_col].tolist(), texts[text_col].tolist())))
-
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(text_ref)
+    def _sim_fn(texts_a: "list[str]", texts_b: "list[str]") -> np.ndarray:
+        """Vector of similarities for co-located text pairs; signature /
+        shingle features cached per distinct text within the batch."""
         hasher = MinHasher(num_perms, seed) if not exact_verify else None
-        sims = np.empty(len(batch), dtype=np.float64)
         cache: dict = {}
 
-        def features_of(i: int):
-            f = cache.get(i)
+        def features_of(t: str):
+            f = cache.get(t)
             if f is None:
-                sh = word_shingles(lookup.get(i) or "", shingle_k)
-                f = cache[i] = (set(sh) if exact_verify
+                sh = word_shingles(t or "", shingle_k)
+                f = cache[t] = (set(sh) if exact_verify
                                 else hasher.signature(hash_tokens64(sh)))
             return f
 
-        for pos, (ia, ib) in enumerate(zip(batch["a"].to_numpy(), batch["b"].to_numpy())):
-            fa, fb = features_of(int(ia)), features_of(int(ib))
+        sims = np.empty(len(texts_a), dtype=np.float64)
+        for pos, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+            fa, fb = features_of(ta), features_of(tb)
             sims[pos] = jaccard(fa, fb) if exact_verify else float((fa == fb).mean())
-        batch = batch.copy(deep=False)
-        batch["sim"] = sims
-        return batch[sims >= threshold]
+        return sims
 
-    return pairs.map_batches(_verify, batch_format="pandas")
+    mode = verify
+    if mode == "auto":
+        mode = "broadcast" if pairs.count() <= broadcast_limit else "join"
+
+    if mode == "broadcast":
+        cand = pairs.select_columns(["a", "b"]).to_pandas()
+        need = (np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+                if len(cand) else np.array([], dtype=np.int64))
+        need_ref = ray.put(need)
+
+        def _fetch(batch: pd.DataFrame) -> pd.DataFrame:
+            keep = batch[np.isin(batch[id_col].to_numpy(), ray.get(need_ref))]
+            return keep[[id_col, text_col]]
+
+        texts = ds.map_batches(_fetch, batch_format="pandas").to_pandas()
+        text_ref = ray.put(dict(zip(texts[id_col].tolist(), texts[text_col].tolist())))
+
+        def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(text_ref)
+            sims = _sim_fn([lookup.get(int(i)) for i in batch["a"].to_numpy()],
+                           [lookup.get(int(i)) for i in batch["b"].to_numpy()])
+            batch = batch.copy(deep=False)
+            batch["sim"] = sims
+            return batch[sims >= threshold]
+
+        return pairs.map_batches(_verify, batch_format="pandas")
+
+    # join path: texts flow to the verifier through two hash joins — driver
+    # footprint O(1) no matter how dup-heavy the corpus is
+    def _kv(side: str):
+        def _f(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({side: batch[id_col].to_numpy(),
+                                 f"__text_{side}": batch[text_col]})
+        return _f
+
+    with_a = hash_join(pairs.select_columns(["a", "b"]),
+                       ds.map_batches(_kv("a"), batch_format="pandas"),
+                       on="a", num_partitions=num_partitions)
+    with_ab = hash_join(with_a, ds.map_batches(_kv("b"), batch_format="pandas"),
+                        on="b", num_partitions=num_partitions)
+
+    def _verify_join(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = _sim_fn(batch["__text_a"].tolist(), batch["__text_b"].tolist())
+        out = batch[["a", "b"]].copy()
+        out["sim"] = sims
+        return out[sims >= threshold]
+
+    return with_ab.map_batches(_verify_join, batch_format="pandas")
+
+
+def connected_components_distributed(pairs: Dataset, num_partitions: int = 32,
+                                     max_rounds: int = 64) -> Dataset:
+    """Distributed min-label connected components over an edge Dataset —
+    the fallback when the pair set is too large for driver union-find.
+
+    Label-propagation with pointer jumping: every node starts at
+    ``min(self, neighbors)``; each round the new label is the min of (own
+    label, neighbors' labels, label-of-label).  The label-of-label term is
+    the pointer jump that turns O(diameter) convergence into
+    O(log diameter).  Each round is two hash joins + one grouped min, all
+    Dataset ops; the driver only sees a per-round changed-count scalar.
+
+    Returns (node, label) with label = component's min node id; only nodes
+    appearing in some pair are present."""
+
+    def _sym(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "nbr": np.concatenate([b, a])})
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        _sym, batch_format="pandas").materialize()  # reused every round
+    labels = grouped_agg(
+        union_all([edges, edges.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "nbr": df["node"]}),
+            batch_format="pandas")]),
+        ["node"], {"label": ("nbr", "min")}, num_partitions=num_partitions,
+    ).materialize()
+
+    for _ in range(max_rounds):
+        lab_kv = labels.map_batches(
+            lambda df: pd.DataFrame({"__n": df["node"], "__l": df["label"]}),
+            batch_format="pandas")
+        # neighbors' labels reach each node ...
+        nbr_lab = hash_join(edges, lab_kv, on="nbr", right_on="__n",
+                            num_partitions=num_partitions).map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "cand": df["__l"]}),
+            batch_format="pandas")
+        # ... and so does the label of the node's own label (pointer jump)
+        jump = hash_join(labels, lab_kv, on="label", right_on="__n",
+                         num_partitions=num_partitions).map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "cand": df["__l"]}),
+            batch_format="pandas")
+        own = labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "cand": df["label"]}),
+            batch_format="pandas")
+        new_labels = grouped_agg(union_all([own, nbr_lab, jump]), ["node"],
+                                 {"label": ("cand", "min")},
+                                 num_partitions=num_partitions).materialize()
+        changed = hash_join(
+            new_labels, labels.map_batches(
+                lambda df: pd.DataFrame({"__n": df["node"], "__old": df["label"]}),
+                batch_format="pandas"),
+            on="node", right_on="__n", num_partitions=num_partitions,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"n": np.asarray([(df["label"].to_numpy() != df["__old"].to_numpy()).sum()],
+                                 dtype=np.int64)}),
+            batch_format="pandas").to_pandas()["n"].sum()
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
 
 
 def dedup_clusters(pairs: Dataset, ds: Dataset, id_col: str,
-                   out_col: str = "component") -> Dataset:
+                   out_col: str = "component",
+                   max_driver_pairs: int = 2_000_000,
+                   num_partitions: int = 32) -> Dataset:
     """Transitive near-dup clustering: assign every row the minimal id of its
     connected component in the pair graph (a~b, b~c => a,b,c share one
     cluster — the closure that pairwise ``drop_ids`` doesn't compute).
 
-    Scale contract (same as :func:`drop_ids`): the PAIR set is orders of
-    magnitude smaller than the corpus — candidate pairs from LSH, not the
-    rows themselves — so union-find runs driver-side with path compression
-    and the node->component map broadcasts once.  Rows in no pair are their
-    own singleton component."""
+    Path choice is guarded, not assumed: the pair count (cheap aggregate)
+    decides.  Below ``max_driver_pairs`` the pair set — candidate pairs
+    from LSH, not corpus rows — runs through driver union-find with path
+    compression and the node->component map broadcasts once.  Above it,
+    :func:`connected_components_distributed` computes the same labels with
+    Dataset ops only, and the labels attach via one left hash join (no
+    driver materialization anywhere).  Rows in no pair are their own
+    singleton component on both paths."""
+    pairs = pairs.materialize()  # consumed twice: count + edges
+    if pairs.count() > max_driver_pairs:
+        labels = connected_components_distributed(pairs, num_partitions)
+        lab_kv = labels.map_batches(
+            lambda df: pd.DataFrame({"__n": df["node"], "__l": df["label"]}),
+            batch_format="pandas")
+        j = hash_join(ds, lab_kv, on=id_col, right_on="__n", how="left",
+                      num_partitions=num_partitions)
+        out_cols = list(ds.schema().names) + [out_col]
+
+        def _coalesce(batch: pd.DataFrame) -> pd.DataFrame:
+            lab = batch["__l"].to_numpy(dtype=np.float64)
+            own = batch[id_col].to_numpy(dtype=np.int64)
+            batch = batch.copy(deep=False)
+            batch[out_col] = np.where(np.isnan(lab), own, lab).astype(np.int64)
+            return batch[out_cols]
+
+        return j.map_batches(_coalesce, batch_format="pandas")
     edges = pairs.select_columns(["a", "b"]).to_pandas()
     parent: dict[int, int] = {}
 

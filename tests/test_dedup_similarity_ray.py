@@ -148,3 +148,57 @@ def test_dedup_clusters_transitive_chain(rd):
     out = dedup_clusters(rd.from_pandas(pairs), rd.from_pandas(docs).repartition(3),
                          "doc_id").to_pandas().sort_values("doc_id")
     assert out["component"].tolist() == [0, 0, 0, 0, 4, 5, 6, 7, 7, 9]
+
+
+def test_dedup_clusters_distributed_matches_driver(rd):
+    """max_driver_pairs=0 forces the label-propagation + pointer-jump path;
+    components must equal the driver union-find on a long chain (worst-case
+    diameter) plus random extra edges."""
+    from drivers_of_global_deforestation_ray.stages.dedup import dedup_clusters
+
+    rng = np.random.default_rng(5)
+    n = 200
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    # one 60-node chain, a 2-cycle... plus random edges among 100..160
+    chain = pd.DataFrame({"a": np.arange(59, dtype=np.int64),
+                          "b": np.arange(1, 60, dtype=np.int64)})
+    rand_a = rng.integers(100, 160, 40)
+    rand_b = rng.integers(100, 160, 40)
+    keep = rand_a != rand_b
+    extra = pd.DataFrame({"a": np.minimum(rand_a, rand_b)[keep].astype(np.int64),
+                          "b": np.maximum(rand_a, rand_b)[keep].astype(np.int64)})
+    pairs = pd.concat([chain, extra], ignore_index=True)
+    pds = rd.from_pandas(pairs).repartition(4)
+    dds = rd.from_pandas(docs).repartition(3)
+    drv = dedup_clusters(pds, dds, "doc_id").to_pandas().sort_values("doc_id")
+    dist = dedup_clusters(pds, dds, "doc_id", max_driver_pairs=0,
+                          num_partitions=4).to_pandas().sort_values("doc_id")
+    assert drv["component"].tolist() == dist["component"].tolist()
+
+
+def test_minhash_verify_join_path_matches_broadcast(rd):
+    """Dup-heavy corpus (>50% near-dups): the two-hash-join verify path must
+    produce the identical survivor set as the broadcast-dict path, without
+    any driver-side text materialization."""
+    rng = np.random.default_rng(1)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts, ids = [], []
+    for i in range(40):  # 40 originals, 60 near-dups => 60% dups
+        body = " ".join(rng.choice(words, size=40))
+        texts.append(body)
+        ids.append(i)
+    for j in range(60):
+        src = j % 40
+        w = texts[src].split()
+        w[j % 40] = "changed"
+        texts.append(" ".join(w))
+        ids.append(100 + j)
+    corpus = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(corpus).repartition(4)
+    bc = D.minhash_lsh_pairs(ds, threshold=0.6, num_bands=32,
+                             verify="broadcast").to_pandas()
+    jn = D.minhash_lsh_pairs(ds, threshold=0.6, num_bands=32,
+                             verify="join", num_partitions=4).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], np.round(df["sim"], 12)))
+    assert key(bc) == key(jn)
+    assert len(bc) >= 50  # the planted near-dups actually verified
