@@ -286,6 +286,33 @@ def q_geocode_tiles(sf_dir: str):
     return docs.map_batches(_doc_urls_batch, batch_format="pyarrow")
 
 
+def q_goode_tiles(sf_dir: str):
+    """True interrupted-Goode-homolosine placement (VERDICT missing #1):
+    geocode -> igh forward (lobes + Mollweide Newton) -> the reference's
+    1737x4008 10-km grid (``Supplemental_Data_1.R:66-70``).  The oracle
+    replicates the fixed-order IEEE math (15 unrolled Newton steps) in SQL;
+    x/y compared after rounding to whole meters (cross-libm sin/cos ulp)."""
+    from ..functions.goode import igh_forward
+    from ..functions.grid import GOODE_GRID
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _f(b: pa.Table) -> pd.DataFrame:
+        df = _doc_urls_batch(b)
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        x, y = igh_forward(lat, lon)
+        row, col = latlon_to_rowcol(y, x, GOODE_GRID)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "x_m": np.round(x).astype(np.int64),
+            "y_m": np.round(y).astype(np.int64),
+            "goode_tile": row * GOODE_GRID.ncols + col + 1,
+        })
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
 def q_tile_zonal(sf_dir: str):
     """A3/A7: the cell-keyed zonal aggregate shuffle."""
     docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
@@ -962,6 +989,7 @@ QUERIES = {
     "sort_limit": q_sort_limit,
     "stratified_sample": q_stratified_sample,
     "geocode_tiles": q_geocode_tiles,
+    "goode_tiles": q_goode_tiles,
     "tile_zonal": q_tile_zonal,
     "zonal_two_level": q_zonal_two_level,
     "range_ids": q_range_ids,
@@ -1026,6 +1054,56 @@ _TILE_SQL = f"""
          + LEAST(GREATEST(CAST(floor((lon - -180.0) / 360.0 * 64) AS BIGINT), 0), 63) + 1 AS tile_id
   FROM ({_GEO_SQL})
 """
+
+def _goode_sql() -> str:
+    """SQL twin of ``functions/goode.py`` igh_forward + the 1737x4008 grid
+    placement: identical constants (repr-exact literals), identical IEEE op
+    order, the same 15 clipped Newton steps unrolled as chained CTEs."""
+    from ..functions.goode import C_MOLL, NEWTON_ITERS, PHI_BOUND, R_SPHERE, Y_OFF
+    from ..functions.grid import GOODE_GRID
+
+    g = GOODE_GRID
+    newton = "".join(
+        f", it{i} AS (SELECT * REPLACE (theta - LEAST(GREATEST("
+        f"(2.0*theta + sin(2.0*theta) - target) / (2.0 + 2.0*cos(2.0*theta)),"
+        f" -0.25), 0.25) AS theta) FROM it{i - 1})\n"
+        for i in range(1, NEWTON_ITERS + 1)
+    )
+    return f"""
+      WITH geo AS ({_GEO_SQL}),
+      z AS (
+        SELECT doc_id, lat, lon,
+               CASE WHEN lat >= 0.0
+                    THEN CASE WHEN lon < -40.0 THEN -100.0 ELSE 30.0 END
+                    ELSE CASE WHEN lon < -100.0 THEN -160.0
+                              WHEN lon < -20.0 THEN -60.0
+                              WHEN lon < 80.0 THEN 20.0 ELSE 140.0 END END AS cm_deg,
+               lat * (pi()/180.0) AS phi, lon * (pi()/180.0) AS lam
+        FROM geo),
+      it0 AS (SELECT *, cm_deg * (pi()/180.0) AS cm, pi() * sin(phi) AS target,
+                     phi AS theta FROM z)
+      {newton},
+      f AS (
+        SELECT doc_id,
+               CASE WHEN abs(phi) >= {PHI_BOUND!r}
+                    THEN {R_SPHERE!r} * (cm + {C_MOLL!r} * (lam - cm) * cos(theta))
+                    ELSE {R_SPHERE!r} * (cm + (lam - cm) * cos(phi)) END AS x,
+               CASE WHEN abs(phi) >= {PHI_BOUND!r}
+                    THEN {R_SPHERE!r} * (sqrt(2.0) * sin(theta) - sign(phi) * {Y_OFF!r})
+                    ELSE {R_SPHERE!r} * phi END AS y
+        FROM it{NEWTON_ITERS}),
+      cells AS (
+        SELECT doc_id, x, y,
+               LEAST(GREATEST(CAST(floor(({g.lat_max!r} - y) / ({g.lat_max!r} - {g.lat_min!r}) * {g.nrows}) AS BIGINT), 0), {g.nrows - 1}) AS grow,
+               LEAST(GREATEST(CAST(floor((x - {g.lon_min!r}) / ({g.lon_max!r} - {g.lon_min!r}) * {g.ncols}) AS BIGINT), 0), {g.ncols - 1}) AS gcol
+        FROM f)
+      SELECT doc_id,
+             CAST(round(x) AS BIGINT) AS x_m,
+             CAST(round(y) AS BIGINT) AS y_m,
+             grow * {g.ncols} + gcol + 1 AS goode_tile
+      FROM cells
+    """
+
 
 ORACLE_SQL = {
     "filter_project": """
@@ -1119,6 +1197,7 @@ ORACLE_SQL = {
         FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 500
     """,
     "geocode_tiles": f"SELECT doc_id, lat, lon, tile_id FROM ({_TILE_SQL})",
+    "goode_tiles": _goode_sql(),
     "tile_zonal": f"""
         SELECT t.tile_id, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

@@ -93,3 +93,71 @@ def test_k_ring_table_matches_scalar():
         got = np.sort(neigh[centers == t])
         want = G.k_ring(int(t), 2, g)
         assert (got == want).all()
+
+
+# --- interrupted Goode homolosine (igh) ------------------------------------
+
+from drivers_of_global_deforestation_ray.functions import goode as IGH
+
+
+def test_igh_roundtrip():
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-89.9, 89.9, 50_000)
+    lon = rng.uniform(-180.0, 180.0, 50_000)
+    x, y = IGH.igh_forward(lat, lon)
+    la2, lo2 = IGH.igh_inverse(x, y)
+    assert np.abs(la2 - lat).max() < 1e-9
+    assert np.abs(lo2 - lon).max() < 1e-8
+
+
+def test_igh_family_continuity_at_boundary_parallel():
+    """Sinusoidal and Mollweide sheets must meet at 40d44'11.8": y is
+    continuous to sub-mm, x to the published boundary's meter-level scale
+    mismatch (the 40d44'11.8" constant is itself a rounded value)."""
+    b = np.rad2deg(IGH.PHI_BOUND)
+    for lon in (-150.0, -70.0, 0.0, 100.0, 170.0):
+        xs, ys = IGH.igh_forward(np.array([b - 1e-9]), np.array([lon]))
+        xm, ym = IGH.igh_forward(np.array([b + 1e-9]), np.array([lon]))
+        assert abs(ys[0] - ym[0]) < 1e-2
+        assert abs(xs[0] - xm[0]) < 5.0
+
+
+def test_igh_lobes_disjoint_and_in_extent():
+    """Each lobe's x range stays inside its neighbors' boundary meridians
+    (interruptions leave gaps, never overlaps) and inside the reference
+    raster extent; y within the reference's vertical extent."""
+    rng = np.random.default_rng(8)
+    lat = rng.uniform(-89.9, 89.9, 100_000)
+    lon = rng.uniform(-180.0, 180.0, 100_000)
+    x, y = IGH.igh_forward(lat, lon)
+    assert x.min() > -20037506.5671 and x.max() < 20042493.4328
+    assert y.min() > -8683205.0209 and y.max() < 8686794.9791
+    R = IGH.R_SPHERE
+    north = lat >= 0
+    # north lobes split at lon=-40: x on each side stays on its side
+    west = north & (lon < -40.0)
+    east = north & (lon >= -40.0)
+    thr = np.deg2rad(-40.0) * R
+    assert x[west].max() <= thr + 1e-6
+    assert x[east].min() >= thr - 1e-6
+    for t_deg, m in ((-100.0, lat < 0), (-20.0, lat < 0), (80.0, lat < 0)):
+        t = np.deg2rad(t_deg) * R
+        lw = m & (lon < t_deg)
+        le = m & (lon >= t_deg)
+        assert x[lw].max() <= t + 1e-6
+        assert x[le].min() >= t - 1e-6
+
+
+def test_igh_equator_is_plate_carree():
+    """On the equator the sinusoidal lobes reduce to x = R*lon, y = 0."""
+    lon = np.linspace(-179.9, 179.9, 999)
+    x, y = IGH.igh_forward(np.zeros_like(lon), lon)
+    assert np.abs(y).max() < 1e-9
+    assert np.abs(x - np.deg2rad(lon) * IGH.R_SPHERE).max() < 1e-6
+
+
+def test_igh_y_monotone_in_lat():
+    lon = np.full(500, 12.3)
+    lat = np.linspace(-89.9, 89.9, 500)
+    _, y = IGH.igh_forward(lat, lon)
+    assert (np.diff(y) > 0).all()
