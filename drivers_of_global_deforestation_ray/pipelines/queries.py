@@ -375,6 +375,37 @@ def q_partition_write(sf_dir: str):
     return R.grouped_agg(back, ["l_returnflag"], {"n_rows": ("l_orderkey", "size")})
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """S1/S5 typed CSV source+sink as a checked query: events -> CSV dir
+    (timestamps as ISO strings) -> schema-declared read back (no inference
+    drift) -> per-day grouped agg.  Oracle runs over the ORIGINAL parquet,
+    so the hash only matches if the CSV roundtrip was lossless."""
+    import shutil
+
+    from ..sources.csvio import read_csv_typed, write_csv_dir
+
+    out = "/tmp/graft_csv_events"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    write_csv_dir(ev, out)
+    back = read_csv_typed(out, {
+        "event_id": pa.int64(), "ts": pa.timestamp("us"),
+        "user_id": pa.int64(), "value": pa.float64(),
+    })
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": b["ts"].dt.strftime("%Y-%m-%d"),
+            "value_scaled": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+            "user_id": b["user_id"].to_numpy(),
+        })
+
+    return R.grouped_agg(back.map_batches(_prep, batch_format="pandas"), ["day"],
+                         {"n_ev": ("value_scaled", "size"),
+                          "sum_value_scaled": ("value_scaled", "sum"),
+                          "max_user": ("user_id", "max")})
+
+
 def q_raster_roundtrip(sf_dir: str):
     """S6/R1/R2 + M10: raster sink/source duality as a checked query — zonal
     doc counts pivot into a dense 64x64 grid (``rastOut`` dense-realign,
@@ -1012,6 +1043,7 @@ QUERIES = {
     "count_distinct": q_count_distinct,
     "approx_count_distinct": q_approx_count_distinct,
     "partition_write": q_partition_write,
+    "csv_roundtrip": q_csv_roundtrip,
     "raster_roundtrip": q_raster_roundtrip,
     "kring": q_kring,
     "pip_region": q_pip_region,
@@ -1358,6 +1390,12 @@ ORACLE_SQL = {
     """,
     "partition_write": """
         SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+    """,
+    "csv_roundtrip": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_ev,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled,
+               CAST(max(user_id) AS BIGINT) AS max_user
+        FROM events GROUP BY 1
     """,
     "frame_sample": """
         SELECT d.doc_id, CAST(f.range AS INTEGER) AS frame_idx,
