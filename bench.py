@@ -174,24 +174,31 @@ def run_scale_worker(num_cpus: int, rows: int) -> dict:
             "steal_pct": round(steal_pct, 2), "result_hash": h}
 
 
-def _calib_worker(n_iter: int) -> float:
+def _calib_worker(args: "tuple[int, str]") -> float:
     """Pure-CPU calibration kernel: the actual page-feature work on a cached
     in-memory batch, NO Ray — measures what this box's cores deliver when K
     of them run flat out (turbo clocks drop and memory bandwidth saturates as
-    more cores activate, which caps ANY engine's strong-scaling on one box)."""
+    more cores activate, which caps ANY engine's strong-scaling on one box).
+    Reads a 4096-row slice of the ALREADY-GENERATED scaling corpus — no
+    dependency on any other fixture existing (ADVICE r01 #1)."""
+    n_iter, pages_dir = args
     import pyarrow.parquet as pq
 
     from drivers_of_global_deforestation_ray.functions.grid import MINI_GRID
     from drivers_of_global_deforestation_ray.pipelines.flagship import page_features_batch
 
-    t = pq.read_table("/tmp/graft_pages_20000", columns=["url", "html"]).slice(0, 4096)
+    frag = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+        if f.endswith(".parquet"))[0]
+    t = pq.read_table(frag, columns=["url", "html"]).slice(0, 4096)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         page_features_batch(t, MINI_GRID, 0)
-    return n_iter * 4096 / (time.perf_counter() - t0)
+    return n_iter * len(t) / (time.perf_counter() - t0)
 
 
-def hw_ceiling(low: int, high: int, n_iter: int = 6, trials: int = 2) -> float:
+def hw_ceiling(low: int, high: int, pages_dir: str, n_iter: int = 6,
+               trials: int = 2) -> float:
     """Aggregate pure-CPU throughput ratio running `high` vs `low` parallel
     processes of the calibration kernel — the hardware's own scaling ceiling
     for this workload on this box.  Best of ``trials`` per level (shared-VM
@@ -203,7 +210,7 @@ def hw_ceiling(low: int, high: int, n_iter: int = 6, trials: int = 2) -> float:
         best = 0.0
         for _ in range(trials):
             with mp.get_context("spawn").Pool(k) as pool:
-                per_proc = pool.map(_calib_worker, [n_iter] * k)
+                per_proc = pool.map(_calib_worker, [(n_iter, pages_dir)] * k)
             best = max(best, sum(per_proc))
         rates[k] = best
     return rates[high] / rates[low]
@@ -247,7 +254,7 @@ def run_scaling(low: int, high: int, rows: int) -> dict:
     # and relative to that measured ceiling (the multi-NODE criterion this
     # stands in for has per-node clocks/bandwidth, so the ceiling does not
     # apply there).
-    ceiling = hw_ceiling(low, high)
+    ceiling = hw_ceiling(low, high, f"/tmp/graft_pages_{rows}")
     return {
         "metric": "flagship scaling efficiency (fresh sessions, same input)",
         "value": round(efficiency, 3),

@@ -76,5 +76,17 @@ def _configure_data_context() -> None:
         pass
 
 
-_prime_fsspec_http_stub()
-_configure_data_context()
+def configure_runtime() -> None:
+    """Apply the engine's process-level runtime tweaks (fsspec http stub +
+    Data-context policy).  Runs automatically on package import unless the
+    embedding process opts out with ``GRAFT_NO_RUNTIME_TWEAKS=1`` — an
+    embedder that opts out can still call this explicitly from its own
+    entrypoint before running engine pipelines."""
+    _prime_fsspec_http_stub()
+    _configure_data_context()
+
+
+import os as _os
+
+if not _os.environ.get("GRAFT_NO_RUNTIME_TWEAKS"):
+    configure_runtime()

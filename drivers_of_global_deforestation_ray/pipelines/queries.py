@@ -443,11 +443,12 @@ def q_asof_join(sf_dir: str):
                     num_partitions=_nparts(sf_dir, "events", "orders"))
 
     def _out(df: pd.DataFrame) -> pd.DataFrame:
+        # payloads come back nullable Int64 (type-preserving asof contract)
         return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(dtype=np.int64),
-            "user_id": df["user_id"].to_numpy(dtype=np.int64),
-            "day_spend_scaled": np.nan_to_num(df["day_spend_scaled"].to_numpy(np.float64)).astype(np.int64),
-            "n_day_orders": np.nan_to_num(df["n_day_orders"].to_numpy(np.float64)).astype(np.int64),
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "day_spend_scaled": df["day_spend_scaled"].fillna(0).astype(np.int64),
+            "n_day_orders": df["n_day_orders"].fillna(0).astype(np.int64),
         })
 
     return j.map_batches(_out, batch_format="pandas")

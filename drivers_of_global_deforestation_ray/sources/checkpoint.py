@@ -127,15 +127,44 @@ class StageCheckpoint:
                 f.write(json.dumps(self._done[i]) + "\n")
         os.replace(tmp, self.manifest_path)
 
+    def _prune_stale(self, num_shards: int) -> None:
+        """Drop manifest rows AND part dirs whose index is outside the
+        current sharding — re-running with fewer shards must not leave stale
+        ``part=N..`` outputs that ``output_files`` would double-count (each
+        old high-index partition covered a subset of inputs now re-covered
+        by partitions 0..N-1)."""
+        stale = [i for i in list(self._done) if i >= num_shards]
+        for i in stale:
+            shutil.rmtree(self.partition_dir(i), ignore_errors=True)
+            del self._done[i]
+        # orphan part dirs on disk (crash between write and manifest)
+        for name in os.listdir(self.dir):
+            if name.startswith("part="):
+                try:
+                    idx = int(name.split("=", 1)[1].split(".")[0])
+                except ValueError:
+                    continue
+                if idx >= num_shards:
+                    shutil.rmtree(os.path.join(self.dir, name), ignore_errors=True)
+        if stale:
+            with self._lock:
+                self._rewrite_manifest()
+
     def run(self, shards: list[list[str]], stage_fn: Callable[[list[str]], Dataset],
             max_inflight: int = 4) -> list[dict]:
         """Run all partitions (skipping complete ones) and return records.
+
+        Stale partitions from a previous run with MORE shards are pruned
+        first (manifest + dirs), so ``output_files`` after ``run`` always
+        covers each input exactly once.  Partitions whose recorded input
+        fingerprint no longer matches re-run in place.
 
         Partitions run ``max_inflight`` at a time (thread-dispatched — each is
         its own internally-parallel Ray Data execution, so a few in flight
         keep the cluster full while bounding peak memory)."""
         from concurrent.futures import ThreadPoolExecutor
 
+        self._prune_stale(len(shards))
         with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as ex:
             futs = [ex.submit(self.run_partition, i, shard, stage_fn)
                     for i, shard in enumerate(shards)]

@@ -534,34 +534,59 @@ def asof_join(
 
     - column names of the two sides must be disjoint (rename upstream);
     - key columns are integer-like; both timestamps transit as int64 us;
-    - right payload columns come back float-upcast where unmatched rows
-      introduce NaN (int payloads must stay < 2^53 — exact in float64);
-      callers coalesce+cast downstream;
+    - output payload dtypes are TYPE-PRESERVING nullable: integer payloads
+      come back as pandas ``Int64`` (``pd.NA`` where unmatched), timestamps
+      as ``datetime64[us]`` (``NaT``), floats as float64 (``NaN``) — never
+      a silent float upcast of either side's int columns; callers
+      ``fillna``+``astype`` downstream;
     - the right side should be unique per (key, ts) — pre-aggregate ties
       upstream for deterministic output;
     - partitioning assumption: every row of one key lands in one partition
       (bounded by that partition's memory for a pathological hot key).
     """
-    lcols = list(left.schema().names)
-    rcols = list(right.schema().names)
+    l_schema, r_schema = left.schema(), right.schema()
+    lcols = list(l_schema.names)
+    rcols = list(r_schema.names)
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"side column names must be disjoint; overlap: {overlap}")
 
-    def _tag(side: int, ts_col: str, by_col: str, other_cols: list[str]):
+    def _pd_dtype(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "Int64"
+        if pa.types.is_floating(t):
+            return "float64"
+        if pa.types.is_timestamp(t):
+            return "datetime64[us]"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return "object"
+
+    # one target dtype per payload column: BOTH sides' blocks carry it, so
+    # the union never upcasts and unmatched rows get typed nulls
+    dtypes = {c: _pd_dtype(t) for c, t in
+              list(zip(l_schema.names, l_schema.types)) + list(zip(r_schema.names, r_schema.types))}
+
+    def _typed_null(dtype: str, n: int) -> pd.Series:
+        return pd.Series([pd.NaT if dtype == "datetime64[us]" else
+                          (None if dtype == "object" else pd.NA)] * n, dtype=dtype)
+
+    def _tag(side: int, ts_col: str, by_col: str, own_cols: list[str], other_cols: list[str]):
         def _f(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy(deep=False)
             df["__side"] = np.int8(side)
             df["__key"] = df[by_col].to_numpy(dtype=np.int64)
             df["__ts"] = df[ts_col].astype("datetime64[us]").astype(np.int64)
+            for c in own_cols:
+                df[c] = df[c].astype(dtypes[c])
             for c in other_cols:  # the other side's payload: typed nulls
-                df[c] = np.nan
+                df[c] = _typed_null(dtypes[c], len(df))
             return df
 
         return _f
 
-    l2 = left.map_batches(_tag(0, left_ts, left_by, rcols), batch_format="pandas")
-    r2 = right.map_batches(_tag(1, right_ts, right_by, lcols), batch_format="pandas")
+    l2 = left.map_batches(_tag(0, left_ts, left_by, lcols, rcols), batch_format="pandas")
+    r2 = right.map_batches(_tag(1, right_ts, right_by, rcols, lcols), batch_format="pandas")
     out_cols = lcols + rcols
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -574,7 +599,7 @@ def asof_join(
         if len(rf) == 0:
             out = lf.drop(columns=["__key", "__ts"]).copy()
             for c in rcols:
-                out[c] = np.nan
+                out[c] = _typed_null(dtypes[c], len(out))
             return out[out_cols]
         merged = pd.merge_asof(
             lf.sort_values("__ts", kind="stable"),

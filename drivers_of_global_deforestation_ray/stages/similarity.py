@@ -107,9 +107,16 @@ def knn_ivf(
     round_to: int = 6,
 ) -> Dataset:
     """IVF-style approximate top-k: probe only the ``nprobe`` closest centroid
-    buckets per query.  Centroids fit on a bounded prefix sample."""
+    buckets per query.  Centroids fit on a SCATTERED bounded sample — a
+    per-block stride keeps every (n/sample_size)-th row across the whole
+    dataset, so sorted/clustered layouts don't bias the centroids the way a
+    ``limit()`` prefix would (VERDICT r01 minor #7)."""
+    n_total = ds.count()
+    stride = max(1, n_total // sample_size)
     sample = np.stack(
-        ds.select_columns([vec_col]).limit(sample_size).to_pandas()[vec_col].to_numpy()
+        ds.select_columns([vec_col])
+        .map_batches(lambda df: df.iloc[::stride], batch_format="pandas")
+        .limit(sample_size).to_pandas()[vec_col].to_numpy()
     ).astype(np.float64)
     C = _kmeans_lite(sample, nlist, seed)
     Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))

@@ -81,3 +81,26 @@ def test_sharding_deterministic():
     b = shard_files(list(reversed(files)), 3)
     assert a == b
     assert sorted(sum(a, [])) == sorted(files)
+
+
+def test_checkpoint_reshard_prunes_stale_partitions(ray_session, input_files, tmp_path):
+    """Re-running with FEWER shards must not double-count: stale part dirs
+    and manifest rows beyond the new shard count are pruned before
+    output_files aggregates (ADVICE r01 #2)."""
+    import ray.data as rd
+
+    root = str(tmp_path / "ckpt2")
+    ck = StageCheckpoint(root, "stage")
+    ck.run(shard_files(input_files, 4), _stage)
+    assert len(ck.output_files()) > 0
+    total_4 = rd.read_parquet(ck.output_files()).count()
+
+    ck2 = StageCheckpoint(root, "stage")  # fresh handle, same root
+    ck2.run(shard_files(input_files, 2), _stage)
+    files = ck2.output_files()
+    assert all("part=0" in f or "part=1" in f for f in files)
+    total_2 = rd.read_parquet(files).count()
+    assert total_2 == total_4 == 60  # each input row exactly once
+    # on-disk stale dirs are gone too
+    names = os.listdir(os.path.join(root, "stage"))
+    assert not any(n.startswith("part=2") or n.startswith("part=3") for n in names)
