@@ -1,0 +1,288 @@
+"""Pure-python single-band GeoTIFF reader/writer (SURVEY.md S2/S6 de-stub).
+
+The reference's rasters are GeoTIFFs (``raster()`` / ``writeRaster(...,
+type="GTIFF")``, ``Supplemental_Data_1.R:175,211,53-72``).  This sandbox has
+no GDAL/rasterio, and the reference .tifs themselves are LFS pointers — but
+the FORMAT is public (TIFF 6.0 spec + GeoTIFF 1.1, OGC 19-008r4), so the
+engine owns a minimal implementation sufficient for the reference's data
+model: one band, strip or tile layout, uncompressed or DEFLATE, int/uint/
+float samples, georeferencing via ModelPixelScale + ModelTiepoint.
+
+Scope (documented, deliberate):
+
+- read: little/big endian classic TIFF; compression 1 (none), 8/32946
+  (zlib DEFLATE); horizontal-differencing predictor 2; strips or tiles;
+  single sample per pixel.  LZW/JPEG/BigTIFF are out of scope — raise with
+  a clear message.
+- write: single-band, strip layout, optional DEFLATE, float32/float64/
+  int32/uint8 samples, ModelPixelScale/Tiepoint + GDAL_NODATA.
+
+Interop with the engine's raster model: :func:`read_geotiff` returns the
+(grid, GeoRef) pair ``state/raster.py`` uses everywhere, so a GeoTIFF can
+drop into a ``features.json`` manifest next to .npy grids.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .raster import GeoRef
+
+__all__ = ["read_geotiff", "write_geotiff"]
+
+# TIFF tags
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_GDAL_NODATA = 42113
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd_entries(buf: bytes, off: int, en: str) -> dict[int, tuple]:
+    (n,) = struct.unpack_from(en + "H", buf, off)
+    entries: dict[int, tuple] = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(en + "HHI", buf, off + 2 + i * 12)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        voff = off + 2 + i * 12 + 8
+        if size > 4:
+            (voff,) = struct.unpack_from(en + "I", buf, voff)
+        entries[tag] = (typ, cnt, voff)
+    return entries
+
+
+def _tag_values(buf: bytes, entry: tuple, en: str):
+    typ, cnt, voff = entry
+    if typ == 2:  # ASCII
+        raw = buf[voff : voff + cnt]
+        return raw.split(b"\0")[0].decode("ascii", "replace")
+    if typ == 5 or typ == 10:  # RATIONAL
+        out = []
+        for i in range(cnt):
+            a, b = struct.unpack_from(en + ("II" if typ == 5 else "ii"), buf, voff + 8 * i)
+            out.append(a / b if b else float("nan"))
+        return out
+    fmt = _TYPE_FMT[typ]
+    return list(struct.unpack_from(en + fmt * cnt, buf, voff))
+
+
+def _dtype_of(bits: int, fmt: int, en: str) -> np.dtype:
+    base = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+            (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+            (3, 32): "f4", (3, 64): "f8"}.get((fmt, bits))
+    if base is None:
+        raise NotImplementedError(f"unsupported sample format/bits: {fmt}/{bits}")
+    return np.dtype(("<" if en == "<" else ">") + base)
+
+
+def _undo_predictor2(block: np.ndarray) -> np.ndarray:
+    # horizontal differencing: cumulative sum along rows (integer wraparound)
+    return np.cumsum(block, axis=1, dtype=block.dtype)
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, GeoRef]:
+    """Read a single-band GeoTIFF into (float64 grid, :class:`GeoRef`).
+
+    Nodata cells (GDAL_NODATA tag) come back as NaN — matching the engine's
+    npy raster convention so both formats interchange freely."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic = buf[:2]
+    if magic == b"II":
+        en = "<"
+    elif magic == b"MM":
+        en = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF (magic {magic!r})")
+    (version,) = struct.unpack_from(en + "H", buf, 2)
+    if version == 43:
+        raise NotImplementedError("BigTIFF not supported")
+    if version != 42:
+        raise ValueError(f"{path}: bad TIFF version {version}")
+    (ifd_off,) = struct.unpack_from(en + "I", buf, 4)
+    tags = _read_ifd_entries(buf, ifd_off, en)
+
+    def tagv(tag: int, default=None):
+        if tag not in tags:
+            if default is not None:
+                return default
+            raise ValueError(f"{path}: missing required TIFF tag {tag}")
+        return _tag_values(buf, tags[tag], en)
+
+    width = int(tagv(_IMAGE_WIDTH)[0])
+    height = int(tagv(_IMAGE_LENGTH)[0])
+    bits = int(tagv(_BITS_PER_SAMPLE, [8])[0])
+    comp = int(tagv(_COMPRESSION, [1])[0])
+    spp = int(tagv(_SAMPLES_PER_PIXEL, [1])[0])
+    fmt = int(tagv(_SAMPLE_FORMAT, [1])[0])
+    pred = int(tagv(_PREDICTOR, [1])[0])
+    if spp != 1:
+        raise NotImplementedError(f"{path}: {spp} samples/pixel (single-band only)")
+    if comp not in (1, 8, 32946):
+        raise NotImplementedError(f"{path}: compression {comp} (none/deflate only)")
+    dt = _dtype_of(bits, fmt, en)
+
+    def decode(seg: bytes) -> bytes:
+        return zlib.decompress(seg) if comp in (8, 32946) else seg
+
+    grid = np.empty((height, width), dtype=dt.newbyteorder("="))
+    if _TILE_OFFSETS in tags:
+        tw = int(tagv(_TILE_WIDTH)[0])
+        th = int(tagv(_TILE_LENGTH)[0])
+        offs = tagv(_TILE_OFFSETS)
+        cnts = tagv(_TILE_BYTE_COUNTS)
+        tiles_across = -(-width // tw)
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            raw = np.frombuffer(decode(buf[o : o + c]), dtype=dt)
+            block = raw.reshape(th, tw).astype(dt.newbyteorder("="))
+            if pred == 2:
+                block = _undo_predictor2(block)
+            r0 = (ti // tiles_across) * th
+            c0 = (ti % tiles_across) * tw
+            grid[r0 : r0 + th, c0 : c0 + tw] = block[: height - r0, : width - c0]
+    else:
+        rps = int(tagv(_ROWS_PER_STRIP, [height])[0])
+        offs = tagv(_STRIP_OFFSETS)
+        cnts = tagv(_STRIP_BYTE_COUNTS)
+        r = 0
+        for o, c in zip(offs, cnts):
+            nrows = min(rps, height - r)
+            raw = np.frombuffer(decode(buf[o : o + c]), dtype=dt)
+            block = raw.reshape(nrows, width).astype(dt.newbyteorder("="))
+            if pred == 2:
+                block = _undo_predictor2(block)
+            grid[r : r + nrows] = block
+            r += nrows
+    out = grid.astype(np.float64)
+    if _GDAL_NODATA in tags:
+        try:
+            nod = float(tagv(_GDAL_NODATA))
+            out[grid == np.asarray(nod).astype(grid.dtype)] = np.nan
+        except ValueError:
+            pass
+    # georeferencing: raster-space (0,0) tied to world (tx, ty), scale (sx, sy)
+    scale = tagv(_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
+    tie = tagv(_MODEL_TIEPOINT, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    sx, sy = float(scale[0]), float(scale[1])
+    tx, ty = float(tie[3]), float(tie[4])
+    georef = GeoRef(
+        nrows=height, ncols=width,
+        lat_min=ty - sy * height, lat_max=ty,
+        lon_min=tx, lon_max=tx + sx * width,
+        crs="GTIFF",
+    )
+    return out, georef
+
+
+def write_geotiff(
+    path: str,
+    grid: np.ndarray,
+    georef: GeoRef,
+    dtype: str = "f4",
+    nodata: "float | None" = None,
+    compress: bool = False,
+) -> None:
+    """Write a single-band GeoTIFF (strip layout, little-endian, optional
+    DEFLATE).  NaN cells become ``nodata`` (required if the grid has NaNs).
+    Round-trips through :func:`read_geotiff` bit-exactly at the written
+    dtype's precision."""
+    grid = np.asarray(grid)
+    if grid.shape != (georef.nrows, georef.ncols):
+        raise ValueError(f"grid shape {grid.shape} != georef {(georef.nrows, georef.ncols)}")
+    dt = np.dtype("<" + dtype)
+    vals = grid.astype(np.float64)
+    has_nan = bool(np.isnan(vals).any())
+    if has_nan:
+        if nodata is None:
+            raise ValueError("grid contains NaN; pass nodata=")
+        vals = np.where(np.isnan(vals), float(nodata), vals)
+    data = np.ascontiguousarray(vals.astype(dt)).tobytes()
+    if compress:
+        data = zlib.compress(data, 6)
+    height, width = grid.shape
+    if dt.kind == "f":
+        fmt_code = 3
+    elif dt.kind == "i":
+        fmt_code = 2
+    else:
+        fmt_code = 1
+    bits = dt.itemsize * 8
+
+    sx = (georef.lon_max - georef.lon_min) / georef.ncols
+    sy = (georef.lat_max - georef.lat_min) / georef.nrows
+    scale = struct.pack("<3d", sx, sy, 0.0)
+    tie = struct.pack("<6d", 0.0, 0.0, 0.0, georef.lon_min, georef.lat_max, 0.0)
+    nod_ascii = (f"{nodata}".encode("ascii") + b"\0") if nodata is not None else b""
+
+    # layout: header(8) | strip data | external values | IFD
+    data_off = 8
+    ext_off = data_off + len(data)
+    ext: list[bytes] = []
+
+    def ext_push(b: bytes) -> int:
+        nonlocal ext_off
+        off = ext_off
+        ext.append(b)
+        ext_off += len(b)
+        return off
+
+    scale_off = ext_push(scale)
+    tie_off = ext_push(tie)
+    nod_off = ext_push(nod_ascii) if nod_ascii else 0
+    ifd_off = ext_off
+
+    entries = [
+        (_IMAGE_WIDTH, 4, 1, width),
+        (_IMAGE_LENGTH, 4, 1, height),
+        (_BITS_PER_SAMPLE, 3, 1, bits),
+        (_COMPRESSION, 3, 1, 8 if compress else 1),
+        (_PHOTOMETRIC, 3, 1, 1),
+        (_STRIP_OFFSETS, 4, 1, data_off),
+        (_SAMPLES_PER_PIXEL, 3, 1, 1),
+        (_ROWS_PER_STRIP, 4, 1, height),
+        (_STRIP_BYTE_COUNTS, 4, 1, len(data)),
+        (_PLANAR_CONFIG, 3, 1, 1),
+        (_SAMPLE_FORMAT, 3, 1, fmt_code),
+        (_MODEL_PIXEL_SCALE, 12, 3, scale_off),
+        (_MODEL_TIEPOINT, 12, 6, tie_off),
+    ]
+    if nod_ascii:
+        entries.append((_GDAL_NODATA, 2, len(nod_ascii), nod_off))
+    entries.sort(key=lambda e: e[0])
+
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        ifd += struct.pack("<I", val)
+    ifd += struct.pack("<I", 0)  # no next IFD
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
+        f.write(data)
+        for b in ext:
+            f.write(b)
+        f.write(ifd)
+    import os
+
+    os.replace(tmp, path)

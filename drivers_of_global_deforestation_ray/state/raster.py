@@ -71,6 +71,18 @@ def write_raster(path_stem: str, grid_values: np.ndarray, georef: GeoRef) -> Non
 
 
 def read_raster(path_stem: str, mmap: bool = True) -> tuple[np.ndarray, GeoRef]:
+    """Read a raster by stem: ``<stem>.npy`` + georef sidecar, or — when the
+    stem names a GeoTIFF (``.tif``/``.tiff`` suffix or a ``<stem>.tif`` file
+    exists) — via the pure-python GeoTIFF reader, so ``features.json``
+    manifests mix both formats freely (S2 de-stub)."""
+    if path_stem.endswith((".tif", ".tiff")):
+        from .geotiff import read_geotiff
+
+        return read_geotiff(path_stem)
+    if not os.path.exists(path_stem + ".npy") and os.path.exists(path_stem + ".tif"):
+        from .geotiff import read_geotiff
+
+        return read_geotiff(path_stem + ".tif")
     vals = np.load(path_stem + ".npy", mmap_mode="r" if mmap else None)
     with open(path_stem + ".georef.json") as f:
         georef = GeoRef(**json.load(f))
