@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "hash_join",
     "broadcast_join",
     "geocode_tiles",
+    "goode_tiles",
     "tile_zonal",
     "pip_region",
     "dedup_minhash",
