@@ -123,6 +123,41 @@ class MinHasher:
         return keys
 
 
+def simhash64_batch(texts: "list[str]", seed: int = 0) -> np.ndarray:
+    """(n,) uint64 SimHash per text, vectorized ACROSS the whole batch.
+
+    One ``pd.util.hash_array`` pass hashes every token of every document
+    (C-speed siphash, deterministic cross-process), one (T, 64) bit expand +
+    ``np.add.reduceat`` over document offsets computes all bit votes — no
+    per-document Python work beyond tokenization.  Token multiplicity counts
+    (same semantics as :func:`simhash64` with unit weights).  Empty/blank
+    documents hash to 0."""
+    import pandas as pd
+
+    token_lists = [(t or "").lower().split() for t in texts]
+    sizes = np.array([len(t) for t in token_lists], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    ne = np.nonzero(sizes > 0)[0]
+    if len(ne) == 0:
+        return out
+    flat = np.concatenate([np.asarray(token_lists[i], dtype=object) for i in ne])
+    h = pd.util.hash_array(flat, hash_key=f"{seed % 10**16:016d}", categorize=False)
+    # C-speed bit matrix: bytes -> unpackbits (any fixed bit order is a valid
+    # simhash basis) -> per-doc ones count -> majority vote -> packbits
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)
+    # per-doc ones counts via one cumsum + boundary diff (np.add.reduceat on a
+    # 2-D operand is an order of magnitude slower than this single pass)
+    cs = np.cumsum(bits, axis=0, dtype=np.int32)
+    ends = np.cumsum(sizes[ne]) - 1
+    tot = cs[ends]
+    ones = np.empty_like(tot)
+    ones[0] = tot[0]
+    np.subtract(tot[1:], tot[:-1], out=ones[1:])
+    maj = (2 * ones) > sizes[ne][:, None]  # ones > size/2  <=>  vote sum > 0
+    out[ne] = np.packbits(maj, axis=1).view(np.uint64)[:, 0]
+    return out
+
+
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
     """64-bit SimHash: weighted bit-vote over token hashes (vectorized)."""
     if len(token_hashes) == 0:

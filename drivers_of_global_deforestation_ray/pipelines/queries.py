@@ -625,6 +625,114 @@ def q_rolling_window(sf_dir: str):
                        num_partitions=_nparts(sf_dir, "events"))
 
 
+def q_lead(sf_dir: str):
+    """Ordered navigation: per-user lead(value) (lag with periods=-1);
+    NULL-at-end coalesced to -1 on both sides."""
+    from ..stages.window import lag_shift
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "value_scaled": R.scaled_int(b["value"], 100)})
+
+    led = lag_shift(ev.map_batches(_prep, batch_format="pyarrow"),
+                    key_col="user_id", ts_col="ts", id_col="event_id",
+                    value_col="value_scaled", periods=-1,
+                    out_col="lead_value",
+                    num_partitions=_nparts(sf_dir, "events"))
+
+    def _coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["lead_value"] = np.nan_to_num(df["lead_value"].to_numpy(np.float64),
+                                         nan=-1.0).astype(np.int64)
+        return df
+
+    return led.map_batches(_coalesce, batch_format="pandas")
+
+
+def q_dense_rank(sf_dir: str):
+    """dense_rank window (ties share a rank, no gaps) per priority."""
+    from ..stages.window import dense_rank
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "price_scaled": R.scaled_int(b["o_totalprice"], 100)})
+
+    return dense_rank(ords.map_batches(_prep, batch_format="pyarrow"),
+                      key_col="o_orderpriority", value_col="price_scaled",
+                      id_col="o_orderkey",
+                      num_partitions=_nparts(sf_dir, "orders"))
+
+
+def q_cume_dist(sf_dir: str):
+    """cume_dist window: fraction of the key's rows with value <= current."""
+    from ..stages.window import cume_dist
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "price_scaled": R.scaled_int(b["o_totalprice"], 100)})
+
+    return cume_dist(ords.map_batches(_prep, batch_format="pyarrow"),
+                     key_col="o_orderpriority", value_col="price_scaled",
+                     id_col="o_orderkey",
+                     num_partitions=_nparts(sf_dir, "orders"))
+
+
+def q_window_first_last(sf_dir: str):
+    """first_value/last_value over the whole key partition ordered (ts, id)."""
+    from ..stages.window import first_last_value
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "value_scaled": R.scaled_int(b["value"], 100)})
+
+    return first_last_value(ev.map_batches(_prep, batch_format="pyarrow"),
+                            key_col="user_id", ts_col="ts", id_col="event_id",
+                            value_col="value_scaled",
+                            num_partitions=_nparts(sf_dir, "events"))
+
+
+def q_rolling_minmax(sf_dir: str):
+    """Trailing 1h range-window MIN and MAX per user (sparse-table RMQ —
+    sliding extremes have no prefix-sum identity); SQL RANGE frame parity
+    incl. equal-ts peers."""
+    from ..stages.window import rolling_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "value_scaled": R.scaled_int(b["value"], 100)})
+
+    prepped = ev.map_batches(_prep, batch_format="pyarrow")
+    mn = rolling_agg(prepped, key_col="user_id", ts_col="ts", id_col="event_id",
+                     value_col="value_scaled", window_s=3600.0, agg="min",
+                     num_partitions=_nparts(sf_dir, "events"))
+    mx = rolling_agg(prepped, key_col="user_id", ts_col="ts", id_col="event_id",
+                     value_col="value_scaled", window_s=3600.0, agg="max",
+                     num_partitions=_nparts(sf_dir, "events"))
+    j = R.hash_join(mn, mx.map_batches(
+        lambda df: df.rename(columns={"event_id": "eid2", "user_id": "uid2"}),
+        batch_format="pandas"),
+        on="event_id", right_on="eid2",
+        num_partitions=_nparts(sf_dir, "events"))
+    return j.map_batches(
+        lambda df: df[["event_id", "user_id", "rolling_min", "rolling_max"]],
+        batch_format="pandas")
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured scalar op: extract the integer field ``k`` from the
     JSON ``props`` column and aggregate per event type (a flat-JSON fast
@@ -1076,6 +1184,11 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "media_resize": q_media_resize,
+    "lead": q_lead,
+    "dense_rank": q_dense_rank,
+    "cume_dist": q_cume_dist,
+    "window_first_last": q_window_first_last,
+    "rolling_minmax": q_rolling_minmax,
 }
 
 
@@ -1386,6 +1499,51 @@ ORACLE_SQL = {
                     OVER (PARTITION BY user_id ORDER BY ts
                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS rolling_sum
+        FROM events
+    """,
+    "lead": """
+        SELECT event_id, user_id,
+               CAST(COALESCE(lead(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT)
+                 AS lead_value
+        FROM events
+    """,
+    "dense_rank": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS dense_rank
+        FROM orders
+    """,
+    "cume_dist": """
+        SELECT o_orderkey, o_orderpriority,
+               cume_dist() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS cume_dist
+        FROM orders
+    """,
+    "window_first_last": """
+        SELECT event_id, user_id,
+               CAST(first_value(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
+                 AS first_value,
+               CAST(last_value(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
+                 AS last_value
+        FROM events
+    """,
+    "rolling_minmax": """
+        SELECT event_id, user_id,
+               CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS rolling_min,
+               CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS rolling_max
         FROM events
     """,
     "url_host": """

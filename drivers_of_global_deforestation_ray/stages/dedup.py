@@ -21,7 +21,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..functions.hashing import MinHasher, hash_tokens64, jaccard, simhash64, word_shingles
+from ..functions.hashing import (MinHasher, hamming64, hash_tokens64, jaccard,
+                                 simhash64_batch, word_shingles)
 from ..functions.text import md5_fingerprints
 from .relational import grouped_agg, grouped_transform, hash_join, union_all
 
@@ -404,21 +405,24 @@ def minhash_lsh_dedup(ds: Dataset, **kwargs) -> Dataset:
 
 class _SimHashStage:
     """Actor: 64-bit simhash per doc + one row per 16-bit chunk (4 chunks ->
-    guaranteed candidate recall for Hamming distance <= 3)."""
+    guaranteed candidate recall for Hamming distance <= 3).  Fully batch-
+    vectorized (:func:`simhash64_batch`): one hash pass + one reduceat over
+    every token of every doc; chunk bucket keys are compact ints
+    (chunk_index * 2^16 + chunk_bits) — cheaper groupby than strings."""
 
     def __init__(self, text_col: str, id_col: str, seed: int):
         self.text_col, self.id_col, self.seed = text_col, id_col, seed
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, chunks, hashes = [], [], []
-        for did, txt in zip(batch[self.id_col].to_numpy(), batch[self.text_col].tolist()):
-            toks = (txt or "").lower().split()
-            h = simhash64(hash_tokens64(toks, self.seed))
-            for c in range(4):
-                ids.append(did)
-                chunks.append(f"{c}:{(h >> (16 * c)) & 0xFFFF:04x}")
-                hashes.append(h)
-        return pd.DataFrame({"doc_id": ids, "chunk": chunks, "simhash": np.asarray(hashes, dtype=np.uint64)})
+        ids = batch[self.id_col].to_numpy()
+        h = simhash64_batch(batch[self.text_col].tolist(), self.seed)
+        n = len(ids)
+        c = np.repeat(np.arange(4, dtype=np.uint64), n)
+        h4 = np.tile(h, 4)
+        chunk = (c << np.uint64(16)) | ((h4 >> (np.uint64(16) * c)) & np.uint64(0xFFFF))
+        return pd.DataFrame({"doc_id": np.tile(ids, 4),
+                             "chunk": chunk.astype(np.int64),
+                             "simhash": h4})
 
 
 def simhash_pairs(
@@ -438,12 +442,7 @@ def simhash_pairs(
         hs = g["simhash"].to_numpy(dtype=np.uint64)
         a_out, b_out, d_out = [], [], []
         for i in range(len(g)):
-            x = np.bitwise_xor(hs[i + 1 :], hs[i])
-            dist = np.zeros(len(x), dtype=np.int64)
-            xx = x.copy()
-            while xx.any():
-                dist += (xx & np.uint64(1)).astype(np.int64)
-                xx >>= np.uint64(1)
+            dist = hamming64(hs[i + 1 :], hs[i])
             hit = np.nonzero(dist <= max_hamming)[0]
             for j in hit:
                 a_out.append(ids[i]); b_out.append(ids[i + 1 + j]); d_out.append(int(dist[j]))

@@ -24,7 +24,8 @@ from ray.data import Dataset
 
 from .relational import grouped_transform
 
-__all__ = ["sessionize", "rolling_agg", "lag_shift", "percent_rank", "ntile"]
+__all__ = ["sessionize", "rolling_agg", "lag_shift", "percent_rank", "ntile",
+           "dense_rank", "cume_dist", "first_last_value"]
 
 
 def ntile(
@@ -96,7 +97,8 @@ def lag_shift(
 ) -> Dataset:
     """Ordered navigation: per-key ``lag(value, periods)`` over rows sorted by
     (ts, id) — NULL (NaN) for the first ``periods`` rows of each key, exactly
-    SQL ``lag(...) OVER (PARTITION BY key ORDER BY ts, id)``."""
+    SQL ``lag(...) OVER (PARTITION BY key ORDER BY ts, id)``.  Negative
+    ``periods`` gives SQL ``lead`` (NULL for each key's LAST rows)."""
 
     def _part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col, id_col], kind="stable")
@@ -106,6 +108,95 @@ def lag_shift(
         return out
 
     return grouped_transform(ds, [key_col], _part, num_partitions)
+
+
+def dense_rank(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "dense_rank",
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``dense_rank() OVER (PARTITION BY key ORDER BY value)`` — ties
+    share a rank, no gaps."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False, observed=True, dropna=False)
+        out = df[[id_col, key_col]].copy()
+        out[out_col] = g[value_col].rank(method="dense").to_numpy().astype(np.int64)
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
+
+
+def cume_dist(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "cume_dist",
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``cume_dist() OVER (PARTITION BY key ORDER BY value)``:
+    rank(method='max') / count — the fraction of the key's rows with value
+    <= this row's."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False, observed=True, dropna=False)
+        mx = g[value_col].rank(method="max").to_numpy()
+        n = g[value_col].transform("size").to_numpy().astype(np.float64)
+        out = df[[id_col, key_col]].copy()
+        out[out_col] = mx / n
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
+
+
+def first_last_value(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``first_value``/``last_value`` over the WHOLE key partition
+    ordered by (ts, id) (frame = unbounded preceding..unbounded following):
+    every row carries its key's first and last value."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        g = df.groupby(key_col, sort=False)
+        out = df[[id_col, key_col]].copy()
+        out["first_value"] = g[value_col].transform("first").to_numpy()
+        out["last_value"] = g[value_col].transform("last").to_numpy()
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
+
+
+def _range_extreme(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                   maximize: bool) -> np.ndarray:
+    """Vectorized variable-window range min/max via a sparse table (RMQ):
+    O(n log n) build, O(1) per query, queries batched per doubling level —
+    the exact-window companion to the prefix-sum path (sliding extremes
+    have no prefix-sum identity)."""
+    op = np.maximum if maximize else np.minimum
+    n = len(vals)
+    st = [vals]
+    while (1 << len(st)) <= n:
+        half = 1 << (len(st) - 1)
+        prev = st[-1]
+        st.append(op(prev[:-half], prev[half:]))
+    span = hi - lo  # >= 1 (window always includes the row itself)
+    k = np.floor(np.log2(span.astype(np.float64))).astype(np.int64)
+    out = np.empty(len(lo), dtype=vals.dtype)
+    for kk in np.unique(k):
+        m = k == kk
+        tbl = st[kk]
+        out[m] = op(tbl[lo[m]], tbl[hi[m] - (1 << kk)])
+    return out
 
 
 def sessionize(
@@ -151,14 +242,22 @@ def rolling_agg(
     id_col: str,
     value_col: str,
     window_s: float,
-    out_col: str = "rolling_sum",
+    out_col: "str | None" = None,
     num_partitions: int = 32,
+    agg: str = "sum",
 ) -> Dataset:
-    """Trailing range-window sum per key: for each row, the sum of
+    """Trailing range-window aggregate per key: for each row, ``agg`` of
     ``value_col`` over that key's rows with ``row.ts - window_s <= ts <=
     row.ts`` — *inclusive of equal-timestamp peers on both edges*, exactly
-    SQL ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``.  ``value_col``
-    should be integer (scaled) for order-independent exact sums."""
+    SQL ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``.
+
+    ``agg``: ``sum``/``count``/``mean`` via prefix sums (O(n)); ``min``/
+    ``max`` via a sparse-table RMQ (O(n log n) build, O(1) per row) — the
+    sliding extremes have no prefix-sum identity.  ``value_col`` should be
+    integer (scaled) for order-independent exact sums/means."""
+    if agg not in ("sum", "count", "mean", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    out_col = out_col or f"rolling_{agg}"
 
     def _part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col, id_col], kind="stable")
@@ -185,24 +284,33 @@ def rolling_agg(
         span = ts[seg_ends] - seg_min                     # per-segment ts span
         stride = span + w_us + 1                          # gap defeats carryover
         base = np.concatenate(([0], np.cumsum(stride)[:-1]))
+        def _agg_windows(v: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+            if agg in ("sum", "count", "mean"):
+                prefix = np.concatenate(([0], np.cumsum(v)))
+                s = prefix[hi] - prefix[lo]
+                if agg == "sum":
+                    return s.astype(v.dtype)
+                if agg == "count":
+                    return (hi - lo).astype(np.int64)
+                return s / (hi - lo)
+            return _range_extreme(v, lo, hi, maximize=(agg == "max"))
+
         if int(base[-1]) + int(span[-1]) + int(w_us) < (1 << 62):
             adj = rel + base[seg_id]
-            prefix = np.concatenate(([0], np.cumsum(vals)))
             lo = np.searchsorted(adj, adj - w_us, side="left")
             hi = np.searchsorted(adj, adj, side="right")  # includes ts peers
             out = df[[id_col, key_col]].copy()
-            out[out_col] = (prefix[hi] - prefix[lo]).astype(vals.dtype)
+            out[out_col] = _agg_windows(vals, lo, hi)
             return out
         # int64-overflow fallback (astronomical spans x keys): per-key loop
         out_frames = []
         for _, g in df.groupby(key_col, sort=False):
             gts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
             gv = g[value_col].to_numpy()
-            prefix = np.concatenate(([0], np.cumsum(gv)))
             lo = np.searchsorted(gts, gts - w_us, side="left")
             hi = np.searchsorted(gts, gts, side="right")
             o = g[[id_col, key_col]].copy()
-            o[out_col] = (prefix[hi] - prefix[lo]).astype(gv.dtype)
+            o[out_col] = _agg_windows(gv, lo, hi)
             out_frames.append(o)
         return pd.concat(out_frames, ignore_index=True)
 

@@ -317,3 +317,31 @@ def test_hash_join_vs_pandas(rd):
     want = left.merge(right, left_on="k", right_on="k2")
     assert len(got) == len(want)
     assert got["a"].sum() == want["a"].sum() and got["b"].sum() == want["b"].sum()
+
+
+def test_rolling_minmax_vs_bruteforce(rd):
+    """Sparse-table RMQ trailing min/max must equal the O(n^2) brute force,
+    incl. equal-timestamp peers on both window edges."""
+    from drivers_of_global_deforestation_ray.stages.window import rolling_agg
+
+    rng = np.random.default_rng(2)
+    n = 800
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 5, n),
+        "ts": pd.to_datetime(rng.integers(0, 3000, n).cumsum() % 100_000, unit="s"),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    for agg in ("min", "max", "mean", "count"):
+        got = rolling_agg(ds, "k", "ts", "id", "v", window_s=900.0, agg=agg,
+                          num_partitions=4).to_pandas().sort_values("id")
+        brute = []
+        for _, row in df.iterrows():
+            m = (df["k"] == row["k"]) & (df["ts"] >= row["ts"] - pd.Timedelta(seconds=900)) \
+                & (df["ts"] <= row["ts"])
+            vs = df.loc[m, "v"]
+            brute.append({"min": vs.min(), "max": vs.max(),
+                          "mean": vs.mean(), "count": len(vs)}[agg])
+        got_v = got[f"rolling_{agg}"].to_numpy()
+        assert np.allclose(got_v.astype(np.float64), np.asarray(brute, dtype=np.float64))
