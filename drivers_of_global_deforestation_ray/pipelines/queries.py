@@ -596,6 +596,24 @@ def q_range_join(sf_dir: str):
                                             "min_band_brand": ("p_brand", "min")})
 
 
+def q_range_join_copart(sf_dir: str):
+    """Big-big interval join via banded co-partitioning (the scale path when
+    the interval side is too large to broadcast) — same result set as the
+    broadcast range_join, same SQL oracle."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_brand"])
+    bands = R.grouped_agg(
+        parts.map_batches(
+            lambda b: pa.table({"p_brand": b["p_brand"], "p_retailprice": b["p_retailprice"]}),
+            batch_format="pyarrow"),
+        ["p_brand"], {"lo": ("p_retailprice", "min"), "hi": ("p_retailprice", "max")})
+    pts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    j = R.range_join_copartitioned(pts, bands, left_val="p_retailprice",
+                                   lo_col="lo", hi_col="hi", band_width=250.0,
+                                   num_partitions=_nparts(sf_dir, "part"))
+    return R.grouped_agg(j, ["p_partkey"], {"n_bands": ("p_brand", "size"),
+                                            "min_band_brand": ("p_brand", "min")})
+
+
 def q_sessionize(sf_dir: str):
     """Windowed operator: gap-based sessionization (new session when the gap
     to the user's previous event exceeds 1 h).  Oracle: DuckDB lag + running
@@ -1189,6 +1207,7 @@ QUERIES = {
     "cume_dist": q_cume_dist,
     "window_first_last": q_window_first_last,
     "rolling_minmax": q_rolling_minmax,
+    "range_join_copart": q_range_join_copart,
 }
 
 
@@ -1475,6 +1494,14 @@ ORACLE_SQL = {
         WHERE c_custkey NOT IN (SELECT user_id FROM events)
     """,
     "range_join": """
+        SELECT p.p_partkey, count(*) AS n_bands, min(b.p_brand) AS min_band_brand
+        FROM part p JOIN (
+            SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+            FROM part GROUP BY p_brand
+        ) b ON p.p_retailprice BETWEEN b.lo AND b.hi
+        GROUP BY p.p_partkey
+    """,
+    "range_join_copart": """
         SELECT p.p_partkey, count(*) AS n_bands, min(b.p_brand) AS min_band_brand
         FROM part p JOIN (
             SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi

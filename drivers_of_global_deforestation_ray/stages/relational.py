@@ -50,6 +50,7 @@ __all__ = [
     "hash_join",
     "asof_join",
     "range_join",
+    "range_join_copartitioned",
     "distinct_keys",
     "semi_join",
     "one_hot",
@@ -213,6 +214,35 @@ def grouped_agg_final(partial: Dataset, keys: list[str], specs: dict[str, tuple[
 # ---------------------------------------------------------------------------
 
 _JOIN_TYPES = {"left": "left outer", "inner": "inner", "right": "right outer", "full": "full outer"}
+
+
+def _pd_dtype_of(t) -> str:
+    """Type-preserving pandas dtype for a side-tagged union column: nullable
+    Int64 for ints (pd.NA, no float upcast), NaT-able datetime64, float64,
+    boolean, object — used by every operator that unions two differently-
+    schemed sides before a co-partition shuffle.  Accepts arrow DataTypes
+    (arrow-block datasets) or numpy dtypes (pandas-block datasets)."""
+    if isinstance(t, pa.DataType):
+        if pa.types.is_integer(t):
+            return "Int64"
+        if pa.types.is_floating(t):
+            return "float64"
+        if pa.types.is_timestamp(t):
+            return "datetime64[us]"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return "object"
+    try:
+        kind = np.dtype(t).kind
+    except TypeError:
+        return "object"
+    return {"i": "Int64", "u": "Int64", "f": "float64",
+            "M": "datetime64[us]", "b": "boolean"}.get(kind, "object")
+
+
+def _typed_null_series(dtype: str, n: int) -> pd.Series:
+    null = {"datetime64[us]": pd.NaT, "object": None, "float64": np.nan}.get(dtype, pd.NA)
+    return pd.Series([null] * n, dtype=dtype)
 
 
 class _BroadcastJoiner:
@@ -512,6 +542,114 @@ def range_join(
     return left.map_batches(_join, batch_format="pandas")
 
 
+def range_join_copartitioned(
+    left: Dataset,
+    intervals: Dataset,
+    left_val: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: float,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Big-big interval join: one output row per (left row, interval) with
+    ``lo <= left_val <= hi`` — the co-partitioned scale path
+    :func:`range_join`'s docstring promises for interval sides too large to
+    broadcast.
+
+    Both sides band on ``floor(value / band_width)``: a point lands in
+    exactly ONE band, an interval explodes to every band it overlaps, and
+    one :func:`grouped_transform` shuffle co-locates them.  Within a band
+    the match is fully vectorized (sorted points + two searchsorteds per
+    interval batch, pair fan-out via repeat/arange) — no per-pair Python.
+
+    A (point, interval) pair meets only in the point's band, so no dedup
+    pass is needed.  Partitioning contract: shuffle volume for an interval
+    is O(interval_length / band_width) rows — pick ``band_width`` on the
+    order of the typical interval length; a band's content must fit one
+    partition (hot-band bound, same as every keyed op here).
+    """
+    l_schema, i_schema = left.schema(), intervals.schema()
+    iv_payload = [c for c in i_schema.names if c not in (lo_col, hi_col)]
+    overlap = set(iv_payload) & set(l_schema.names)
+    if overlap:
+        raise ValueError(f"interval payload columns collide with left side: {overlap}")
+    lcols = list(l_schema.names)
+    dtypes = {c: _pd_dtype_of(t) for c, t in
+              list(zip(l_schema.names, l_schema.types)) + list(zip(i_schema.names, i_schema.types))}
+
+    def _band_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__band"] = np.floor(df[left_val].to_numpy(np.float64) / band_width).astype(np.int64)
+        df["__side"] = np.int8(0)
+        for c in lcols:  # agreed union dtype on both sides: no upcast
+            df[c] = df[c].astype(dtypes[c])
+        for c in (lo_col, hi_col, *iv_payload):
+            df[c] = _typed_null_series(dtypes[c], len(df))
+        return df
+
+    def _band_iv(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[lo_col].to_numpy(np.float64)
+        hi = df[hi_col].to_numpy(np.float64)
+        b0 = np.floor(lo / band_width).astype(np.int64)
+        b1 = np.floor(hi / band_width).astype(np.int64)
+        cnt = (b1 - b0 + 1).clip(min=0)
+        idx = np.repeat(np.arange(len(df)), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        band = np.arange(int(cnt.sum())) - np.repeat(offs, cnt) + np.repeat(b0, cnt)
+        out = df.iloc[idx].copy(deep=False)
+        out["__band"] = band
+        out["__side"] = np.int8(1)
+        for c in i_schema.names:
+            out[c] = out[c].astype(dtypes[c])
+        for c in lcols:
+            out[c] = _typed_null_series(dtypes[c], len(out))
+        return out
+
+    l2 = left.map_batches(_band_left, batch_format="pandas")
+    i2 = intervals.map_batches(_band_iv, batch_format="pandas")
+    out_cols = lcols + iv_payload
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("__band", sort=False):
+            pts = g[g["__side"] == 0]
+            ivs = g[g["__side"] == 1]
+            if len(pts) == 0 or len(ivs) == 0:
+                continue
+            order = np.argsort(pts[left_val].to_numpy(np.float64), kind="stable")
+            p = pts.iloc[order]
+            pv = p[left_val].to_numpy(np.float64)
+            starts = np.searchsorted(pv, ivs[lo_col].to_numpy(np.float64), side="left")
+            ends = np.searchsorted(pv, ivs[hi_col].to_numpy(np.float64), side="right")
+            cnt = (ends - starts).clip(min=0)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            iidx = np.repeat(np.arange(len(ivs)), cnt)
+            offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            pidx = np.arange(total) - np.repeat(offs, cnt) + np.repeat(starts, cnt)
+            out = p.iloc[pidx][lcols].reset_index(drop=True)
+            ivp = ivs.iloc[iidx].reset_index(drop=True)
+            for c in iv_payload:
+                out[c] = ivp[c]
+            outs.append(out)
+        if not outs:
+            res = pd.DataFrame({c: pd.Series(dtype=df[c].dtype) for c in out_cols})
+        else:
+            res = pd.concat(outs, ignore_index=True)
+        # inner-join semantics: no nulls survive -> downcast the nullable
+        # union dtypes back to plain numpy for downstream consumers
+        for c in out_cols:
+            dt = str(res[c].dtype)
+            if dt == "Int64":
+                res[c] = res[c].astype(np.int64)
+            elif dt == "boolean":
+                res[c] = res[c].astype(bool)
+        return res
+
+    return grouped_transform(union_all([l2, i2]), ["__band"], _match, num_partitions)
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,
@@ -551,25 +689,11 @@ def asof_join(
     if overlap:
         raise ValueError(f"side column names must be disjoint; overlap: {overlap}")
 
-    def _pd_dtype(t: pa.DataType) -> str:
-        if pa.types.is_integer(t):
-            return "Int64"
-        if pa.types.is_floating(t):
-            return "float64"
-        if pa.types.is_timestamp(t):
-            return "datetime64[us]"
-        if pa.types.is_boolean(t):
-            return "boolean"
-        return "object"
-
     # one target dtype per payload column: BOTH sides' blocks carry it, so
     # the union never upcasts and unmatched rows get typed nulls
-    dtypes = {c: _pd_dtype(t) for c, t in
+    dtypes = {c: _pd_dtype_of(t) for c, t in
               list(zip(l_schema.names, l_schema.types)) + list(zip(r_schema.names, r_schema.types))}
-
-    def _typed_null(dtype: str, n: int) -> pd.Series:
-        return pd.Series([pd.NaT if dtype == "datetime64[us]" else
-                          (None if dtype == "object" else pd.NA)] * n, dtype=dtype)
+    _typed_null = _typed_null_series
 
     def _tag(side: int, ts_col: str, by_col: str, own_cols: list[str], other_cols: list[str]):
         def _f(df: pd.DataFrame) -> pd.DataFrame:

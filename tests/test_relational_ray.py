@@ -345,3 +345,26 @@ def test_rolling_minmax_vs_bruteforce(rd):
                           "mean": vs.mean(), "count": len(vs)}[agg])
         got_v = got[f"rolling_{agg}"].to_numpy()
         assert np.allclose(got_v.astype(np.float64), np.asarray(brute, dtype=np.float64))
+
+
+def test_range_join_copartitioned_vs_broadcast(rd):
+    """Banded co-partitioned interval join == broadcast range_join on random
+    points x intervals, across band widths (incl. intervals spanning many
+    bands and negative values)."""
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame({"pid": np.arange(3000, dtype=np.int64),
+                        "v": rng.uniform(-500, 500, 3000)})
+    lo = rng.uniform(-500, 450, 40)
+    iv = pd.DataFrame({"lo": lo, "hi": lo + rng.uniform(0, 200, 40),
+                       "ivid": np.arange(40, dtype=np.int64)})
+    want = R.range_join(rd.from_pandas(pts).repartition(4), iv,
+                        left_val="v", lo_col="lo", hi_col="hi").to_pandas()
+    want = want.sort_values(["pid", "ivid"]).reset_index(drop=True)
+    for bw in (37.0, 250.0):
+        got = R.range_join_copartitioned(
+            rd.from_pandas(pts).repartition(4), rd.from_pandas(iv).repartition(3),
+            left_val="v", lo_col="lo", hi_col="hi", band_width=bw,
+            num_partitions=4).to_pandas()
+        got = got.sort_values(["pid", "ivid"]).reset_index(drop=True)
+        assert (got["pid"].to_numpy() == want["pid"].to_numpy()).all()
+        assert (got["ivid"].to_numpy() == want["ivid"].to_numpy()).all()
