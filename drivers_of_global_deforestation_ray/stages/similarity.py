@@ -24,7 +24,7 @@ import pandas as pd
 import ray
 from ray.data import Dataset
 
-from .relational import grouped_transform
+from .relational import grouped_agg, grouped_transform
 
 __all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs", "embedding_neardup_lsh"]
 
@@ -192,6 +192,7 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     seed: int = 17,
     round_to: int = 6,
+    two_pass: bool = True,
 ) -> Dataset:
     """Scale path: multi-table random-hyperplane LSH.  Each of ``num_tables``
     tables hashes a vector to the sign pattern of ``num_planes`` planes; a
@@ -199,24 +200,55 @@ def embedding_neardup_lsh(
     probability (1-θ/π)^P, so recall ≈ 1-(1-p)^T — tune P down / T up for
     lower thresholds).  Exact cosine verifies within buckets; cross-table
     duplicates collapse in a final pair-dedup.  Approximate recall ->
-    rows-only oracle.  Shuffle volume is ``num_tables`` x the vector column
-    (the vector rides to its buckets); id+bucket keys are int64."""
+    rows-only oracle.
+
+    Shuffle discipline (``two_pass=True``, default): a first pass ships ONLY
+    (bucket:int64) keys and counts members per bucket (two-phase agg); the
+    multi-member bucket keys broadcast back, and the vector column rides the
+    shuffle only for rows landing in one of those buckets.  Amplification
+    drops from ``num_tables``x every vector to ~collision-rate x — the
+    singleton buckets (the overwhelming majority under recall-tuned params)
+    never move a vector.  ``two_pass=False`` keeps the single-pass shape
+    (lower latency on small inputs)."""
     if num_planes > 56:
         raise ValueError("num_planes must be <= 56 (packed with table id into int64)")
 
-    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        M = _batch_matrix(batch, vec_col)
-        n = len(M)
+    def _keys_of(M: np.ndarray) -> np.ndarray:
+        """(n, T) int64 bucket keys (table id packed into the high bits)."""
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((M.shape[1], num_planes * num_tables))
         signs = (M @ planes) > 0  # (n, P*T)
         pow2 = (1 << np.arange(num_planes, dtype=np.int64))
-        ids = batch[id_col].to_numpy()
-        frames = []
+        out = np.empty((len(M), num_tables), dtype=np.int64)
         for t in range(num_tables):
             bits = signs[:, t * num_planes:(t + 1) * num_planes] @ pow2
-            key = (np.int64(t) << np.int64(num_planes)) | bits.astype(np.int64)
-            frames.append(pd.DataFrame({id_col: ids, "bucket": key, "__vec": list(M)}))
+            out[:, t] = (np.int64(t) << np.int64(num_planes)) | bits.astype(np.int64)
+        return out
+
+    hot_ref = None
+    if two_pass:
+        def _count_keys(batch: pd.DataFrame) -> pd.DataFrame:
+            keys = _keys_of(_batch_matrix(batch, vec_col)).ravel()
+            return pd.DataFrame({"bucket": keys, "__one": np.ones(len(keys), np.int64)})
+
+        counts = grouped_agg(ds.map_batches(_count_keys, batch_format="pandas"),
+                             ["bucket"], {"n": ("__one", "sum")})
+        hot = counts.map_batches(lambda df: df[df["n"] >= 2][["bucket"]],
+                                 batch_format="pandas").to_pandas()
+        hot_ref = ray.put(np.sort(hot["bucket"].to_numpy()))
+
+    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        M = _batch_matrix(batch, vec_col)
+        keys = _keys_of(M)
+        ids = batch[id_col].to_numpy()
+        frames = []
+        hot_keys = ray.get(hot_ref) if hot_ref is not None else None
+        for t in range(num_tables):
+            key = keys[:, t]
+            m = np.ones(len(key), dtype=bool) if hot_keys is None else np.isin(key, hot_keys)
+            if m.any():
+                frames.append(pd.DataFrame({id_col: ids[m], "bucket": key[m],
+                                            "__vec": list(M[m])}))
         return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             {id_col: ids[:0], "bucket": np.array([], np.int64), "__vec": []})
 
