@@ -502,6 +502,62 @@ def q_arg_extremes(sf_dir: str):
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_grouped_stats(sf_dir: str):
+    """Algebraic two-phase variance/stddev/covariance/correlation per
+    returnflag: exact int64 power-sum partials, one fixed-order float
+    expression per key — the oracle names the identical primitives.
+    Columns chosen so every power sum stays far below 2^63 (the operator's
+    documented contract)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_linenumber"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "qty": pc.cast(b["l_quantity"], pa.int64()),
+                         "ln": pc.cast(b["l_linenumber"], pa.int64())})
+
+    return R.grouped_stats(li.map_batches(_prep, batch_format="pyarrow"),
+                           ["l_returnflag"], "qty", "ln")
+
+
+def q_intersect(sf_dir: str):
+    """SQL INTERSECT (distinct) of two projected slices — distributed
+    full-row co-partition, never a driver collect."""
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    a = ords.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    b = ords.filter(expr="o_orderpriority == '2-HIGH'").select_columns(["o_custkey"])
+    return R.set_op(a, b, how="intersect")
+
+
+def q_except(sf_dir: str):
+    """SQL EXCEPT (distinct): urgent-order customers minus high-order ones."""
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    a = ords.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    b = ords.filter(expr="o_orderpriority == '2-HIGH'").select_columns(["o_custkey"])
+    return R.set_op(a, b, how="except")
+
+
+def q_string_agg(sf_dir: str):
+    """Holistic ordered string aggregation per nation (string_agg parity)."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_custkey"])
+    top = R.grouped_topk(cust, ["c_nationkey"], "c_custkey", k=5,
+                         descending=False)
+    return R.grouped_string_agg(top, ["c_nationkey"], "c_custkey",
+                                order_col="c_custkey", sep=",", out_col="ids")
+
+
+def q_grouped_mode(sf_dir: str):
+    """Grouped most-frequent value with lowest-value tie-break (skew-proof
+    two-phase counts)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "qty": pc.cast(b["l_quantity"], pa.int64())})
+
+    return R.grouped_mode(li.map_batches(_prep, batch_format="pyarrow"),
+                          ["l_returnflag"], "qty")
+
+
 def q_grouped_median(sf_dir: str):
     """Holistic aggregate: exact per-group median (SQL median interpolation)."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
@@ -1208,6 +1264,11 @@ QUERIES = {
     "window_first_last": q_window_first_last,
     "rolling_minmax": q_rolling_minmax,
     "range_join_copart": q_range_join_copart,
+    "grouped_stats": q_grouped_stats,
+    "intersect": q_intersect,
+    "except": q_except,
+    "string_agg": q_string_agg,
+    "grouped_mode": q_grouped_mode,
 }
 
 
@@ -1438,6 +1499,50 @@ ORACLE_SQL = {
     "grouped_median": """
         SELECT l_returnflag, median(l_quantity) AS median_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_stats": """
+        WITH s AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_pop,
+               sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS std_pop,
+               (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov_pop,
+               ((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                 / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                    * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) AS corr
+        FROM s
+    """,
+    "intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    "except": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    "string_agg": """
+        SELECT c_nationkey, string_agg(c_custkey, ',' ORDER BY c_custkey) AS ids
+        FROM (SELECT c_nationkey, c_custkey,
+                     row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+              FROM customer)
+        WHERE rn <= 5 GROUP BY c_nationkey
+    """,
+    "grouped_mode": """
+        SELECT l_returnflag, CAST(qty AS BIGINT) AS mode FROM (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                   row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT)) AS rn
+            FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT))
+        WHERE rn = 1
     """,
     "ntile": """
         SELECT o_orderkey, o_orderpriority,

@@ -46,6 +46,10 @@ __all__ = [
     "grouped_quantiles",
     "grouped_count_distinct",
     "approx_count_distinct",
+    "grouped_stats",
+    "set_op",
+    "grouped_string_agg",
+    "grouped_mode",
     "broadcast_join",
     "hash_join",
     "asof_join",
@@ -439,6 +443,127 @@ def distinct_keys(ds: Dataset, col: str, num_partitions: int = 32) -> Dataset:
     partial = proj.map_batches(lambda df: df.drop_duplicates(col), batch_format="pandas")
     return grouped_transform(partial, [col], lambda df: df.drop_duplicates(col),
                              num_partitions)
+
+
+def grouped_stats(ds: Dataset, keys: list[str], col: str, col2: str | None = None,
+                  num_partitions: int = 32) -> Dataset:
+    """Grouped variance/stddev (population) and, with ``col2``, covariance +
+    Pearson correlation — ALGEBRAIC two-phase: the partials are exact int64
+    power sums (n, Σx, Σx², [Σy, Σy², Σxy]) combined per batch, so key skew
+    ships one partial row per block; the final moments are one fixed-order
+    float expression per key, reproducible bit-for-bit by a SQL oracle that
+    names the same primitives (inputs must be scaled ints; Σx² must stay
+    below 2^63).  Output: ``n, var_pop, std_pop`` (+ ``cov_pop, corr``)."""
+    cols = [col] + ([col2] if col2 else [])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[keys].copy()
+        x = df[col].to_numpy(np.int64)
+        d["__n"] = np.int64(1)
+        d["__sx"] = x
+        d["__sxx"] = x * x
+        if col2:
+            y = df[col2].to_numpy(np.int64)
+            d["__sy"] = y
+            d["__syy"] = y * y
+            d["__sxy"] = x * y
+        g = d.groupby(keys, sort=False, observed=True, dropna=False).sum()
+        return g.reset_index()
+
+    partial = ds.select_columns(keys + cols).map_batches(_partial, batch_format="pandas")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, observed=True, dropna=False).sum().reset_index()
+        n = g["__n"].to_numpy(np.float64)
+        sx = g["__sx"].to_numpy(np.float64)
+        sxx = g["__sxx"].to_numpy(np.float64)
+        out = g[keys].copy()
+        out["n"] = g["__n"].to_numpy(np.int64)
+        var = (sxx - sx * sx / n) / n
+        out["var_pop"] = var
+        out["std_pop"] = np.sqrt(var)
+        if col2:
+            sy = g["__sy"].to_numpy(np.float64)
+            syy = g["__syy"].to_numpy(np.float64)
+            sxy = g["__sxy"].to_numpy(np.float64)
+            cov = (sxy - sx * sy / n) / n
+            out["cov_pop"] = cov
+            vy = (syy - sy * sy / n) / n
+            out["corr"] = cov / (np.sqrt(var) * np.sqrt(vy))
+        return out
+
+    return grouped_transform(partial, keys, _final, num_partitions)
+
+
+def set_op(left: Dataset, right: Dataset, how: str = "intersect",
+           num_partitions: int = 32) -> Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct semantics) over same-schema
+    sides.  Per-block dedup bounds the shuffle to distinct rows per block;
+    one key-hash co-partition on the full row then decides membership —
+    never a driver-side collect."""
+    if how not in ("intersect", "except"):
+        raise ValueError(f"how must be intersect/except, got {how!r}")
+    cols = list(left.schema().names)
+    if list(right.schema().names) != cols:
+        raise ValueError("set_op sides must share an identical schema")
+
+    def _tag(side: int):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop_duplicates(cols).copy(deep=False)
+            d["__side"] = np.int8(side)
+            return d
+        return _f
+
+    both = union_all([left.map_batches(_tag(0), batch_format="pandas"),
+                      right.map_batches(_tag(1), batch_format="pandas")])
+
+    def _decide(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cols, sort=False, observed=True, dropna=False)["__side"]
+        has_l = g.min() == 0
+        has_r = g.max() == 1
+        keep = (has_l & has_r) if how == "intersect" else (has_l & ~has_r)
+        return keep[keep].reset_index()[cols]
+
+    return grouped_transform(both, cols, _decide, num_partitions)
+
+
+def grouped_string_agg(ds: Dataset, keys: list[str], col: str, order_col: str,
+                       sep: str = ",", out_col: str = "agg",
+                       num_partitions: int = 32) -> Dataset:
+    """SQL ``string_agg(col, sep ORDER BY order_col)`` per key — holistic
+    (needs every member), one vectorized pandas join per partition."""
+
+    def _cat(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_col, kind="stable")
+        g = df.groupby(keys, sort=False, observed=True, dropna=False)[col]
+        return g.agg(lambda s: sep.join(s.astype(str))).rename(out_col).reset_index()
+
+    proj = list(dict.fromkeys(keys + [col, order_col]))  # col may BE order_col
+    return grouped_transform(ds.select_columns(proj), keys, _cat, num_partitions)
+
+
+def grouped_mode(ds: Dataset, keys: list[str], col: str, out_col: str = "mode",
+                 num_partitions: int = 32) -> Dataset:
+    """Grouped most-frequent value, lowest value on frequency ties —
+    skew-proof two-phase: per-batch (key, value) counts collapse before the
+    shuffle, the final pass merges counts and takes the deterministic
+    argmax per key."""
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + [col], sort=False, observed=True, dropna=False).size()
+        return g.rename("__n").reset_index()
+
+    partial = ds.select_columns(keys + [col]).map_batches(_counts, batch_format="pandas")
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        merged = (df.groupby(keys + [col], sort=False, observed=True, dropna=False)["__n"]
+                  .sum().reset_index())
+        merged = merged.sort_values([col], kind="stable").sort_values(
+            ["__n"], ascending=False, kind="stable")
+        first = merged.groupby(keys, sort=False, observed=True, dropna=False).head(1)
+        return first[keys + [col]].rename(columns={col: out_col})
+
+    return grouped_transform(partial, keys, _pick, num_partitions)
 
 
 def semi_join(left: Dataset, right: Dataset, on: str, right_on: str,
