@@ -1010,6 +1010,49 @@ def q_langid(sf_dir: str):
     return enrich_documents(docs, fingerprints=False).select_columns(["doc_id", "lang_pred"])
 
 
+def q_term_doc_freq(sf_dir: str):
+    """Token explode (flat_map) -> per-doc distinct -> document frequency ->
+    global top-20 terms.  Exact SQL twin via regexp_split + unnest."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _terms(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                          "term": b["text"].str.lower().str.split()})
+        out = d.explode("term").dropna(subset=["term"])
+        return out.drop_duplicates(["doc_id", "term"])[["doc_id", "term"]]
+
+    pairs = docs.map_batches(_terms, batch_format="pandas")
+    freq = R.grouped_agg(pairs, ["term"], {"n_docs": ("doc_id", "size")})
+    return R.topk(freq.map_batches(
+        lambda df: df.assign(__neg=-df["n_docs"].to_numpy()), batch_format="pandas"),
+        ["__neg", "term"], 20, descending=[False, False]).drop_columns(["__neg"])
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries top-10 hosts (k=64 >= |distinct hosts| -> counters are
+    EXACT, so the SQL group-count oracle is valid; the same operator runs
+    approximate at web cardinalities with n/k error)."""
+    from ..stages.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _host(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"host": [f"{s}.example.com" for s in b["source"].to_pylist()]})
+
+    return heavy_hitters(docs.map_batches(_host, batch_format="pyarrow"),
+                         "host", k=64, top=10, out_val="host", out_count="n_docs")
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable deterministic KLL-style quantile sketch over lineitem
+    extendedprice (rows-only: approximate by design; pytest bounds the rank
+    error vs exact)."""
+    from ..stages.sketch import quantile_sketch
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return quantile_sketch(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1269,6 +1312,9 @@ QUERIES = {
     "except": q_except,
     "string_agg": q_string_agg,
     "grouped_mode": q_grouped_mode,
+    "term_doc_freq": q_term_doc_freq,
+    "heavy_hitters": q_heavy_hitters,
+    "quantile_sketch": q_quantile_sketch,
 }
 
 
@@ -1726,6 +1772,17 @@ ORACLE_SQL = {
         WHERE array_length(regexp_extract_all(text, '\\S+')) > 0
     """,
     "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "term_doc_freq": """
+        SELECT term, count(*) AS n_docs FROM (
+            SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents)
+        WHERE term <> ''
+        GROUP BY term ORDER BY n_docs DESC, term LIMIT 20
+    """,
+    "heavy_hitters": """
+        SELECT source || '.example.com' AS host, count(*) AS n_docs
+        FROM documents GROUP BY 1 ORDER BY n_docs DESC, host LIMIT 10
+    """,
     "dedup_exact_docs": """
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
     """,

@@ -1,0 +1,166 @@
+"""Mergeable streaming sketches: Misra-Gries heavy hitters, KLL-style
+quantiles.
+
+The 100-TB rationale: exact grouped counts/quantiles shuffle one row per
+distinct key (``grouped_agg``/``grouped_quantiles``); at web cardinalities
+(hosts, tokens, user ids) the DISTINCT set itself is the problem.  These
+operators bound state to O(k) per block regardless of cardinality, and the
+partials merge associatively — the same two-phase shape as
+:func:`..stages.relational.grouped_agg` with sketches as the partial rows.
+
+Both sketches are DETERMINISTIC (no RNG): Misra-Gries by construction; the
+quantile sketch uses parity-alternating compaction instead of coin flips, so
+re-runs and retries reproduce bit-identical summaries.
+
+- :func:`heavy_hitters` — Misra-Gries/SpaceSaving-style top-k: counters are
+  exact when ``k >= |distinct|`` (making an SQL group-count oracle valid),
+  and within ``n/k`` absolute error otherwise (Misra & Gries 1982).
+- :func:`quantile_sketch` — levelled compactor ladder (Karnin-Lang-Liberty
+  shape): buffers of size ``m`` per level, full buffers sort + keep every
+  other element at weight 2^level.  Rank error ~ O(levels/m).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .relational import grouped_transform
+
+__all__ = ["heavy_hitters", "quantile_sketch", "mg_merge", "kll_compact"]
+
+
+def _mg_compress(values: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Keep <= k counters: subtract the (k+1)-largest count from all, drop
+    non-positive (the vectorized Misra-Gries decrement step)."""
+    if len(values) <= k:
+        return values, counts
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > kth
+    return values[keep], counts[keep] - kth
+
+
+def mg_merge(parts: "list[tuple[np.ndarray, np.ndarray]]", k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge Misra-Gries partials: sum counters per value, re-compress.
+    Total undercount stays <= n/k (errors add, bound doesn't grow past it)."""
+    vals = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    s = pd.Series(cnts).groupby(pd.Series(vals), sort=False).sum()
+    return _mg_compress(s.index.to_numpy(), s.to_numpy(), k)
+
+
+def heavy_hitters(ds: Dataset, col: str, k: int = 64, top: int = 10,
+                  out_val: str = "value", out_count: str = "est_count") -> Dataset:
+    """Approximate top-``top`` values of ``col`` with Misra-Gries counters.
+
+    Per-batch partial: exact value counts compressed to ``k`` counters
+    (O(k) state, any cardinality).  Partials land in ONE merge partition
+    (they are k rows per block — tiny), counts sum, one final compression,
+    top rows by (count desc, value asc).  Estimates are exact when the true
+    distinct count <= k; otherwise each count is an undercount by at most
+    n/k (the classic guarantee)."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts(sort=False)
+        v, c = _mg_compress(vc.index.to_numpy(), vc.to_numpy().astype(np.int64), k)
+        return pd.DataFrame({"__v": v, "__c": c, "__g": np.int8(0)})
+
+    partial = ds.select_columns([col]).map_batches(_partial, batch_format="pandas")
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        v, c = mg_merge([(df["__v"].to_numpy(), df["__c"].to_numpy(np.int64))], k)
+        out = pd.DataFrame({out_val: v, out_count: c})
+        out = out.sort_values(out_val, kind="stable").sort_values(
+            out_count, ascending=False, kind="stable").head(top)
+        return out.reset_index(drop=True)
+
+    return grouped_transform(partial, ["__g"], _merge, num_partitions=1)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch
+# ---------------------------------------------------------------------------
+
+def kll_compact(levels: "list[np.ndarray]", m: int) -> "list[np.ndarray]":
+    """Compact every over-full buffer upward: sort, keep alternating elements
+    (offset = level parity — deterministic stand-in for KLL's coin flip),
+    promote to the next level at doubled weight."""
+    levels = [lv.copy() for lv in levels]
+    li = 0
+    while li < len(levels):
+        if len(levels[li]) > m:
+            buf = np.sort(levels[li])
+            promoted = buf[(li % 2)::2]
+            levels[li] = buf[:0]
+            if li + 1 == len(levels):
+                levels.append(promoted)
+            else:
+                levels[li + 1] = np.concatenate([levels[li + 1], promoted])
+        li += 1
+    return levels
+
+
+def _kll_bytes(levels: "list[np.ndarray]") -> bytes:
+    import struct
+
+    out = [struct.pack("<I", len(levels))]
+    for lv in levels:
+        out.append(struct.pack("<I", len(lv)))
+        out.append(np.ascontiguousarray(lv, dtype=np.float64).tobytes())
+    return b"".join(out)
+
+
+def _kll_from_bytes(b: bytes) -> "list[np.ndarray]":
+    import struct
+
+    (nlev,) = struct.unpack_from("<I", b, 0)
+    off = 4
+    levels = []
+    for _ in range(nlev):
+        (n,) = struct.unpack_from("<I", b, off)
+        off += 4
+        levels.append(np.frombuffer(b, dtype=np.float64, count=n, offset=off).copy())
+        off += 8 * n
+    return levels
+
+
+def quantile_sketch(ds: Dataset, col: str, qs: "list[float]", m: int = 256,
+                    prefix: str = "q") -> Dataset:
+    """Approximate quantiles of ``col`` from a mergeable compactor ladder:
+    O(m log(n/m)) retained samples regardless of n.  Per-batch partials
+    serialize their ladders; one merge partition concatenates level-wise,
+    re-compacts, and reads the weighted quantiles.  Deterministic (parity
+    compaction), so retries/re-runs agree exactly.  Output: one row with
+    columns ``<prefix><percent>``."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].to_numpy(np.float64)
+        levels = kll_compact([vals], m)
+        return pd.DataFrame({"__sk": [_kll_bytes(levels)], "__g": np.int8(0)})
+
+    partial = ds.select_columns([col]).map_batches(_partial, batch_format="pandas")
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        merged: list[np.ndarray] = []
+        for b in df["__sk"]:
+            for li, lv in enumerate(_kll_from_bytes(b)):
+                while len(merged) <= li:
+                    merged.append(np.empty(0, dtype=np.float64))
+                merged[li] = np.concatenate([merged[li], lv])
+        merged = kll_compact(merged, m)
+        vals = np.concatenate(merged) if merged else np.empty(0)
+        wts = np.concatenate([np.full(len(lv), 1 << li, dtype=np.int64)
+                              for li, lv in enumerate(merged)]) if merged else np.empty(0, np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = cum[-1] if len(cum) else 0
+        out = {}
+        for q in qs:
+            target = q * total
+            i = int(np.searchsorted(cum, target, side="left")) if total else 0
+            out[f"{prefix}{int(q * 100)}"] = [float(vals[min(i, len(vals) - 1)])] if len(vals) else [np.nan]
+        return pd.DataFrame(out)
+
+    return grouped_transform(partial, ["__g"], _merge, num_partitions=1)

@@ -1,0 +1,69 @@
+"""Mergeable sketches: Misra-Gries guarantees, KLL rank-error bounds."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from drivers_of_global_deforestation_ray.stages.sketch import (
+    heavy_hitters, kll_compact, quantile_sketch)
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def test_heavy_hitters_exact_when_k_covers_cardinality(rd):
+    rng = np.random.default_rng(3)
+    vals = rng.choice([f"h{i}" for i in range(30)], 20_000,
+                      p=np.linspace(1, 60, 30) / np.linspace(1, 60, 30).sum())
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    got = heavy_hitters(ds, "v", k=64, top=10).to_pandas()
+    want = (pd.Series(vals).value_counts().rename_axis("value")
+            .reset_index(name="n").sort_values(["n", "value"],
+                                               ascending=[False, True]).head(10))
+    assert got["value"].tolist() == want["value"].tolist()
+    assert got["est_count"].tolist() == want["n"].tolist()
+
+
+def test_heavy_hitters_error_bound_high_cardinality(rd):
+    """Zipf over 20k distinct values with k=128 counters: the true heavy
+    hitters must surface and every estimate must be within n/k undercount."""
+    rng = np.random.default_rng(4)
+    n = 100_000
+    zipf = np.minimum(rng.zipf(1.3, n), 20_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": zipf})).repartition(8)
+    k = 128
+    got = heavy_hitters(ds, "v", k=k, top=5).to_pandas()
+    true = pd.Series(zipf).value_counts()
+    for _, row in got.iterrows():
+        t = int(true.get(row["value"], 0))
+        assert row["est_count"] <= t  # MG never overcounts
+        assert t - row["est_count"] <= n // k + 1
+    # the single most frequent value is found
+    assert got["value"].iloc[0] == true.index[0]
+
+
+def test_quantile_sketch_rank_error(rd):
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3, 1.5, 200_000)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(16)
+    got = quantile_sketch(ds, "x", [0.25, 0.5, 0.75, 0.95], m=256).to_pandas()
+    sorted_vals = np.sort(vals)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        est = got[f"q{int(q * 100)}"].iloc[0]
+        rank = np.searchsorted(sorted_vals, est) / len(vals)
+        assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_kll_compact_deterministic_and_bounded():
+    rng = np.random.default_rng(6)
+    vals = rng.uniform(0, 1, 50_000)
+    a = kll_compact([vals], 256)
+    b = kll_compact([vals.copy()], 256)
+    for la, lb in zip(a, b):
+        assert (la == lb).all()
+    total = sum(len(lv) for lv in a)
+    assert total <= 256 * (len(a) + 1)  # O(m log(n/m)) retained
