@@ -313,6 +313,30 @@ def q_goode_tiles(sf_dir: str):
     return docs.map_batches(_f, batch_format="pyarrow")
 
 
+def q_goode_zonal(sf_dir: str):
+    """Projection + shuffle composed: igh-placed docs aggregated per
+    reference-grid 10-km cell (the flagship's zonal step on the TRUE Goode
+    grid instead of the linear mini-grid)."""
+    from ..functions.goode import igh_forward
+    from ..functions.grid import GOODE_GRID
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _f(b: pa.Table) -> pd.DataFrame:
+        df = _doc_urls_batch(b)
+        x, y = igh_forward(df["lat"].to_numpy(), df["lon"].to_numpy())
+        row, col = latlon_to_rowcol(y, x, GOODE_GRID)
+        return pd.DataFrame({"goode_tile": row * GOODE_GRID.ncols + col + 1,
+                             "doc_id": df["doc_id"].to_numpy(),
+                             "n_chars": b["n_chars"].to_numpy()})
+
+    return R.grouped_agg(docs.map_batches(_f, batch_format="pyarrow"),
+                         ["goode_tile"],
+                         {"n_docs": ("doc_id", "size"),
+                          "sum_chars": ("n_chars", "sum"),
+                          "min_doc": ("doc_id", "min")})
+
+
 def q_tile_zonal(sf_dir: str):
     """A3/A7: the cell-keyed zonal aggregate shuffle."""
     docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
@@ -1315,6 +1339,7 @@ QUERIES = {
     "term_doc_freq": q_term_doc_freq,
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
+    "goode_zonal": q_goode_zonal,
 }
 
 
@@ -1477,6 +1502,13 @@ ORACLE_SQL = {
     """,
     "geocode_tiles": f"SELECT doc_id, lat, lon, tile_id FROM ({_TILE_SQL})",
     "goode_tiles": _goode_sql(),
+    "goode_zonal": f"""
+        SELECT g.goode_tile, count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(d.doc_id) AS BIGINT) AS min_doc
+        FROM ({_goode_sql()}) g JOIN documents d USING (doc_id)
+        GROUP BY g.goode_tile
+    """,
     "tile_zonal": f"""
         SELECT t.tile_id, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
