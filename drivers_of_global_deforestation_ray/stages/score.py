@@ -25,7 +25,24 @@ from ray.data import Dataset
 
 from ..state.cart import CartTree, fit_cart, prune_cart
 
-__all__ = ["fit_region_trees", "TreeScorer", "score_with_trees", "vote_and_gate", "OUT_COLS"]
+__all__ = ["fit_region_trees", "TreeScorer", "score_with_trees", "vote_and_gate",
+           "export_tree_report", "OUT_COLS"]
+
+
+def export_tree_report(trees: "dict[tuple[int, int], dict]",
+                       feature_names: "list[str]", path: str) -> None:
+    """Render every fitted (region, driver) tree to one PDF, one page per
+    tree — the reference's ``pdf(); plot(fit); text(fit)`` export
+    (``Supplemental_Data_1.R:287,316-318,345``; SURVEY.md S7)."""
+    from ..sources.pdf import write_text_pdf
+    from ..state.cart import CartTree, tree_text
+
+    pages = []
+    for (r, d) in sorted(trees):
+        t = CartTree.from_arrays(trees[(r, d)])
+        pages.append((f"CART region={r} driver={d} "
+                      f"(leaves={t.num_leaves})", tree_text(t, feature_names)))
+    write_text_pdf(path, pages)
 
 DRIVERS = [1, 2, 3, 4, 5]
 OUT_COLS = [f"out{d}" for d in DRIVERS]

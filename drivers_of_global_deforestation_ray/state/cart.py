@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["CartTree", "fit_cart", "prune_cart"]
+__all__ = ["CartTree", "fit_cart", "prune_cart", "tree_text"]
 
 _LEAF = -1
 
@@ -102,6 +102,28 @@ class CartTree:
     def num_leaves(self) -> int:
         r = self.reachable()
         return int((self.feature[r] == _LEAF).sum())
+
+
+def tree_text(tree: "CartTree", feature_names: "list[str]") -> "list[str]":
+    """Indented text rendering of the fitted tree — the engine's
+    ``plot(fit); text(fit)`` analog (``Supplemental_Data_1.R:316-318``),
+    consumed by the S7 PDF report sink."""
+    lines: list[str] = []
+
+    def walk(i: int, depth: int) -> None:
+        pad = "  " * depth
+        if tree.feature[i] == _LEAF:
+            lines.append(f"{pad}leaf value={tree.value[i]:.6f} n={int(tree.n_node[i])}")
+            return
+        f = feature_names[tree.feature[i]]
+        lines.append(f"{pad}{f} < {tree.threshold[i]:.6f} "
+                     f"(n={int(tree.n_node[i])}, gain={tree.improvement[i]:.6f})")
+        walk(int(tree.left[i]), depth + 1)
+        lines.append(f"{pad}{f} >= {tree.threshold[i]:.6f}")
+        walk(int(tree.right[i]), depth + 1)
+
+    walk(0, 0)
+    return lines
 
 
 def _best_split(
