@@ -1034,6 +1034,18 @@ def q_langid(sf_dir: str):
     return enrich_documents(docs, fingerprints=False).select_columns(["doc_id", "lang_pred"])
 
 
+def q_stratified_alloc(sf_dir: str):
+    """Reference allocation-rule stratified sampling (O2,
+    ``Supplemental_Data_1.R:764-770``): sample customers per nation with
+    proportional allocation floored at 40; the query RUNS the sampler and
+    returns per-stratum SAMPLED counts, which the SQL oracle reproduces
+    from the closed-form rule — hash-exact despite the RNG row choice."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    sampled = R.stratified_sample_allocated(cust, "c_nationkey", "c_custkey",
+                                            total=750, floor=40, seed=42)
+    return R.grouped_agg(sampled, ["c_nationkey"], {"n_sampled": ("c_custkey", "size")})
+
+
 def q_term_doc_freq(sf_dir: str):
     """Token explode (flat_map) -> per-doc distinct -> document frequency ->
     global top-20 terms.  Exact SQL twin via regexp_split + unnest."""
@@ -1340,6 +1352,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
     "goode_zonal": q_goode_zonal,
+    "stratified_alloc": q_stratified_alloc,
 }
 
 
@@ -1814,6 +1827,15 @@ ORACLE_SQL = {
     "heavy_hitters": """
         SELECT source || '.example.com' AS host, count(*) AS n_docs
         FROM documents GROUP BY 1 ORDER BY n_docs DESC, host LIMIT 10
+    """,
+    "stratified_alloc": """
+        WITH c AS (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
+        SELECT c_nationkey,
+               CAST(CASE WHEN cnt < 40 THEN cnt
+                    ELSE GREATEST(CAST(floor(cnt / t.total * 750 + 0.5) AS BIGINT), 40)
+                    END AS BIGINT) AS n_sampled
+        FROM c, t
     """,
     "dedup_exact_docs": """
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)

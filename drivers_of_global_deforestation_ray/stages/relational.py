@@ -64,6 +64,7 @@ __all__ = [
     "topk",
     "grouped_topk",
     "stratified_sample",
+    "stratified_sample_allocated",
     "add_rank",
     "union_all",
     "partitioned_write",
@@ -972,6 +973,46 @@ def stratified_sample(
         sv = g.iloc[0][stratum_col]
         rng = np.random.default_rng((seed ^ stable_hash64(str(sv))) & 0x7FFFFFFFFFFFFFFF)
         take = min(n_per_stratum, len(g))
+        idx = np.sort(rng.choice(len(g), size=take, replace=False))
+        return g.iloc[idx]
+
+    return ds.groupby(stratum_col).map_groups(_sample, batch_format="pandas")
+
+
+def stratified_sample_allocated(
+    ds: Dataset, stratum_col: str, id_col: str, total: int = 750,
+    floor: int = 40, seed: int = 42, num_partitions: int = 32,
+) -> Dataset:
+    """Proportional stratified sampling with the reference's allocation rule
+    (``Supplemental_Data_1.R:764-770,826-844``): each stratum gets
+    ``round(count/total_rows * total)`` rows, clamped UP to ``floor`` unless
+    the stratum is smaller than the floor (then all of it).  Deterministic:
+    per-stratum RNG seeded from (seed, stratum), rows chosen over the
+    id-sorted stratum — partitioning-invariant, like
+    :func:`stratified_sample`.
+
+    ``round`` is half-away-from-zero (``floor(x + 0.5)``) on BOTH the engine
+    and the SQL-oracle side — an explicit, reproducible tie rule (R's own
+    ``round`` is half-to-even; the ±1 allocation difference is immaterial,
+    cross-engine determinism is not).
+
+    The allocation table is |strata| rows (small by the operator's nature) —
+    computed distributed, collected once, broadcast into the per-group
+    sampler."""
+    counts = (grouped_agg(ds.select_columns([stratum_col, id_col]),
+                          [stratum_col], {"cnt": (id_col, "size")})
+              .to_pandas())
+    n_total = float(counts["cnt"].sum())
+    num = np.floor(counts["cnt"].to_numpy() / n_total * total + 0.5).astype(np.int64)
+    cnt = counts["cnt"].to_numpy()
+    alloc = np.where(cnt < floor, cnt, np.maximum(num, floor))
+    alloc_ref = ray.put(dict(zip(counts[stratum_col].tolist(), alloc.tolist())))
+
+    def _sample(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        sv = g.iloc[0][stratum_col]
+        take = min(int(ray.get(alloc_ref)[sv]), len(g))
+        rng = np.random.default_rng((seed ^ stable_hash64(str(sv))) & 0x7FFFFFFFFFFFFFFF)
         idx = np.sort(rng.choice(len(g), size=take, replace=False))
         return g.iloc[idx]
 
