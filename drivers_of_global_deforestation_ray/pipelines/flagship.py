@@ -63,6 +63,9 @@ class FlagshipConfig:
     loss_threshold: float = 0.005   # Supplemental_Data_1.R:407,496
     smooth_k: int = 2               # Expand neighborhood depth (J7)
     batch_size: int = 8192
+    # "linear" = equirect mini-grid (golden parity); "igh" = true
+    # interrupted-Goode placement into a meters-extent grid (north star)
+    projection: str = "linear"
     # None -> sized from the cluster at run time: (1, max(2, CPUs//4)) so the
     # two actor pools can't starve the page-map tasks on small clusters
     scorer_concurrency: tuple | None = None
@@ -73,13 +76,28 @@ class FlagshipConfig:
 # stage callables
 # ---------------------------------------------------------------------------
 
-def page_features_batch(batch: pa.Table, grid: GridSpec, res: int) -> pa.Table:
+def page_features_batch(batch: pa.Table, grid: GridSpec, res: int,
+                        projection: str = "linear") -> pa.Table:
     """Stateless page map: html -> text, url -> (lat, lon) -> tile_id, plus
-    token/quality stats.  Pure function of the batch (determinism test)."""
+    token/quality stats.  Pure function of the batch (determinism test).
+
+    ``projection="igh"`` places pages through the TRUE interrupted-Goode
+    forward transform into a meters-extent grid (the reference's CRS,
+    ``Supplemental_Data_1.R:66-70``); ``"linear"`` keeps the equirect
+    mini-grid mapping the goldens are pinned to.  Downstream stages are
+    projection-agnostic: tile ids key everything, and region polygons live
+    in the SAME plane as the grid (igh meters or degrees), exactly like the
+    reference's igh-CRS boundary layer."""
     urls = batch["url"].to_pylist()
     texts = extract_text_batch(batch["html"].to_pylist())
     lat, lon = geocode_urls(urls)
-    tiles = latlon_to_tile(lat, lon, grid, res)
+    if projection == "igh":
+        from ..functions.goode import igh_forward
+
+        x, y = igh_forward(lat, lon)
+        tiles = latlon_to_tile(y, x, grid, res)  # grid extent is igh meters
+    else:
+        tiles = latlon_to_tile(lat, lon, grid, res)
     q = quality_stats(pd.Series(texts))
     return pa.table(
         {
@@ -158,11 +176,11 @@ def run_flagship(pages: Dataset | str, cfg: FlagshipConfig, out_dir: str | None 
     if isinstance(pages, str):
         pages = rd.read_parquet(pages, columns=["url", "html"])
 
-    grid, res = cfg.grid, cfg.res
+    grid, res, proj = cfg.grid, cfg.res, cfg.projection
 
     # stage 1-2: page map + zonal page stats
     per_page = pages.map_batches(
-        lambda b: page_features_batch(b, grid, res),
+        lambda b: page_features_batch(b, grid, res, proj),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
@@ -278,7 +296,7 @@ def run_flagship_checkpointed(
         per_page = rd.read_parquet(
             files, columns=["url", "html"], override_num_blocks=int(nblocks)
         ).map_batches(
-            lambda b: page_features_batch(b, grid, res),
+            lambda b: page_features_batch(b, grid, res, proj),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )

@@ -1165,6 +1165,26 @@ def q_flagship_checkpointed(sf_dir: str):
     return final.select_columns(["tile_id", "region", "class_final", "n_pages", "loss"])
 
 
+def q_flagship_igh(sf_dir: str):
+    """Flagship in GEOGRAPHIC mode: pages placed by the true interrupted-
+    Goode forward transform into a meters-extent grid; polygons/rasters in
+    the igh plane (the reference's CRS layout).  Rows-only (miniworld-
+    derived classes)."""
+    from ..functions.grid import GOODE_GRID, GridSpec
+    from .flagship import FlagshipConfig, run_flagship
+    from ..sources.miniworld import build_miniworld
+
+    igh_mini = GridSpec(nrows=64, ncols=64,
+                        lat_min=GOODE_GRID.lat_min, lat_max=GOODE_GRID.lat_max,
+                        lon_min=GOODE_GRID.lon_min, lon_max=GOODE_GRID.lon_max)
+    build_miniworld("/tmp/graft_ighworld", grid=igh_mini)
+    pages_dir = _pages_dir_for(sf_dir)
+    cfg = FlagshipConfig(world_dir="/tmp/graft_ighworld", grid=igh_mini,
+                         projection="igh")
+    final = run_flagship(pages_dir, cfg)
+    return final.select_columns(["tile_id", "region", "class_final", "n_pages", "loss"])
+
+
 def q_per_class_loss(sf_dir: str):
     """A3 over the flagship output: per-final-class grouped mean loss + tile
     count (``Supplemental_Data_1.R:516-521``); rows-only (miniworld-derived)."""
@@ -1353,6 +1373,7 @@ QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "goode_zonal": q_goode_zonal,
     "stratified_alloc": q_stratified_alloc,
+    "flagship_igh": q_flagship_igh,
 }
 
 
