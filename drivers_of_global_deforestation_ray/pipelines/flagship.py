@@ -287,7 +287,7 @@ def run_flagship_checkpointed(
     from ..sources.checkpoint import StageCheckpoint, shard_files
     from ..stages.relational import grouped_agg_final, grouped_agg_partial
 
-    grid, res = cfg.grid, cfg.res
+    grid, res, proj = cfg.grid, cfg.res, cfg.projection
 
     def _stage(files: list[str]) -> Dataset:
         # a shard is often ONE file: force block splitting or the fused
