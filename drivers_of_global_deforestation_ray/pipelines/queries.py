@@ -1034,6 +1034,34 @@ def q_langid(sf_dir: str):
     return enrich_documents(docs, fingerprints=False).select_columns(["doc_id", "lang_pred"])
 
 
+def q_unpivot(sf_dir: str):
+    """Wide -> long melt (SQL UNPIVOT parity): lineitem measures exploded to
+    (orderkey, linenumber, key, value_scaled) rows, then per-key sums."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+                         "qty_scaled": R.scaled_int(b["l_quantity"], 100),
+                         "price_scaled": R.scaled_int(b["l_extendedprice"], 100)})
+
+    long = R.unpivot(li.map_batches(_prep, batch_format="pyarrow"),
+                     ["l_orderkey", "l_linenumber"],
+                     ["qty_scaled", "price_scaled"], key_col="measure",
+                     value_col="v")
+    return R.grouped_agg(long, ["measure"], {"n": ("v", "size"),
+                                             "sum_v": ("v", "sum")})
+
+
+def q_cross_join(sf_dir: str):
+    """Broadcast cartesian product: every region x every nation, counted."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"])
+    j = R.cross_join(nat, reg)
+    return R.grouped_agg(j, ["r_name"], {"n_pairs": ("n_nationkey", "size"),
+                                         "min_nation": ("n_name", "min")})
+
+
 def q_stratified_alloc(sf_dir: str):
     """Reference allocation-rule stratified sampling (O2,
     ``Supplemental_Data_1.R:764-770``): sample customers per nation with
@@ -1374,6 +1402,8 @@ QUERIES = {
     "goode_zonal": q_goode_zonal,
     "stratified_alloc": q_stratified_alloc,
     "flagship_igh": q_flagship_igh,
+    "unpivot": q_unpivot,
+    "cross_join": q_cross_join,
 }
 
 
@@ -1848,6 +1878,19 @@ ORACLE_SQL = {
     "heavy_hitters": """
         SELECT source || '.example.com' AS host, count(*) AS n_docs
         FROM documents GROUP BY 1 ORDER BY n_docs DESC, host LIMIT 10
+    """,
+    "unpivot": """
+        SELECT measure, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v FROM (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS qty_scaled,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_scaled
+            FROM lineitem)
+        UNPIVOT (v FOR measure IN (qty_scaled, price_scaled))
+        GROUP BY measure
+    """,
+    "cross_join": """
+        SELECT r_name, count(*) AS n_pairs, min(n_name) AS min_nation
+        FROM nation CROSS JOIN region GROUP BY r_name
     """,
     "stratified_alloc": """
         WITH c AS (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey),

@@ -58,6 +58,8 @@ __all__ = [
     "distinct_keys",
     "semi_join",
     "one_hot",
+    "unpivot",
+    "cross_join",
     "fill_null",
     "argmax_vote",
     "dedup_exact",
@@ -864,6 +866,42 @@ def asof_join(
 # ---------------------------------------------------------------------------
 # per-batch map helpers
 # ---------------------------------------------------------------------------
+
+def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
+            key_col: str = "key", value_col: str = "value") -> Dataset:
+    """Wide -> long (SQL ``UNPIVOT`` / pandas ``melt``): one output row per
+    (input row, value column).  Stateless per-batch explode — no shuffle;
+    the inverse of the pivot/one-hot composition."""
+
+    def _melt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(id_vars=id_cols, value_vars=value_cols,
+                       var_name=key_col, value_name=value_col)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        _melt, batch_format="pandas")
+
+
+def cross_join(left: Dataset, small: pa.Table) -> Dataset:
+    """Broadcast cartesian product: every left row x every row of the small
+    driver-resident side (``ray.put`` once).  Output size multiplies by
+    ``len(small)`` — the caller owns that contract; useful for small
+    calendar/parameter grids."""
+    overlap = set(small.column_names) & set(left.schema().names)
+    if overlap:
+        raise ValueError(f"cross_join column collision: {overlap}")
+    ref = ray.put(small)
+
+    def _prod(batch: pa.Table) -> pa.Table:
+        s: pa.Table = ray.get(ref)
+        n, m = len(batch), len(s)
+        big = batch.take(pa.array(np.repeat(np.arange(n), m)))
+        rep = s.take(pa.array(np.tile(np.arange(m), n)))
+        for name in rep.column_names:
+            big = big.append_column(name, rep[name])
+        return big
+
+    return left.map_batches(_prod, batch_format="pyarrow")
+
 
 def one_hot(ds: Dataset, col: str, values: Iterable, prefix: str | None = None) -> Dataset:
     """One-hot columns ``<prefix><v>`` as int64 0/1 — the reference's
