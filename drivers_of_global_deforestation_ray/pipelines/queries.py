@@ -1062,6 +1062,17 @@ def q_cross_join(sf_dir: str):
                                          "min_nation": ("n_name", "min")})
 
 
+def q_grouped_quantile_sketch(sf_dir: str):
+    """Skew-proof per-key approximate quantiles (mergeable KLL partials —
+    a hot key ships sketches, never raw rows).  Rows-only by design; the
+    pytest bounds rank error on a 95%-hot-key fixture."""
+    from ..stages.sketch import grouped_quantile_sketch
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_quantile_sketch(li, ["l_returnflag"], "l_extendedprice",
+                                   [0.25, 0.5, 0.75])
+
+
 def q_stratified_alloc(sf_dir: str):
     """Reference allocation-rule stratified sampling (O2,
     ``Supplemental_Data_1.R:764-770``): sample customers per nation with
@@ -1404,6 +1415,7 @@ QUERIES = {
     "flagship_igh": q_flagship_igh,
     "unpivot": q_unpivot,
     "cross_join": q_cross_join,
+    "grouped_quantile_sketch": q_grouped_quantile_sketch,
 }
 
 

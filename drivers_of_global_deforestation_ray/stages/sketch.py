@@ -28,7 +28,8 @@ from ray.data import Dataset
 
 from .relational import grouped_transform
 
-__all__ = ["heavy_hitters", "quantile_sketch", "mg_merge", "kll_compact"]
+__all__ = ["heavy_hitters", "quantile_sketch", "grouped_quantile_sketch",
+           "mg_merge", "kll_compact"]
 
 
 def _mg_compress(values: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -123,6 +124,71 @@ def _kll_from_bytes(b: bytes) -> "list[np.ndarray]":
         levels.append(np.frombuffer(b, dtype=np.float64, count=n, offset=off).copy())
         off += 8 * n
     return levels
+
+
+def _kll_read_quantiles(levels: "list[np.ndarray]", qs: "list[float]") -> "list[float]":
+    vals = np.concatenate(levels) if levels else np.empty(0)
+    wts = (np.concatenate([np.full(len(lv), 1 << li, dtype=np.int64)
+                           for li, lv in enumerate(levels)])
+           if levels else np.empty(0, np.int64))
+    if not len(vals):
+        return [float("nan")] * len(qs)
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        i = int(np.searchsorted(cum, q * total, side="left"))
+        out.append(float(vals[min(i, len(vals) - 1)]))
+    return out
+
+
+def grouped_quantile_sketch(ds: Dataset, keys: "list[str]", col: str,
+                            qs: "list[float]", m: int = 256,
+                            prefix: str = "q",
+                            num_partitions: int = 32) -> Dataset:
+    """Per-KEY approximate quantiles from mergeable ladders — the skew-proof
+    alternative to the exact holistic :func:`..stages.relational.grouped_quantiles`:
+    a hot key ships one O(m log) sketch row per block through the shuffle
+    instead of its raw rows, so a key owning 99% of the data costs the same
+    as any other."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        grp = df.groupby(keys, sort=False, observed=True, dropna=False)
+        gid = grp.ngroup().to_numpy()
+        n_groups = int(gid.max()) + 1 if len(gid) else 0
+        if not n_groups:
+            return pd.DataFrame({**{k: df[k] for k in keys}, "__sk": []})
+        vals = df[col].to_numpy(np.float64)
+        order = np.argsort(gid, kind="stable")
+        starts = np.concatenate(([0], np.cumsum(np.bincount(gid))[:-1]))
+        ends = np.concatenate((starts[1:], [len(gid)]))
+        _, first_idx = np.unique(gid, return_index=True)
+        out = df.iloc[first_idx][keys].reset_index(drop=True)
+        out["__sk"] = [_kll_bytes(kll_compact([vals[order[s:e]]], m))
+                       for s, e in zip(starts, ends)]
+        return out
+
+    partial = ds.select_columns(keys + [col]).map_batches(_partial, batch_format="pandas")
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in df.groupby(keys, sort=False, observed=True, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            merged: list[np.ndarray] = []
+            for b in g["__sk"]:
+                for li, lv in enumerate(_kll_from_bytes(b)):
+                    while len(merged) <= li:
+                        merged.append(np.empty(0, dtype=np.float64))
+                    merged[li] = np.concatenate([merged[li], lv])
+            merged = kll_compact(merged, m)
+            ests = _kll_read_quantiles(merged, qs)
+            rows.append((*kv, *ests))
+        cols = keys + [f"{prefix}{int(q * 100)}" for q in qs]
+        return pd.DataFrame(rows, columns=cols)
+
+    return grouped_transform(partial, keys, _merge, num_partitions)
 
 
 def quantile_sketch(ds: Dataset, col: str, qs: "list[float]", m: int = 256,

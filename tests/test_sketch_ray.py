@@ -67,3 +67,32 @@ def test_kll_compact_deterministic_and_bounded():
         assert (la == lb).all()
     total = sum(len(lv) for lv in a)
     assert total <= 256 * (len(a) + 1)  # O(m log(n/m)) retained
+
+
+def test_grouped_quantile_sketch_skewed_key(rd):
+    """A key owning 95% of rows must still produce <2.5%-rank-error
+    quantiles at ANY partitioning (block layout changes which values
+    co-compact, so values may differ between layouts — the error BOUND is
+    the mergeability contract), and re-running the same layout is
+    bit-identical (the retry guarantee)."""
+    from drivers_of_global_deforestation_ray.stages.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(8)
+    n = 120_000
+    k = np.where(rng.uniform(size=n) < 0.95, 0, rng.integers(1, 4, n))
+    v = rng.gamma(2.0, 10.0, n)
+    df = pd.DataFrame({"k": k, "v": v})
+    for parts in (4, 16):
+        runs = []
+        for _rep in range(2):
+            got = grouped_quantile_sketch(rd.from_pandas(df).repartition(parts),
+                                          ["k"], "v", [0.5, 0.9], m=256,
+                                          num_partitions=4)
+            runs.append(got.to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(runs[0], runs[1])  # same layout -> exact
+        for _, row in runs[0].iterrows():
+            sub = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+            for q in (0.5, 0.9):
+                est = row[f"q{int(q * 100)}"]
+                rank = np.searchsorted(sub, est) / len(sub)
+                assert abs(rank - q) < 0.025, (row["k"], q, rank)
