@@ -54,8 +54,12 @@ _ENTITIES = [
     ("&amp;", "&"),  # last, so "&amp;lt;" -> "&lt;" (standard single-pass order)
 ]
 _NUM_ENTITY_RE = re.compile(r"&#(\d{1,7});")
-_HSPACE_RE = re.compile(r"[ \t\r\f\v]+")
 _BLANKLINES_RE = re.compile(r"\n{2,}")
+# Horizontal-whitespace collapse, byte-identical to subbing "[ \t\r\f\v]+"
+# with " " but ~5x fewer matches: a lone regular space maps to itself, so
+# only runs of >=2 or lone exotic whitespace need rewriting (regex sub cost
+# scales with MATCH count; prose is mostly single spaces).
+_HSPACE_RE = re.compile(r"[ \t\r\f\v]{2,}|[\t\r\f\v]")
 
 
 def extract_text(html: bytes | str) -> str:
