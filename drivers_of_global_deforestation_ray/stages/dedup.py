@@ -65,32 +65,31 @@ def dedup_exact_text(ds: Dataset, text_col: str, id_col: str) -> Dataset:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-class _MinHashStage:
-    """Actor: signature per doc, exploded to one row per LSH band.
+def _minhash_band_fn(text_col: str, id_col: str, num_perms: int, num_bands: int,
+                     shingle_k: int, seed: int):
+    """Per-batch band explode: signature per doc -> one row per LSH band.
 
-    The exploded rows are the ONLY thing that shuffles, so they stay compact:
-    (id:int64, band:str) — text and signatures never ride; verification
-    recomputes what it needs from fetched candidate texts."""
+    A plain task-pool function, NOT an actor pool: the only 'state' is the
+    MinHasher's two seeded RNG draws (~50us), so paying the 2-4 s actor-pool
+    spin-up for it is pure overhead.  The exploded rows are the ONLY thing
+    that shuffles, so they stay compact: (id:int64, band:str) — text and
+    signatures never ride; verification recomputes what it needs."""
 
-    def __init__(self, text_col: str, id_col: str, num_perms: int, num_bands: int,
-                 shingle_k: int, seed: int):
-        self.hasher = MinHasher(num_perms, seed)
-        self.text_col, self.id_col = text_col, id_col
-        self.num_bands = num_bands
-        self.shingle_k = shingle_k
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids_in = batch[self.id_col].to_numpy()
-        texts_in = batch[self.text_col].tolist()
-        hashes = [hash_tokens64(word_shingles(t or "", self.shingle_k)) for t in texts_in]
-        sigs = self.hasher.signature_many(hashes)  # (n, P) one batched pass
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        hasher = MinHasher(num_perms, seed)
+        ids_in = batch[id_col].to_numpy()
+        texts_in = batch[text_col].tolist()
+        hashes = [hash_tokens64(word_shingles(t or "", shingle_k)) for t in texts_in]
+        sigs = hasher.signature_many(hashes)  # (n, P) one batched pass
         ids: list = []
         bands: list[str] = []
         for did, sig in zip(ids_in, sigs):
-            keys = self.hasher.band_keys(sig, self.num_bands)
+            keys = hasher.band_keys(sig, num_bands)
             ids.extend([did] * len(keys))
             bands.extend(keys)
         return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "band": bands})
+
+    return _f
 
 
 def _empty_pairs(val_col: str, dtype) -> pd.DataFrame:
@@ -127,6 +126,7 @@ def minhash_lsh_pairs(
     verify: str = "auto",
     broadcast_limit: int = 100_000,
     num_partitions: int = 32,
+    unique_pairs: bool = True,
 ) -> Dataset:
     """Candidate near-dup pairs (a < b, sim >= threshold).
 
@@ -151,13 +151,8 @@ def minhash_lsh_pairs(
       id-pair Dataset) and pick: <= ``broadcast_limit`` distinct pair rows
       -> broadcast, else join."""
     exploded = ds.map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perms=num_perms,
-            num_bands=num_bands, shingle_k=shingle_k, seed=seed,
-        ),
+        _minhash_band_fn(text_col, id_col, num_perms, num_bands, shingle_k, seed),
         batch_format="pandas",
-        concurrency=concurrency,
     )
 
     def _buckets(df: pd.DataFrame) -> pd.DataFrame:
@@ -170,11 +165,15 @@ def minhash_lsh_pairs(
         return pd.concat(out, ignore_index=True)
 
     pairs = grouped_transform(exploded, ["band"], _buckets)
-    # a pair that collides in several bands must count once
-    pairs = grouped_transform(
-        pairs, ["a", "b"],
-        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
-    )
+    if unique_pairs:
+        # a pair that collides in several bands must count once.  Consumers
+        # that only need the drop-SET (dedup survivors) skip this whole
+        # shuffle with unique_pairs=False: duplicate pairs verify to the
+        # same sim and np.unique on the drop ids absorbs them.
+        pairs = grouped_transform(
+            pairs, ["a", "b"],
+            lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
+        )
 
     pairs = pairs.materialize()  # consumed twice: count/ids + verify pass
 
@@ -393,8 +392,11 @@ def drop_ids(pairs: Dataset, ds: Dataset, id_col: str) -> Dataset:
 
 
 def minhash_lsh_dedup(ds: Dataset, **kwargs) -> Dataset:
-    """End-to-end near-dedup: survivors of :func:`minhash_lsh_pairs`."""
+    """End-to-end near-dedup: survivors of :func:`minhash_lsh_pairs`.
+    Skips the pair-uniqueness shuffle (one fewer all-to-all): the drop set
+    is a union of ``b`` ids, insensitive to duplicate pairs."""
     id_col = kwargs.get("id_col", "doc_id")
+    kwargs.setdefault("unique_pairs", False)
     pairs = minhash_lsh_pairs(ds, **kwargs)
     return drop_ids(pairs, ds, id_col)
 
@@ -403,19 +405,17 @@ def minhash_lsh_dedup(ds: Dataset, **kwargs) -> Dataset:
 # SimHash
 # ---------------------------------------------------------------------------
 
-class _SimHashStage:
-    """Actor: 64-bit simhash per doc + one row per 16-bit chunk (4 chunks ->
-    guaranteed candidate recall for Hamming distance <= 3).  Fully batch-
-    vectorized (:func:`simhash64_batch`): one hash pass + one reduceat over
-    every token of every doc; chunk bucket keys are compact ints
-    (chunk_index * 2^16 + chunk_bits) — cheaper groupby than strings."""
+def _simhash_chunk_fn(text_col: str, id_col: str, seed: int):
+    """Per-batch: 64-bit simhash per doc + one row per 16-bit chunk (4
+    chunks -> guaranteed candidate recall for Hamming distance <= 3).
+    Stateless task-pool function (no per-actor state to justify a pool);
+    fully batch-vectorized (:func:`simhash64_batch`); chunk bucket keys are
+    compact ints (chunk_index * 2^16 + chunk_bits) — cheaper groupby than
+    strings."""
 
-    def __init__(self, text_col: str, id_col: str, seed: int):
-        self.text_col, self.id_col, self.seed = text_col, id_col, seed
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[self.id_col].to_numpy()
-        h = simhash64_batch(batch[self.text_col].tolist(), self.seed)
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        h = simhash64_batch(batch[text_col].tolist(), seed)
         n = len(ids)
         c = np.repeat(np.arange(4, dtype=np.uint64), n)
         h4 = np.tile(h, 4)
@@ -424,16 +424,16 @@ class _SimHashStage:
                              "chunk": chunk.astype(np.int64),
                              "simhash": h4})
 
+    return _f
+
 
 def simhash_pairs(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, seed: int = 11, concurrency=(1, 8),
 ) -> Dataset:
     exploded = ds.map_batches(
-        _SimHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, seed=seed),
+        _simhash_chunk_fn(text_col, id_col, seed),
         batch_format="pandas",
-        concurrency=concurrency,
     )
 
     def _verify(g: pd.DataFrame) -> pd.DataFrame:
