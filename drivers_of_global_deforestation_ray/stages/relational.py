@@ -830,7 +830,8 @@ def asof_join(
             df["__key"] = df[by_col].to_numpy(dtype=np.int64)
             df["__ts"] = df[ts_col].astype("datetime64[us]").astype(np.int64)
             for c in own_cols:
-                df[c] = df[c].astype(dtypes[c])
+                if str(df[c].dtype) != dtypes[c]:  # skip no-op casts
+                    df[c] = df[c].astype(dtypes[c])
             for c in other_cols:  # the other side's payload: typed nulls
                 df[c] = _typed_null(dtypes[c], len(df))
             return df
