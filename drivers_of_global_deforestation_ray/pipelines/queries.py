@@ -526,6 +526,74 @@ def q_arg_extremes(sf_dir: str):
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_rolling_rows(sf_dir: str):
+    """ROWS-frame trailing sum (previous 5 rows + current, per user over
+    (ts, id) order) — the row-count window companion to the RANGE-frame
+    rolling_window.  Oracle: DuckDB ROWS BETWEEN."""
+    from ..stages.window import rolling_rows
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "value_scaled": R.scaled_int(b["value"], 100)})
+
+    return rolling_rows(ev.map_batches(_prep, batch_format="pyarrow"),
+                        key_col="user_id", ts_col="ts", id_col="event_id",
+                        value_col="value_scaled", preceding=5,
+                        num_partitions=_nparts(sf_dir, "events"))
+
+
+def q_full_outer_join(sf_dir: str):
+    """Big-big FULL OUTER join: per-customer urgent-order counts vs
+    high-order counts — unmatched sides surface as zero after coalesce."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    a = R.grouped_agg(ords.filter(expr="o_orderpriority == '1-URGENT'")
+                      .map_batches(lambda b: pa.table({"ck_a": b["o_custkey"],
+                                                       "ok": b["o_orderkey"]}),
+                                   batch_format="pyarrow"),
+                      ["ck_a"], {"n_urgent": ("ok", "size")})
+    b = R.grouped_agg(ords.filter(expr="o_orderpriority == '2-HIGH'")
+                      .map_batches(lambda t: pa.table({"ck_b": t["o_custkey"],
+                                                       "ok": t["o_orderkey"]}),
+                                   batch_format="pyarrow"),
+                      ["ck_b"], {"n_high": ("ok", "size")})
+    j = R.hash_join(a, b, on="ck_a", right_on="ck_b", how="full",
+                    num_partitions=_nparts(sf_dir, "orders"))
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's full-outer Dataset.join coalesces the key into the LEFT key
+        # column (right-only rows carry their key in ck_a already)
+        return pd.DataFrame({
+            "custkey": df["ck_a"].to_numpy(np.float64).astype(np.int64),
+            "n_urgent": np.nan_to_num(df["n_urgent"].to_numpy(np.float64)).astype(np.int64),
+            "n_high": np.nan_to_num(df["n_high"].to_numpy(np.float64)).astype(np.int64),
+        })
+
+    return j.map_batches(_out, batch_format="pandas")
+
+
+def q_fuzzy_pairs(sf_dir: str):
+    """Scalar fuzzy-string surface: Levenshtein distance between every
+    (a < b) pair of distinct source names — DuckDB ``levenshtein`` parity."""
+    from ..functions.editdist import levenshtein_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    dist = R.distinct_keys(docs, "source")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(df["source"].to_numpy())
+        ai, bi = np.triu_indices(len(vals), k=1)
+        return pd.DataFrame({"a": vals[ai], "b": vals[bi],
+                             "dist": levenshtein_batch(vals[ai], vals[bi])})
+
+    # distinct sources are a handful by contract: single-partition pairing
+    return R.grouped_transform(
+        dist.map_batches(lambda d: d.assign(__g=np.int8(0)), batch_format="pandas"),
+        ["__g"], lambda df: _pairs(df), num_partitions=1)
+
+
 def q_grouped_stats(sf_dir: str):
     """Algebraic two-phase variance/stddev/covariance/correlation per
     returnflag: exact int64 power-sum partials, one fixed-order float
@@ -1416,6 +1484,9 @@ QUERIES = {
     "unpivot": q_unpivot,
     "cross_join": q_cross_join,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
+    "rolling_rows": q_rolling_rows,
+    "full_outer_join": q_full_outer_join,
+    "fuzzy_pairs": q_fuzzy_pairs,
 }
 
 
@@ -1890,6 +1961,30 @@ ORACLE_SQL = {
     "heavy_hitters": """
         SELECT source || '.example.com' AS host, count(*) AS n_docs
         FROM documents GROUP BY 1 ORDER BY n_docs DESC, host LIMIT 10
+    """,
+    "rolling_rows": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS rows_sum
+        FROM events
+    """,
+    "full_outer_join": """
+        WITH a AS (SELECT o_custkey AS ck_a, count(*) AS n_urgent
+                   FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             b AS (SELECT o_custkey AS ck_b, count(*) AS n_high
+                   FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1)
+        SELECT CAST(COALESCE(ck_a, ck_b) AS BIGINT) AS custkey,
+               CAST(COALESCE(n_urgent, 0) AS BIGINT) AS n_urgent,
+               CAST(COALESCE(n_high, 0) AS BIGINT) AS n_high
+        FROM a FULL OUTER JOIN b ON ck_a = ck_b
+    """,
+    "fuzzy_pairs": """
+        SELECT a.source AS a, b.source AS b,
+               CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
     """,
     "unpivot": """
         SELECT measure, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v FROM (

@@ -24,8 +24,48 @@ from ray.data import Dataset
 
 from .relational import grouped_transform
 
-__all__ = ["sessionize", "rolling_agg", "lag_shift", "percent_rank", "ntile",
-           "dense_rank", "cume_dist", "first_last_value"]
+__all__ = ["sessionize", "rolling_agg", "rolling_rows", "lag_shift",
+           "percent_rank", "ntile", "dense_rank", "cume_dist",
+           "first_last_value"]
+
+
+def rolling_rows(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    preceding: int,
+    out_col: str = "rows_sum",
+    num_partitions: int = 32,
+) -> Dataset:
+    """ROW-frame trailing sum per key: SQL ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN <preceding> PRECEDING AND CURRENT ROW)`` —
+    exactly the previous ``preceding`` rows plus the current one (no
+    equal-ts peer semantics; the deterministic (ts, id) order defines the
+    frame).  One prefix sum + two gathers per partition, vectorized across
+    all keys via per-segment position clamps."""
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable")
+        n = len(df)
+        out = df[[id_col, key_col]].copy()
+        if n == 0:
+            out[out_col] = df[value_col]
+            return out
+        keys = df[key_col].to_numpy()
+        vals = df[value_col].to_numpy()
+        new_key = np.empty(n, dtype=bool)
+        new_key[0:1] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        prefix = np.concatenate(([0], np.cumsum(vals)))
+        pos = np.arange(n)
+        lo = np.maximum(pos - preceding, seg_start)
+        out[out_col] = (prefix[pos + 1] - prefix[lo]).astype(vals.dtype)
+        return out
+
+    return grouped_transform(ds, [key_col], _part, num_partitions)
 
 
 def ntile(

@@ -368,3 +368,28 @@ def test_range_join_copartitioned_vs_broadcast(rd):
         got = got.sort_values(["pid", "ivid"]).reset_index(drop=True)
         assert (got["pid"].to_numpy() == want["pid"].to_numpy()).all()
         assert (got["ivid"].to_numpy() == want["ivid"].to_numpy()).all()
+
+
+def test_rolling_rows_vs_bruteforce(rd):
+    """ROWS-frame trailing sum == O(n^2) brute force over (ts, id) order."""
+    from drivers_of_global_deforestation_ray.stages.window import rolling_rows
+
+    rng = np.random.default_rng(6)
+    n = 600
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 4, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "v": rng.integers(-9, 9, n).astype(np.int64),
+    })
+    got = rolling_rows(rd.from_pandas(df).repartition(3), "k", "ts", "id", "v",
+                       preceding=3, num_partitions=4).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    s = df.sort_values(["k", "ts", "id"], kind="stable").reset_index(drop=True)
+    brute = {}
+    for kv, g in s.groupby("k", sort=False):
+        vals = g["v"].to_numpy()
+        for i, rid in enumerate(g["id"].to_numpy()):
+            brute[rid] = vals[max(0, i - 3):i + 1].sum()
+    assert (got["rows_sum"].to_numpy()
+            == np.asarray([brute[i] for i in got["id"]])).all()
