@@ -122,7 +122,6 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 7,
     exact_verify: bool = False,
-    concurrency=(1, 8),
     verify: str = "auto",
     broadcast_limit: int = 100_000,
     num_partitions: int = 32,
@@ -429,7 +428,7 @@ def _simhash_chunk_fn(text_col: str, id_col: str, seed: int):
 
 def simhash_pairs(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3, seed: int = 11, concurrency=(1, 8),
+    max_hamming: int = 3, seed: int = 11,
 ) -> Dataset:
     exploded = ds.map_batches(
         _simhash_chunk_fn(text_col, id_col, seed),
