@@ -1171,6 +1171,49 @@ def q_term_doc_freq(sf_dir: str):
         ["__neg", "term"], 20, descending=[False, False]).drop_columns(["__neg"])
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF composition: token explode -> document-frequency table
+    (distributed, then broadcast — terms are a vocabulary, orders smaller
+    than the corpus) -> per-doc score -> per-doc top-1 term (computed
+    batch-locally: a doc's terms never span batches).  Scores rounded to 6
+    decimals on both sides (ln ulp noise), rank on the rounded value with
+    term tie-break."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                          "term": b["text"].str.lower().str.split()})
+        out = d.explode("term").dropna(subset=["term"])
+        return out.drop_duplicates(["doc_id", "term"])[["doc_id", "term"]]
+
+    df_tbl = R.grouped_agg(docs.map_batches(_pairs, batch_format="pandas"),
+                           ["term"], {"df": ("doc_id", "size")}).to_pandas()
+    import ray as _ray
+
+    n_docs = float(pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows)
+    df_ref = _ray.put(dict(zip(df_tbl["term"].tolist(),
+                               df_tbl["df"].to_numpy(np.float64).tolist())))
+
+    def _top(b: pd.DataFrame) -> pd.DataFrame:
+        dfm = _ray.get(df_ref)
+        d = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                          "term": b["text"].str.lower().str.split()})
+        e = d.explode("term").dropna(subset=["term"])
+        tf = (e.groupby(["doc_id", "term"], sort=False).size()
+              .rename("tf").reset_index())
+        dfv = tf["term"].map(dfm).to_numpy(np.float64)
+        tfidf = np.round(tf["tf"].to_numpy(np.int64) * np.log(n_docs / dfv), 6)
+        tf["tfidf"] = tfidf
+        tf = tf.sort_values("term", kind="stable").sort_values(
+            "tfidf", ascending=False, kind="stable")
+        top = tf.groupby("doc_id", sort=False).head(1)
+        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
+                             "top_term": top["term"].to_numpy(),
+                             "tfidf": top["tfidf"].to_numpy()})
+
+    return docs.map_batches(_top, batch_format="pandas")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries top-10 hosts (k=64 >= |distinct hosts| -> counters are
     EXACT, so the SQL group-count oracle is valid; the same operator runs
@@ -1487,6 +1530,7 @@ QUERIES = {
     "rolling_rows": q_rolling_rows,
     "full_outer_join": q_full_outer_join,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 
@@ -1961,6 +2005,26 @@ ORACLE_SQL = {
     "heavy_hitters": """
         SELECT source || '.example.com' AS host, count(*) AS n_docs
         FROM documents GROUP BY 1 ORDER BY n_docs DESC, host LIMIT 10
+    """,
+    "tfidf_top_terms": """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+          FROM documents),
+        tok2 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                 WHERE term <> '' GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM (
+                  SELECT DISTINCT doc_id, term FROM tok WHERE term <> '')
+                GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term,
+                 round(t.tf * ln(nn.n / dfx.df), 6) AS tfidf
+          FROM tok2 t JOIN dfx USING (term) CROSS JOIN nn)
+        SELECT doc_id, term AS top_term, tfidf FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+        WHERE rn = 1
     """,
     "rolling_rows": """
         SELECT event_id, user_id,
