@@ -1097,6 +1097,55 @@ def q_dedup_clusters(sf_dir: str):
     return D.dedup_clusters(edges, docs, "doc_id").select_columns(["doc_id", "component"])
 
 
+def q_jaccard_pairs_exact(sf_dir: str):
+    """Exact token-set Jaccard between deterministic doc pairs (2k, 2k+1) —
+    the SQL-checkable twin of the LSH-candidate Jaccard verify: pairs
+    co-locate via one doc_id//2 co-partition, similarity is set math per
+    pair.  Rounded to 6 decimals both sides."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__pair"] = df["doc_id"].to_numpy() // 2
+        return df
+
+    def _jac(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, g in df.groupby("__pair", sort=False):
+            if len(g) != 2:
+                continue  # odd tail doc has no partner
+            g = g.sort_values("doc_id")
+            ta = set((g["text"].iloc[0] or "").lower().split())
+            tb = set((g["text"].iloc[1] or "").lower().split())
+            inter = len(ta & tb)
+            union = len(ta | tb)
+            rows.append((int(g["doc_id"].iloc[0]), int(g["doc_id"].iloc[1]),
+                         round(inter / union, 6) if union else 1.0))
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard"]) if rows else \
+            pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+
+    from ..stages.relational import grouped_transform
+    return grouped_transform(docs.map_batches(_tag, batch_format="pandas"),
+                             ["__pair"], _jac)
+
+
+def q_session_stats(sf_dir: str):
+    """Composition: sessionize -> per-user session count + max session
+    length (windows feeding an aggregate), SQL-window oracle."""
+    from ..stages.window import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    s = sessionize(ev, key_col="user_id", ts_col="ts", id_col="event_id",
+                   gap_s=3600.0, num_partitions=_nparts(sf_dir, "events"))
+    per_session = R.grouped_agg(s, ["user_id", "session_idx"],
+                                {"n_events": ("event_id", "size")})
+    return R.grouped_agg(per_session, ["user_id"],
+                         {"n_sessions": ("session_idx", "size"),
+                          "max_session_events": ("n_events", "max")})
+
+
 def q_langid(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return enrich_documents(docs, fingerprints=False).select_columns(["doc_id", "lang_pred"])
@@ -1531,6 +1580,8 @@ QUERIES = {
     "full_outer_join": q_full_outer_join,
     "fuzzy_pairs": q_fuzzy_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "jaccard_pairs_exact": q_jaccard_pairs_exact,
+    "session_stats": q_session_stats,
 }
 
 
@@ -2049,6 +2100,41 @@ ORACLE_SQL = {
                CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
         FROM (SELECT DISTINCT source FROM documents) a
         JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    """,
+    "jaccard_pairs_exact": """
+        WITH tok AS (
+          SELECT doc_id, doc_id // 2 AS pair,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+          FROM documents),
+        sets AS (SELECT DISTINCT pair, doc_id, term FROM tok WHERE term <> ''),
+        pairs AS (SELECT pair, min(doc_id) AS a, max(doc_id) AS b
+                  FROM sets GROUP BY pair HAVING count(DISTINCT doc_id) = 2),
+        inter AS (
+          SELECT s1.pair, count(DISTINCT s1.term) AS n_inter
+          FROM sets s1 JOIN sets s2
+            ON s1.pair = s2.pair AND s1.term = s2.term AND s1.doc_id < s2.doc_id
+          GROUP BY s1.pair),
+        uni AS (SELECT pair, count(DISTINCT term) AS n_union FROM sets GROUP BY pair)
+        SELECT p.a, p.b,
+               round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / u.n_union, 6) AS jaccard
+        FROM pairs p JOIN uni u USING (pair) LEFT JOIN inter i USING (pair)
+    """,
+    "session_stats": """
+        WITH s AS (
+          SELECT event_id, user_id,
+                 SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 3600 SECOND
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM (SELECT event_id, user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events)),
+        per_session AS (
+          SELECT user_id, session_idx, count(*) AS n_events
+          FROM s GROUP BY user_id, session_idx)
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events
+        FROM per_session GROUP BY user_id
     """,
     "unpivot": """
         SELECT measure, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v FROM (
