@@ -6,15 +6,19 @@ al. 2018 forest-loss-driver workflow, ``/root/reference/Supplemental_Data_1.R``)
 re-targeted onto a Common-Crawl-style Parquet corpus of web pages, built on
 ``ray.data.Dataset`` pipelines:
 
-- ``functions/``  pure vectorized kernels (tile codec, geocode, text extract,
-  text analytics, hashing/sketches) — no Ray dependency, unit-testable.
+- ``functions/``  pure vectorized kernels (tile codec, interrupted-Goode
+  projection, geocode, text extract, text analytics, hashing/sketch
+  kernels, edit distance) — no Ray dependency, unit-testable.
 - ``state/``      stateful components held by actor pools (STRtree + PIP,
-  raster registry, CART trees).
-- ``stages/``     Dataset combinators (relational ops, dedup, similarity,
-  scoring, smoothing, multimodal plumbing).
-- ``sources/``    synthetic corpus generators, raster IO, checkpoint manifests.
-- ``pipelines/``  the flagship tile-classification pipeline + a straight-line
-  numpy/pandas golden implementation used for parity tests.
+  raster registry incl. pure-python GeoTIFF, CART trees).
+- ``stages/``     Dataset combinators (relational ops incl. joins/windows/
+  set-ops/moments, dedup, similarity, streaming sketches, scoring,
+  smoothing, multimodal plumbing).
+- ``sources/``    synthetic corpus generators, typed CSV, KML + PDF sinks,
+  checkpoint manifests.
+- ``pipelines/``  the flagship tile-classification pipeline (linear or true
+  igh projection) + a straight-line numpy/pandas golden implementation
+  used for parity tests, and the 91-query driver surface.
 
 Nothing in this package calls ``ray.init`` / ``ray.shutdown``; sessions are
 owned by the driver harness, ``bench.py`` and the pytest fixture.
