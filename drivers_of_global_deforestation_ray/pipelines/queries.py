@@ -676,6 +676,14 @@ def q_grouped_quantiles(sf_dir: str):
     return R.grouped_quantiles(li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75])
 
 
+def q_grouped_quantiles_disc(sf_dir: str):
+    """Discrete quantiles (SQL quantile_disc: first actual value reaching
+    the cumulative fraction) — the holistic companion to quantile_cont."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return R.grouped_quantiles(li, ["l_returnflag"], "l_quantity",
+                               [0.25, 0.5, 0.75], discrete=True)
+
+
 def q_percent_rank(sf_dir: str):
     """Window rank: percent_rank of order totalprice within each priority
     (gaps-rank tie semantics, scaled-int values for exact rank parity)."""
@@ -1582,6 +1590,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "session_stats": q_session_stats,
+    "grouped_quantiles_disc": q_grouped_quantiles_disc,
 }
 
 
@@ -1897,6 +1906,13 @@ ORACLE_SQL = {
                quantile_cont(l_quantity, 0.25) AS q25,
                quantile_cont(l_quantity, 0.50) AS q50,
                quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_quantiles_disc": """
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.25) AS q25,
+               quantile_disc(l_quantity, 0.50) AS q50,
+               quantile_disc(l_quantity, 0.75) AS q75
         FROM lineitem GROUP BY l_returnflag
     """,
     "percent_rank": """

@@ -325,16 +325,29 @@ def grouped_median(ds: Dataset, keys: list[str], col: str, out_col: str = "media
 
 def grouped_quantiles(ds: Dataset, keys: list[str], col: str,
                       qs: "list[float]", prefix: str = "q",
-                      num_partitions: int = 32) -> Dataset:
-    """Grouped exact quantiles (linear interpolation, SQL ``quantile_cont``
-    semantics) — holistic like :func:`grouped_median`; one vectorized pandas
-    quantile per partition.  Output columns ``<prefix><percent>``."""
+                      num_partitions: int = 32,
+                      discrete: bool = False) -> Dataset:
+    """Grouped exact quantiles — holistic like :func:`grouped_median`; one
+    vectorized pandas pass per partition.  ``discrete=False``: linear
+    interpolation (SQL ``quantile_cont``); ``discrete=True``: SQL
+    ``quantile_disc`` semantics — the FIRST actual value whose cumulative
+    row fraction reaches q (pandas ``interpolation='lower'`` matches for
+    q*n never landing exactly on an integer boundary; the exact-boundary
+    case is handled by the explicit index formula).  Output columns
+    ``<prefix><percent>``."""
 
     def _q(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, observed=True, dropna=False)[col]
         out = None
         for q in qs:
-            s = g.quantile(q, interpolation="linear").rename(f"{prefix}{int(q * 100)}")
+            if discrete:
+                # SQL quantile_disc: element at index ceil(q*n) - 1 (1-based
+                # first value with cum fraction >= q), exact for boundaries
+                s = g.apply(lambda v, _q=q: np.sort(v.to_numpy())[
+                    max(int(np.ceil(_q * len(v))) - 1, 0)])
+                s = s.rename(f"{prefix}{int(q * 100)}")
+            else:
+                s = g.quantile(q, interpolation="linear").rename(f"{prefix}{int(q * 100)}")
             out = s.to_frame() if out is None else out.join(s)
         return out.reset_index()
 
