@@ -393,3 +393,25 @@ def test_rolling_rows_vs_bruteforce(rd):
             brute[rid] = vals[max(0, i - 3):i + 1].sum()
     assert (got["rows_sum"].to_numpy()
             == np.asarray([brute[i] for i in got["id"]])).all()
+
+
+def test_semi_join_bloom_prefilter_exact(rd):
+    """The Bloom-prefiltered shuffle semi join must return exactly the
+    broadcast result (no false negatives -> exact after the join), and the
+    prefilter must actually drop most non-matching rows."""
+    rng = np.random.default_rng(14)
+    left = pd.DataFrame({"k": rng.integers(0, 100_000, 20_000),
+                         "v": np.arange(20_000)})
+    right = pd.DataFrame({"rk": rng.choice(100_000, 500, replace=False)})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    exact = R.semi_join(lds, rds, "k", "rk").to_pandas()
+    bloomed = R.semi_join(lds, rds, "k", "rk", broadcast=False,
+                          num_partitions=4, bloom_bits=1 << 16).to_pandas()
+    key = lambda df: sorted(zip(df["k"], df["v"]))
+    assert key(exact) == key(bloomed)
+    # prefilter selectivity: bloom keeps matches + ~fp-rate of the rest
+    bits = R.build_bloom(rd.from_pandas(right), "rk", num_bits=1 << 16)
+    kept = R.bloom_contains(bits, left["k"]).mean()
+    truth = left["k"].isin(right["rk"]).mean()
+    assert kept < truth + 0.05  # fp rate well under 5% at 131 bits/key
