@@ -217,6 +217,24 @@ def q_ts_bucket(sf_dir: str):
                          {"n": ("value_scaled", "size"), "sum_value_scaled": ("value_scaled", "sum")})
 
 
+def q_dow_agg(sf_dir: str):
+    """Calendar scalar surface: ISO weekday + month extraction from event
+    timestamps, grouped sums — DuckDB isodow/month parity."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dow": b["ts"].dt.isocalendar().day.to_numpy(np.int64),
+            "month": b["ts"].dt.month.to_numpy(np.int64),
+            "value_scaled": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return R.grouped_agg(ds.map_batches(_prep, batch_format="pandas"),
+                         ["dow", "month"],
+                         {"n": ("value_scaled", "size"),
+                          "sum_value_scaled": ("value_scaled", "sum")})
+
+
 def q_strata_key(sf_dir: str):
     """M11: derived composite strata key + grouped count."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -1591,6 +1609,7 @@ QUERIES = {
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "session_stats": q_session_stats,
     "grouped_quantiles_disc": q_grouped_quantiles_disc,
+    "dow_agg": q_dow_agg,
 }
 
 
@@ -1733,6 +1752,12 @@ ORACLE_SQL = {
     "strata_key": """
         SELECT CAST(c_nationkey AS BIGINT) * 10 + c_custkey % 10 AS strata, count(*) AS n
         FROM customer GROUP BY 1
+    """,
+    "dow_agg": """
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow, CAST(month(ts) AS BIGINT) AS month,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+        FROM events GROUP BY 1, 2
     """,
     "argmax_vote": """
         SELECT o_orderkey,
