@@ -321,10 +321,12 @@ def q_goode_tiles(sf_dir: str):
         lon = df["lon"].to_numpy()
         x, y = igh_forward(lat, lon)
         row, col = latlon_to_rowcol(y, x, GOODE_GRID)
+        # explicit half-away-from-zero on BOTH sides (np.round is half-to-
+        # even, DuckDB round() half-away — ADVICE r02 tie-rule discipline)
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
-            "x_m": np.round(x).astype(np.int64),
-            "y_m": np.round(y).astype(np.int64),
+            "x_m": (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64),
+            "y_m": (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64),
             "goode_tile": row * GOODE_GRID.ncols + col + 1,
         })
 
@@ -1143,10 +1145,15 @@ def q_jaccard_pairs_exact(sf_dir: str):
             g = g.sort_values("doc_id")
             ta = set((g["text"].iloc[0] or "").lower().split())
             tb = set((g["text"].iloc[1] or "").lower().split())
+            if not ta or not tb:
+                # oracle's HAVING count(DISTINCT doc_id) = 2 over non-empty
+                # tokens drops any pair containing a token-less doc — match
+                # it (ADVICE r02: divergence on empty/whitespace-only text)
+                continue
             inter = len(ta & tb)
             union = len(ta | tb)
             rows.append((int(g["doc_id"].iloc[0]), int(g["doc_id"].iloc[1]),
-                         round(inter / union, 6) if union else 1.0))
+                         round(inter / union, 6)))
         return pd.DataFrame(rows, columns=["a", "b", "jaccard"]) if rows else \
             pd.DataFrame({"a": pd.Series(dtype=np.int64),
                           "b": pd.Series(dtype=np.int64),
@@ -1672,8 +1679,8 @@ def _goode_sql() -> str:
                LEAST(GREATEST(CAST(floor((x - {g.lon_min!r}) / ({g.lon_max!r} - {g.lon_min!r}) * {g.ncols}) AS BIGINT), 0), {g.ncols - 1}) AS gcol
         FROM f)
       SELECT doc_id,
-             CAST(round(x) AS BIGINT) AS x_m,
-             CAST(round(y) AS BIGINT) AS y_m,
+             CAST(sign(x) * floor(abs(x) + 0.5) AS BIGINT) AS x_m,
+             CAST(sign(y) * floor(abs(y) + 0.5) AS BIGINT) AS y_m,
              grow * {g.ncols} + gcol + 1 AS goode_tile
       FROM cells
     """
@@ -2194,8 +2201,11 @@ ORACLE_SQL = {
         WITH c AS (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey),
         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
         SELECT c_nationkey,
+               -- LEAST(cnt, ...): the engine clamps the draw to the stratum
+               -- size (take = min(alloc, len)); state it here too so small
+               -- strata cannot make the oracle promise more rows than exist
                CAST(CASE WHEN cnt < 40 THEN cnt
-                    ELSE GREATEST(CAST(floor(cnt / t.total * 750 + 0.5) AS BIGINT), 40)
+                    ELSE LEAST(cnt, GREATEST(CAST(floor(cnt / t.total * 750 + 0.5) AS BIGINT), 40))
                     END AS BIGINT) AS n_sampled
         FROM c, t
     """,

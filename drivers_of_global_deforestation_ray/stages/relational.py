@@ -593,6 +593,21 @@ def _bloom_indices(h: np.ndarray, num_bits: int, num_hashes: int, i: int) -> np.
     return ((h + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)
 
 
+def _bloom_hash_values(values: pd.Series) -> np.ndarray:
+    """Dtype-kind-insensitive key hash for the Bloom build/probe pair.
+
+    ``hash_pandas_object`` hashes float64 and int64 differently, so an int64
+    build side probed with a float64 left column (or vice versa) would miss
+    every key — silently violating the filter's no-false-negative contract.
+    Canonicalizing every numeric kind to float64 before hashing makes equal
+    values hash equally across kinds; int64 values beyond 2^53 that collide
+    in float64 collide identically on BOTH sides, so this only ever adds
+    false positives (which the exact join downstream removes)."""
+    if values.dtype.kind in "iuf":
+        values = values.astype(np.float64)
+    return pd.util.hash_pandas_object(values, index=False).to_numpy(dtype=np.uint64)
+
+
 def build_bloom(ds: Dataset, col: str, num_bits: int = 1 << 23,
                 num_hashes: int = 7) -> np.ndarray:
     """Distributed Bloom filter over a key column: every block sets its keys'
@@ -604,7 +619,7 @@ def build_bloom(ds: Dataset, col: str, num_bits: int = 1 << 23,
     nbytes = num_bits // 8
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy(dtype=np.uint64)
+        h = _bloom_hash_values(df[col])
         bits = np.zeros(nbytes, dtype=np.uint8)
         for i in range(num_hashes):
             idx = _bloom_indices(h, num_bits, num_hashes, i)
@@ -624,10 +639,11 @@ def build_bloom(ds: Dataset, col: str, num_bits: int = 1 << 23,
 
 
 def bloom_contains(bits: np.ndarray, values: pd.Series, num_hashes: int = 7) -> np.ndarray:
-    """Vectorized membership probe (no false negatives; fp rate set by
+    """Vectorized membership probe (no false negatives even across mixed
+    numeric dtype kinds — see :func:`_bloom_hash_values`; fp rate set by
     bits-per-key and num_hashes)."""
     num_bits = len(bits) * 8
-    h = pd.util.hash_pandas_object(values, index=False).to_numpy(dtype=np.uint64)
+    h = _bloom_hash_values(values)
     out = np.ones(len(h), dtype=bool)
     for i in range(num_hashes):
         idx = _bloom_indices(h, num_bits, num_hashes, i)
@@ -683,14 +699,36 @@ def semi_join(left: Dataset, right: Dataset, on: str, right_on: str,
         return left.map_batches(_filter, batch_format="pyarrow")
 
     marker, key_alias = "__semi_m", "__semi_k"  # private names: no collision
+    out_cols = list(left.schema().names)
+
+    # Arrow's hash join refuses mixed key types (int64 vs double).  When the
+    # two sides' numeric kinds differ, join through a derived float64 key on
+    # BOTH sides — the exact equality semantics np.isin gives the broadcast
+    # path (it promotes to the common float64 type too).  (ADVICE r02.)
+    _lsch, _rsch = left.schema(), uniq.schema()
+    lt = _lsch.types[_lsch.names.index(on)]
+    rt = _rsch.types[_rsch.names.index(right_on)]
+    mixed_numeric = (lt != rt
+                     and (pa.types.is_integer(lt) or pa.types.is_floating(lt))
+                     and (pa.types.is_integer(rt) or pa.types.is_floating(rt)))
+    join_on = on
+    if mixed_numeric:
+        join_on = "__semi_lk"
+
+        def _lkey(batch: pa.Table) -> pa.Table:
+            return batch.append_column(join_on, pc.cast(batch[on], pa.float64()))
+
+        left = left.map_batches(_lkey, batch_format="pyarrow")
 
     def _mark(batch: pa.Table) -> pa.Table:
-        return pa.table({key_alias: batch[right_on],
+        k = batch[right_on]
+        if mixed_numeric:
+            k = pc.cast(k, pa.float64())
+        return pa.table({key_alias: k,
                          marker: pa.array(np.ones(len(batch), dtype=np.int8))})
 
     marked = uniq.map_batches(_mark, batch_format="pyarrow")
-    out_cols = list(left.schema().names)
-    j = hash_join(left, marked, on=on, right_on=key_alias, how="left",
+    j = hash_join(left, marked, on=join_on, right_on=key_alias, how="left",
                   num_partitions=num_partitions)
 
     def _keep(batch: pa.Table) -> pa.Table:
@@ -1114,7 +1152,10 @@ def stratified_sample_allocated(
     ``round`` is half-away-from-zero (``floor(x + 0.5)``) on BOTH the engine
     and the SQL-oracle side — an explicit, reproducible tie rule (R's own
     ``round`` is half-to-even; the ±1 allocation difference is immaterial,
-    cross-engine determinism is not).
+    cross-engine determinism is not).  The drawn sample is further clamped
+    to the stratum size (``take = min(alloc, len)``) — skew can push
+    ``round(cnt/total_rows * total)`` above ``cnt``; the SQL oracle states
+    the same clamp via ``LEAST(cnt, ...)`` (ADVICE r02).
 
     The allocation table is |strata| rows (small by the operator's nature) —
     computed distributed, collected once, broadcast into the per-group

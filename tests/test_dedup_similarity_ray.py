@@ -202,3 +202,32 @@ def test_minhash_verify_join_path_matches_broadcast(rd):
     key = lambda df: sorted(zip(df["a"], df["b"], np.round(df["sim"], 12)))
     assert key(bc) == key(jn)
     assert len(bc) >= 50  # the planted near-dups actually verified
+
+
+def test_jaccard_pairs_exact_empty_doc_matches_oracle(rd, tmp_path):
+    """ADVICE r02: a pair containing an empty/whitespace-only doc must be
+    DROPPED (the SQL oracle's HAVING count(DISTINCT doc_id)=2 over non-empty
+    tokens does), not emitted with jaccard 0.0/1.0."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from drivers_of_global_deforestation_ray.pipelines.queries import ORACLE_SQL, q_jaccard_pairs_exact
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": ["alpha beta", "", "   ", "gamma delta", "alpha beta", "beta alpha gamma"],
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(docs, f"{sf_dir}/documents.parquet")
+
+    got = q_jaccard_pairs_exact(sf_dir).to_pandas().sort_values("a").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["jaccard_pairs_exact"]).df().sort_values("a").reset_index(drop=True)
+    # pairs (0,1) empty partner and (2,3) whitespace partner are dropped;
+    # pair (4,5) survives with jaccard 2/3
+    assert want["a"].tolist() == [4]
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert np.allclose(got["jaccard"], want["jaccard"])

@@ -415,3 +415,27 @@ def test_semi_join_bloom_prefilter_exact(rd):
     kept = R.bloom_contains(bits, left["k"]).mean()
     truth = left["k"].isin(right["rk"]).mean()
     assert kept < truth + 0.05  # fp rate well under 5% at 131 bits/key
+
+
+def test_semi_join_bloom_mixed_dtype_kinds(rd):
+    """ADVICE r02: an int64 build side probed by a float64 left column (and
+    vice versa) must keep every matching row — hash_pandas_object hashes the
+    two kinds differently, so without canonicalization the bloom path
+    silently drops ALL matches."""
+    rng = np.random.default_rng(7)
+    keys = rng.choice(10_000, 300, replace=False)
+    left = pd.DataFrame({"k": rng.integers(0, 10_000, 5_000).astype(np.float64),
+                         "v": np.arange(5_000)})
+    right = pd.DataFrame({"rk": keys.astype(np.int64)})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    bloomed = R.semi_join(lds, rds, "k", "rk", broadcast=False,
+                          num_partitions=4, bloom_bits=1 << 16).to_pandas()
+    expect = left[left["k"].isin(keys)]
+    assert sorted(zip(bloomed["k"], bloomed["v"])) == sorted(zip(expect["k"], expect["v"]))
+    assert len(expect) > 0
+    # and the flipped orientation: float build side, int probe side
+    bits = R.build_bloom(rd.from_pandas(pd.DataFrame({"rk": keys.astype(np.float64)})),
+                         "rk", num_bits=1 << 16)
+    probe = pd.Series(keys.astype(np.int64))
+    assert R.bloom_contains(bits, probe).all()
