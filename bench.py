@@ -104,13 +104,31 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     # spin the worker pool up once so the first query isn't charged Ray's
     # cold start (the per-query numbers then measure the pipelines)
     rd.range(10_000).map_batches(lambda b: b).count()
+    # Steal-aware best-of-N (VERDICT r02 #1): single runs on this shared VM
+    # swing 1.2-7x with hypervisor steal / co-tenant load, so a one-shot
+    # number is weather, not signal.  Each repeat times every query once;
+    # per-query BEST across repeats is reported, with per-run totals and
+    # steal% kept alongside so a polluted run is visible in the artifact.
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        n = _consume(QUERIES[name](sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-        rows[name] = n
+    run_meta = []
+    for _ in range(repeats):
+        tot0, st0 = _cpu_stat()
+        run_total = 0.0
+        for name in names:
+            t0 = time.perf_counter()
+            n = _consume(QUERIES[name](sf_dir))
+            sec = round(time.perf_counter() - t0, 4)
+            run_total += sec
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+            rows[name] = n
+        tot1, st1 = _cpu_stat()
+        run_meta.append({
+            "total_sec": round(run_total, 4),
+            "steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2),
+        })
     out = {
         "metric": "headline pipelines e2e wall-time",
         "value": round(sum(timings.values()), 4),
@@ -119,6 +137,8 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
         "rows": rows,
+        "repeats": repeats,
+        "runs": run_meta,
     }
     ray.shutdown()
     return out

@@ -254,23 +254,15 @@ def _typed_null_series(dtype: str, n: int) -> pd.Series:
     return pd.Series([null] * n, dtype=dtype)
 
 
-class _BroadcastJoiner:
-    """Actor-pool callable: the small side lives in the object store once
-    (``ray.put``) and is fetched zero-copy in ``__init__`` — never re-shipped
-    per batch (SURVEY.md J2)."""
-
-    def __init__(self, small_ref, on: list[str], right_on: list[str], how: str):
-        small: pa.Table = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
-        self.small = small.combine_chunks()
-        self.on = on
-        self.right_on = right_on
-        self.how = _JOIN_TYPES[how]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        joined = batch.join(
-            self.small, keys=self.on, right_keys=self.right_on, join_type=self.how
-        )
-        return joined.combine_chunks()
+def _broadcast_join_batch(batch: pa.Table, small_ref, on: list[str],
+                          right_on: list[str], how) -> pa.Table:
+    """Task-pool batch fn: the small side lives in the object store once
+    (``ray.put``) and ``ray.get`` here is a zero-copy plasma-local read —
+    never re-shipped per batch (SURVEY.md J2).  A plain function, not an
+    actor pool: the only 'state' is that zero-copy get, and actor-pool
+    spin-up (~2-4 s) dominated toy-scale broadcast joins (VERDICT r02 #1)."""
+    small: pa.Table = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+    return batch.join(small, keys=on, right_keys=right_on, join_type=how).combine_chunks()
 
 
 def broadcast_join(
@@ -285,15 +277,14 @@ def broadcast_join(
     """Join a Dataset against a driver-resident small table without a shuffle."""
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
-    ref = ray.put(small)
+    ref = ray.put(small.combine_chunks())
+    kwargs = {"small_ref": ref, "on": on, "right_on": right_on,
+              "how": _JOIN_TYPES[how]}
+    if isinstance(concurrency, tuple):  # legacy actor-pool spec -> task cap
+        concurrency = concurrency[1]
     return ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_kwargs={"small_ref": ref, "on": on, "right_on": right_on, "how": how},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        # autoscaling actor pool; callable classes require explicit concurrency
-        concurrency=concurrency if concurrency is not None else (1, 8),
-    )
+        _broadcast_join_batch, fn_kwargs=kwargs,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 
 def hash_join(
