@@ -1254,46 +1254,17 @@ def q_term_doc_freq(sf_dir: str):
 
 
 def q_tfidf_top_terms(sf_dir: str):
-    """TF-IDF composition: token explode -> document-frequency table
-    (distributed, then broadcast — terms are a vocabulary, orders smaller
-    than the corpus) -> per-doc score -> per-doc top-1 term (computed
-    batch-locally: a doc's terms never span batches).  Scores rounded to 6
-    decimals on both sides (ln ulp noise), rank on the rounded value with
-    term tie-break."""
+    """TF-IDF composition (``stages/tfidf.py``): token explode ->
+    document-frequency table (distributed; broadcast only while the vocab
+    fits ``vocab_limit``, else a term-keyed join — VERDICT r02 #4) ->
+    per-doc top-1 term.  Scores rounded to 6 decimals on both sides (ln ulp
+    noise), rank on the rounded value with term tie-break."""
+    from ..stages.tfidf import tfidf_top1
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
-                          "term": b["text"].str.lower().str.split()})
-        out = d.explode("term").dropna(subset=["term"])
-        return out.drop_duplicates(["doc_id", "term"])[["doc_id", "term"]]
-
-    df_tbl = R.grouped_agg(docs.map_batches(_pairs, batch_format="pandas"),
-                           ["term"], {"df": ("doc_id", "size")}).to_pandas()
-    import ray as _ray
-
     n_docs = float(pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows)
-    df_ref = _ray.put(dict(zip(df_tbl["term"].tolist(),
-                               df_tbl["df"].to_numpy(np.float64).tolist())))
-
-    def _top(b: pd.DataFrame) -> pd.DataFrame:
-        dfm = _ray.get(df_ref)
-        d = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
-                          "term": b["text"].str.lower().str.split()})
-        e = d.explode("term").dropna(subset=["term"])
-        tf = (e.groupby(["doc_id", "term"], sort=False).size()
-              .rename("tf").reset_index())
-        dfv = tf["term"].map(dfm).to_numpy(np.float64)
-        tfidf = np.round(tf["tf"].to_numpy(np.int64) * np.log(n_docs / dfv), 6)
-        tf["tfidf"] = tfidf
-        tf = tf.sort_values("term", kind="stable").sort_values(
-            "tfidf", ascending=False, kind="stable")
-        top = tf.groupby("doc_id", sort=False).head(1)
-        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
-                             "top_term": top["term"].to_numpy(),
-                             "tfidf": top["tfidf"].to_numpy()})
-
-    return docs.map_batches(_top, batch_format="pandas")
+    return tfidf_top1(docs, "doc_id", "text", n_docs,
+                      num_partitions=_nparts(sf_dir, "documents"))
 
 
 def q_heavy_hitters(sf_dir: str):

@@ -375,19 +375,61 @@ def dedup_clusters(pairs: Dataset, ds: Dataset, id_col: str,
     return ds.map_batches(_attach, batch_format="pandas")
 
 
-def drop_ids(pairs: Dataset, ds: Dataset, id_col: str) -> Dataset:
+def drop_ids(pairs: Dataset, ds: Dataset, id_col: str,
+             broadcast_limit: int = 2_000_000,
+             num_partitions: int = 32) -> Dataset:
     """Filter out every doc that near-duplicates a smaller id (pairs: a<b ->
-    drop b).  The drop-set is compact (ids only) -> broadcast filter."""
-    drop_df = pairs.select_columns(["b"]).to_pandas()  # pairs are compact: ids only
-    drop_arr = np.unique(drop_df["b"].to_numpy().astype(np.int64))
-    ref = ray.put(drop_arr)
+    drop b) — an anti join of ``ds`` against the drop-id set.
 
-    def _keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(ref)
-        mask = ~np.isin(batch[id_col].to_numpy(), d)
-        return batch.filter(pa.array(mask))
+    Scale-adaptive (VERDICT r02 #3): the drop ids are materialized once
+    (compact: one int64 column, object-store-resident — never the texts).
+    At or below ``broadcast_limit`` ids (~16 MB) they broadcast as a sorted
+    array applied per batch with ``np.isin`` — zero shuffle on ``ds``.
+    Above it, NOTHING is collected on the driver; a distributed-built Bloom
+    filter over the drop ids (:func:`~.relational.build_bloom`, ~2 bytes/id)
+    splits ``ds``:
 
-    return ds.map_batches(_keep, batch_format="pyarrow")
+    - rows whose id MISSES the filter cannot be drops (no false negatives)
+      -> streamed straight to the output, zero shuffle;
+    - rows the filter flags (true drops + ~fp-rate) go through
+      :func:`semi_join`'s distributed marker path (``anti=True,
+      broadcast=False``) — an exact anti join whose shuffle is bounded by
+      ~|drop set|, not |corpus|, with O(1) driver footprint at any size
+      (the 50%-dup 100 TB case).
+
+    The split consumes ``ds`` twice — pass a read-rooted or materialized
+    dataset (re-reading pruned parquet twice is far cheaper than an
+    all-to-all of the full corpus)."""
+    drops = pairs.select_columns(["b"]).materialize()  # ids only, bounded
+    n_drops = drops.count()
+    if n_drops <= broadcast_limit:
+        drop_arr = np.unique(drops.to_pandas()["b"].to_numpy().astype(np.int64))
+        ref = ray.put(drop_arr)
+
+        def _keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            mask = ~np.isin(batch[id_col].to_numpy(), d)
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(_keep, batch_format="pyarrow")
+    from .relational import bloom_contains, build_bloom, semi_join
+
+    # ~16 bits/id (<0.1% fp), power of two, capped at 512 MB of bitmap
+    num_bits = 1 << min(max(int(np.ceil(np.log2(n_drops * 16))), 20), 32)
+    bloom = build_bloom(drops, "b", num_bits=num_bits)
+    bref = ray.put(bloom)
+
+    def _split(keep_misses: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            hit = bloom_contains(ray.get(bref), pd.Series(batch[id_col].to_numpy()))
+            return batch.filter(pa.array(hit != keep_misses))
+        return _f
+
+    safe = ds.map_batches(_split(keep_misses=True), batch_format="pyarrow")
+    candidates = ds.map_batches(_split(keep_misses=False), batch_format="pyarrow")
+    checked = semi_join(candidates, drops, on=id_col, right_on="b", anti=True,
+                        broadcast=False, num_partitions=num_partitions)
+    return union_all([safe, checked])
 
 
 def minhash_lsh_dedup(ds: Dataset, **kwargs) -> Dataset:
