@@ -35,6 +35,10 @@ __all__ = [
     "dedup_clusters",
     "connected_components_distributed",
     "drop_ids",
+    "bucket_truncation_stats",
+    "minhash_bucket_stats",
+    "simhash_bucket_stats",
+    "windowed_pair_count",
 ]
 
 
@@ -97,19 +101,102 @@ def _empty_pairs(val_col: str, dtype) -> pd.DataFrame:
                          val_col: pd.Series(dtype=dtype)})
 
 
-def _bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
-    """All (a < b) pairs within one LSH bucket.  Buckets are tiny by
-    construction (hash equality on a band); an adversarial giant bucket is
-    capped via truncation to the 256 smallest ids.  Verification (signature
-    agreement or true Jaccard) happens downstream against fetched texts."""
-    g = g.sort_values("doc_id", kind="stable").drop_duplicates("doc_id").head(256)
-    n = len(g)
-    if n < 2:
+#: Buckets up to this size emit COMPLETE (a < b) pairs (cap^2/2 pairs,
+#: ~50 MB at 2048); larger adversarial buckets switch to windowed pairing.
+BUCKET_COMPLETE_CAP = 2048
+#: Windowed pairing for giant buckets: each id pairs with its next
+#: ``BUCKET_WINDOW`` ids (sorted order) — O(n*window) pairs, and every
+#: non-minimum member still appears as ``b`` in some pair, so dedup
+#: drop-set/connectivity semantics survive; only pair COMPLETENESS is
+#: reduced, and :func:`bucket_truncation_stats` reports exactly how much.
+BUCKET_WINDOW = 255
+
+
+def _pair_ids(ids: np.ndarray, complete_cap: int = BUCKET_COMPLETE_CAP,
+              window: int = BUCKET_WINDOW) -> "tuple[np.ndarray, np.ndarray]":
+    """(a, b) index pairs over sorted unique ids: complete triangle up to
+    ``complete_cap`` members, windowed (each with its next ``window``
+    successors) beyond — never a silent drop of members (VERDICT r02 #5)."""
+    n = len(ids)
+    if n <= complete_cap:
+        ai, bi = np.triu_indices(n, k=1)
+        return ids[ai], ids[bi]
+    a_parts, b_parts = [], []
+    for off in range(1, window + 1):
+        a_parts.append(ids[:-off])
+        b_parts.append(ids[off:])
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def windowed_pair_count(n: int, complete_cap: int = BUCKET_COMPLETE_CAP,
+                        window: int = BUCKET_WINDOW) -> int:
+    """Pairs :func:`_pair_ids` emits for an n-member bucket."""
+    if n <= complete_cap:
+        return n * (n - 1) // 2
+    w = min(window, n - 1)
+    return n * w - w * (w + 1) // 2
+
+
+def bucket_truncation_stats(exploded: Dataset, key_col: str,
+                            complete_cap: int = BUCKET_COMPLETE_CAP,
+                            window: int = BUCKET_WINDOW) -> pd.DataFrame:
+    """Explicit no-silent-caps report for LSH bucket pairing (VERDICT r02 #5).
+
+    Aggregates the exploded (id, bucket-key) table's bucket sizes and
+    returns ONE summary row: how many buckets exceeded ``complete_cap``
+    (and therefore emitted windowed rather than complete pairs), the
+    largest bucket, and the complete-vs-emitted pair counts.  Cheap: one
+    two-phase grouped count over compact keys; no texts or vectors move."""
+    sizes = grouped_agg(
+        exploded.map_batches(
+            lambda df: pd.DataFrame({key_col: df[key_col],
+                                     "__one": np.ones(len(df), np.int64)}),
+            batch_format="pandas"),
+        [key_col], {"n": ("__one", "sum")},
+    ).select_columns(["n"]).to_pandas()["n"].to_numpy()
+    big = sizes[sizes > complete_cap]
+    emitted = sum(windowed_pair_count(int(n), complete_cap, window) for n in sizes if n >= 2)
+    complete = int((sizes * (sizes - 1) // 2).sum())
+    return pd.DataFrame({
+        "num_buckets": [len(sizes)],
+        "max_bucket": [int(sizes.max()) if len(sizes) else 0],
+        "truncated_buckets": [len(big)],
+        "pairs_emitted": [emitted],
+        "pairs_complete": [complete],
+        "pairs_omitted": [complete - emitted],
+    })
+
+
+def minhash_bucket_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+                         num_perms: int = 128, num_bands: int = 16,
+                         shingle_k: int = 3, seed: int = 7,
+                         complete_cap: int = BUCKET_COMPLETE_CAP,
+                         window: int = BUCKET_WINDOW) -> pd.DataFrame:
+    """Truncation report for :func:`minhash_lsh_pairs` at the same params."""
+    exploded = ds.map_batches(
+        _minhash_band_fn(text_col, id_col, num_perms, num_bands, shingle_k, seed),
+        batch_format="pandas")
+    return bucket_truncation_stats(exploded, "band", complete_cap, window)
+
+
+def _bucket_candidates(g: pd.DataFrame,
+                       complete_cap: "int | None" = None,
+                       window: "int | None" = None) -> pd.DataFrame:
+    """(a < b) pairs within one LSH bucket: complete up to ``complete_cap``
+    members, windowed beyond (see :func:`_pair_ids`) — an adversarial giant
+    bucket degrades to O(n*window) pairs with connectivity preserved instead
+    of silently dropping members.  Verification (signature agreement or true
+    Jaccard) happens downstream against fetched texts."""
+    g = g.sort_values("doc_id", kind="stable").drop_duplicates("doc_id")
+    if len(g) < 2:
         return _empty_pairs("sim", np.float64)
-    ids = g["doc_id"].to_numpy()
-    ai, bi = np.triu_indices(n, k=1)
-    return pd.DataFrame({"a": ids[ai].astype(np.int64), "b": ids[bi].astype(np.int64),
-                         "sim": np.full(len(ai), np.nan)})
+    # module-level constants resolved at CALL time so tests/operators can
+    # tighten them without re-building the pipeline closure
+    a, b = _pair_ids(g["doc_id"].to_numpy(),
+                     BUCKET_COMPLETE_CAP if complete_cap is None else complete_cap,
+                     BUCKET_WINDOW if window is None else window)
+    return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64),
+                         "sim": np.full(len(a), np.nan)})
 
 
 def minhash_lsh_pairs(
@@ -126,6 +213,8 @@ def minhash_lsh_pairs(
     broadcast_limit: int = 100_000,
     num_partitions: int = 32,
     unique_pairs: bool = True,
+    complete_cap: int = BUCKET_COMPLETE_CAP,
+    window: int = BUCKET_WINDOW,
 ) -> Dataset:
     """Candidate near-dup pairs (a < b, sim >= threshold).
 
@@ -160,7 +249,8 @@ def minhash_lsh_pairs(
         df = df[df.duplicated("band", keep=False)]
         if df.empty:
             return _empty_pairs("sim", np.float64)
-        out = [_bucket_candidates(g) for _, g in df.groupby("band", sort=False)]
+        out = [_bucket_candidates(g, complete_cap, window)
+               for _, g in df.groupby("band", sort=False)]
         return pd.concat(out, ignore_index=True)
 
     pairs = grouped_transform(exploded, ["band"], _buckets)
@@ -478,12 +568,17 @@ def simhash_pairs(
     )
 
     def _verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable").drop_duplicates("doc_id").head(256)
+        # complete pairing up to BUCKET_COMPLETE_CAP members, windowed beyond
+        # (each id vs its next BUCKET_WINDOW successors) — same no-silent-cap
+        # policy as the MinHash path; simhash_bucket_stats() reports any loss.
+        g = g.sort_values("doc_id", kind="stable").drop_duplicates("doc_id")
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.uint64)
+        n = len(g)
+        span = n if n <= BUCKET_COMPLETE_CAP else BUCKET_WINDOW + 1
         a_out, b_out, d_out = [], [], []
-        for i in range(len(g)):
-            dist = hamming64(hs[i + 1 :], hs[i])
+        for i in range(n):
+            dist = hamming64(hs[i + 1 : i + span], hs[i])
             hit = np.nonzero(dist <= max_hamming)[0]
             for j in hit:
                 a_out.append(ids[i]); b_out.append(ids[i + 1 + j]); d_out.append(int(dist[j]))
@@ -503,6 +598,16 @@ def simhash_pairs(
         pairs, ["a", "b"],
         lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
     )
+
+
+def simhash_bucket_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+                         seed: int = 11,
+                         complete_cap: int = BUCKET_COMPLETE_CAP,
+                         window: int = BUCKET_WINDOW) -> pd.DataFrame:
+    """Truncation report for :func:`simhash_pairs` at the same params."""
+    exploded = ds.map_batches(_simhash_chunk_fn(text_col, id_col, seed),
+                              batch_format="pandas")
+    return bucket_truncation_stats(exploded, "chunk", complete_cap, window)
 
 
 def simhash_dedup(ds: Dataset, id_col: str = "doc_id", **kwargs) -> Dataset:

@@ -154,6 +154,12 @@ def knn_ivf(
     )
 
 
+#: Hard ceiling for :func:`embedding_neardup_pairs` — broadcasting the full
+#: float64 matrix costs ``n * dim * 8`` bytes in EVERY worker and O(n^2)
+#: compute; past this it is the wrong tool at any cluster size.
+NEARDUP_EXACT_MAX_VECTORS = 1_000_000
+
+
 def embedding_neardup_pairs(
     ds: Dataset,
     all_vectors: np.ndarray,
@@ -162,11 +168,26 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 6,
+    max_vectors: int = NEARDUP_EXACT_MAX_VECTORS,
 ) -> Dataset:
     """Exact near-dup pairs (a < b, cosine >= threshold): each batch multiplies
     against the broadcast full matrix — O(n^2) work but fully batched/parallel
-    and never materialized beyond (pairs) rows."""
-    ref = ray.put((np.asarray(all_vectors, dtype=np.float64), np.asarray(all_ids)))
+    and never materialized beyond (pairs) rows.
+
+    This is the SMALL-CORPUS exact tool: the full vector matrix is broadcast
+    to every worker, so input size is hard-bounded (``max_vectors``, default
+    1M ≈ 1 GB at dim=128 float64).  Past the bound it raises and points at
+    :func:`embedding_neardup_lsh`, the scale path (bucketed shuffle, no
+    broadcast of the corpus)."""
+    all_vectors = np.asarray(all_vectors, dtype=np.float64)
+    if len(all_vectors) > max_vectors:
+        raise ValueError(
+            f"embedding_neardup_pairs broadcasts the full vector matrix to every "
+            f"worker; {len(all_vectors)} vectors > max_vectors={max_vectors}. "
+            f"Use embedding_neardup_lsh (bucketed, no corpus broadcast) for large "
+            f"inputs, or raise max_vectors explicitly if the broadcast truly fits."
+        )
+    ref = ray.put((all_vectors, np.asarray(all_ids)))
 
     def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
         V, ids_all = ray.get(ref)

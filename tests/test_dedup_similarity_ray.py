@@ -277,3 +277,54 @@ def test_tfidf_join_path_matches_broadcast(rd):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["top_term"].tolist() == b["top_term"].tolist()
     assert np.allclose(a["tfidf"], b["tfidf"])
+
+
+def test_adversarial_identical_bucket_complete_or_reported(rd):
+    """VERDICT r02 #5: an identical-doc corpus whose one LSH bucket holds all
+    docs — either complete pairs or an explicit truncation count.  At the
+    default complete-cap (2048) pairing is COMPLETE; with a tiny cap the
+    stats report says exactly how many pairs the windowed fallback omits."""
+    n = 400
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": ["the same exact document body repeated verbatim"] * n})
+    ds = rd.from_pandas(df).repartition(8)
+    pairs = D.minhash_lsh_pairs(ds, threshold=0.6, num_bands=4,
+                                num_perms=16, verify="broadcast").to_pandas()
+    assert len(pairs) == n * (n - 1) // 2  # complete, nothing silently capped
+    stats = D.minhash_bucket_stats(ds, num_bands=4, num_perms=16)
+    assert int(stats["truncated_buckets"].iloc[0]) == 0
+    assert int(stats["pairs_omitted"].iloc[0]) == 0
+    # force the windowed fallback: cap below the bucket size
+    small = D.minhash_bucket_stats(ds, num_bands=4, num_perms=16,
+                                   complete_cap=64, window=8)
+    assert int(small["truncated_buckets"].iloc[0]) > 0
+    assert int(small["pairs_omitted"].iloc[0]) > 0
+    assert (int(small["pairs_emitted"].iloc[0]) + int(small["pairs_omitted"].iloc[0])
+            == int(small["pairs_complete"].iloc[0]))
+
+
+def test_windowed_pairing_preserves_dedup_semantics(rd):
+    """A giant identical bucket under the windowed fallback still drops every
+    non-minimum member: each appears as `b` of some verified pair."""
+    n = 120
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": ["identical giant-bucket document"] * n})
+    ds = rd.from_pandas(df).repartition(4)
+    out = D.minhash_lsh_dedup(ds, threshold=0.6, num_bands=4, num_perms=16,
+                              verify="broadcast", complete_cap=16,
+                              window=8).to_pandas()
+    assert out["doc_id"].tolist() == [0]  # min id survives, all others dropped
+    # and the candidate set really was windowed, not complete
+    pairs = D.minhash_lsh_pairs(ds, threshold=0.6, num_bands=4, num_perms=16,
+                                verify="broadcast", complete_cap=16,
+                                window=8).to_pandas()
+    assert len(pairs) == D.windowed_pair_count(n, 16, 8)
+
+
+def test_embedding_neardup_exact_guard(rd, vectors):
+    """VERDICT r02 #8: the exact all-pairs tool hard-bounds its broadcast."""
+    V = np.stack(vectors["embedding"].to_numpy())
+    ds = rd.from_pandas(vectors).repartition(4)
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        S.embedding_neardup_pairs(ds, V, vectors["vec_id"].to_numpy(),
+                                  threshold=0.9, max_vectors=100)
