@@ -10,12 +10,13 @@ float samples, georeferencing via ModelPixelScale + ModelTiepoint.
 
 Scope (documented, deliberate):
 
-- read: little/big endian classic TIFF; compression 1 (none), 8/32946
-  (zlib DEFLATE); horizontal-differencing predictor 2; strips or tiles;
-  single sample per pixel.  LZW/JPEG/BigTIFF are out of scope — raise with
-  a clear message.
-- write: single-band, strip layout, optional DEFLATE, float32/float64/
-  int32/uint8 samples, ModelPixelScale/Tiepoint + GDAL_NODATA.
+- read: little/big endian classic TIFF; compression 1 (none), 5 (LZW,
+  TIFF6 early-change variant — the most common real-world GeoTIFF
+  compression), 8/32946 (zlib DEFLATE); horizontal-differencing predictor
+  2; strips or tiles; single sample per pixel.  JPEG/BigTIFF are out of
+  scope — raise with a clear message.
+- write: single-band, strip layout, optional DEFLATE or LZW, float32/
+  float64/int32/uint8 samples, ModelPixelScale/Tiepoint + GDAL_NODATA.
 
 Interop with the engine's raster model: :func:`read_geotiff` returns the
 (grid, GeoRef) pair ``state/raster.py`` uses everywhere, so a GeoTIFF can
@@ -31,7 +32,102 @@ import numpy as np
 
 from .raster import GeoRef
 
-__all__ = ["read_geotiff", "write_geotiff"]
+__all__ = ["read_geotiff", "write_geotiff", "lzw_decode", "lzw_encode"]
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (compression 5) — TIFF 6.0 §13, MSB-first bit packing with the
+# "early change" convention: code width bumps when table entry 510/1022/2046
+# is ADDED (one code earlier than the natural 511/1023/2047), matching
+# libtiff.  Pure python; used as the compatibility path for reading
+# real-world GeoTIFFs (VERDICT r02 #9) — DEFLATE remains the fast default
+# for engine-written rasters.
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Decode a TIFF-LZW code stream (one strip/tile's worth)."""
+    out = bytearray()
+    nbits = 9
+    table: list[bytes] = []
+    prev: "bytes | None" = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    while bitpos + nbits <= total_bits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = list(base)
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:  # first code after a clear: always a literal
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+            table.append(prev + entry[:1])
+            if len(table) == (1 << nbits) - 1 and nbits < 12:  # early change
+                nbits += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encode bytes as a TIFF-LZW code stream readable by :func:`lzw_decode`
+    and by libtiff/GDAL (early-change widths, table reset at code 4094)."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << nbits) | code
+        acc_bits += nbits
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(_LZW_CLEAR, nbits)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        # the encoder's table is one entry AHEAD of the decoder's, so its
+        # natural boundary (next_code == 2^w) IS the decoder's early change
+        # (decoder table hits 2^w - 1): both switch before the same code.
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
+        if next_code == 4094:  # leave room, reset like libtiff
+            emit(_LZW_CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], nbits)
+    emit(_LZW_EOI, nbits)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
 
 # TIFF tags
 _IMAGE_WIDTH = 256
@@ -138,12 +234,16 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoRef]:
     pred = int(tagv(_PREDICTOR, [1])[0])
     if spp != 1:
         raise NotImplementedError(f"{path}: {spp} samples/pixel (single-band only)")
-    if comp not in (1, 8, 32946):
-        raise NotImplementedError(f"{path}: compression {comp} (none/deflate only)")
+    if comp not in (1, 5, 8, 32946):
+        raise NotImplementedError(f"{path}: compression {comp} (none/lzw/deflate only)")
     dt = _dtype_of(bits, fmt, en)
 
     def decode(seg: bytes) -> bytes:
-        return zlib.decompress(seg) if comp in (8, 32946) else seg
+        if comp in (8, 32946):
+            return zlib.decompress(seg)
+        if comp == 5:
+            return lzw_decode(seg)
+        return seg
 
     grid = np.empty((height, width), dtype=dt.newbyteorder("="))
     if _TILE_OFFSETS in tags:
@@ -200,12 +300,12 @@ def write_geotiff(
     georef: GeoRef,
     dtype: str = "f4",
     nodata: "float | None" = None,
-    compress: bool = False,
+    compress: "bool | str" = False,
 ) -> None:
-    """Write a single-band GeoTIFF (strip layout, little-endian, optional
-    DEFLATE).  NaN cells become ``nodata`` (required if the grid has NaNs).
-    Round-trips through :func:`read_geotiff` bit-exactly at the written
-    dtype's precision."""
+    """Write a single-band GeoTIFF (strip layout, little-endian; ``compress``
+    is False, True/"deflate", or "lzw").  NaN cells become ``nodata``
+    (required if the grid has NaNs).  Round-trips through
+    :func:`read_geotiff` bit-exactly at the written dtype's precision."""
     grid = np.asarray(grid)
     if grid.shape != (georef.nrows, georef.ncols):
         raise ValueError(f"grid shape {grid.shape} != georef {(georef.nrows, georef.ncols)}")
@@ -217,8 +317,14 @@ def write_geotiff(
             raise ValueError("grid contains NaN; pass nodata=")
         vals = np.where(np.isnan(vals), float(nodata), vals)
     data = np.ascontiguousarray(vals.astype(dt)).tobytes()
-    if compress:
+    if compress == "lzw":
+        comp_code = 5
+        data = lzw_encode(data)
+    elif compress:
+        comp_code = 8
         data = zlib.compress(data, 6)
+    else:
+        comp_code = 1
     height, width = grid.shape
     if dt.kind == "f":
         fmt_code = 3
@@ -255,7 +361,7 @@ def write_geotiff(
         (_IMAGE_WIDTH, 4, 1, width),
         (_IMAGE_LENGTH, 4, 1, height),
         (_BITS_PER_SAMPLE, 3, 1, bits),
-        (_COMPRESSION, 3, 1, 8 if compress else 1),
+        (_COMPRESSION, 3, 1, comp_code),
         (_PHOTOMETRIC, 3, 1, 1),
         (_STRIP_OFFSETS, 4, 1, data_off),
         (_SAMPLES_PER_PIXEL, 3, 1, 1),

@@ -14,7 +14,7 @@ def _grid(seed=0):
     return rng.uniform(-100, 100, (20, 30))
 
 
-@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("compress", [False, True, "lzw"])
 @pytest.mark.parametrize("dtype,tol", [("f8", 0.0), ("f4", 1e-4), ("i4", 1.0)])
 def test_geotiff_roundtrip(tmp_path, compress, dtype, tol):
     g = _grid()
@@ -96,3 +96,72 @@ def test_registry_mixes_tif_and_npy(tmp_path):
     got = reg.gather(np.array([1, 6, 16]))
     assert got["a"].tolist() == [0.0, 5.0, 15.0]
     assert got["b"].tolist() == [0.0, 50.0, 150.0]
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (compression 5)
+# ---------------------------------------------------------------------------
+
+def _pack_codes(codes_with_widths):
+    """Independent MSB-first bit packer (hand-rolled, not lzw_encode's)."""
+    acc, nbits_acc, out = 0, 0, bytearray()
+    for code, w in codes_with_widths:
+        acc = (acc << w) | code
+        nbits_acc += w
+        while nbits_acc >= 8:
+            nbits_acc -= 8
+            out.append((acc >> nbits_acc) & 0xFF)
+    if nbits_acc:
+        out.append((acc << (8 - nbits_acc)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_tiff6_spec_example():
+    """The TIFF 6.0 §13 worked example: bytes 7 7 7 8 8 7 7 6 6 encode to the
+    code stream [Clear, 7, 258, 8, 8, 258, 6, 6, EOI] at 9 bits."""
+    from drivers_of_global_deforestation_ray.state.geotiff import lzw_decode, lzw_encode
+
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    expected = _pack_codes([(c, 9) for c in [256, 7, 258, 8, 8, 258, 6, 6, 257]])
+    assert lzw_encode(data) == expected
+    assert lzw_decode(expected) == data
+
+
+def test_lzw_width_transitions_and_reset():
+    """Roundtrip across the 9->10->11->12-bit early-change boundaries and the
+    4094 table reset (random data grows the table ~1 entry/byte), plus the
+    KwKwK self-referential case (aaa...)."""
+    from drivers_of_global_deforestation_ray.state.geotiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(5)
+    blob = rng.integers(0, 256, size=20000, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(blob)) == blob
+    runs = b"a" * 1000 + b"ab" * 500 + b"a" * 7
+    assert lzw_decode(lzw_encode(runs)) == runs
+
+
+def test_lzw_decoder_width_is_early_change():
+    """Pin the EARLY-CHANGE contract itself (not just self-consistency): a
+    hand-packed stream that emits code 258 IMMEDIATELY after the decoder's
+    table reaches 511 entries must already be 10-bit-wide at that read."""
+    from drivers_of_global_deforestation_ray.state.geotiff import lzw_decode
+
+    # clear, then 254 literals 0,1,2,...,253: decoder adds entries
+    # 258..510 (253 adds) -> table hits 511 after reading literal 253,
+    # so the NEXT code is read at 10 bits.
+    codes = [(256, 9)] + [(i, 9) for i in range(254)] + [(258, 10), (257, 10)]
+    data = _pack_codes(codes)
+    out = lzw_decode(data)
+    # 258 decodes to the first added entry: b"\x00\x01"
+    assert out == bytes(range(254)) + b"\x00\x01"
+
+
+def test_geotiff_lzw_with_nodata(tmp_path):
+    g = _grid(3)
+    g[2, 5] = np.nan
+    p = str(tmp_path / "lzw.tif")
+    write_geotiff(p, g, REF, dtype="f8", nodata=-9999.0, compress="lzw")
+    back, ref2 = read_geotiff(p)
+    assert np.isnan(back[2, 5])
+    m = ~np.isnan(g)
+    assert np.array_equal(back[m], g[m])
