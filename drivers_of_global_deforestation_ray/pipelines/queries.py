@@ -1468,6 +1468,40 @@ def q_media_resize(sf_dir: str):
     return out.map_batches(_meta, batch_format="pandas")
 
 
+def q_media_png_real(sf_dir: str):
+    """REAL PNG decode end-to-end (VERDICT r02 #6): deterministic
+    doc_id-seeded gradient images are encoded with the from-scratch codec
+    (``functions/png.py``), then the multimodal featurizer's ``real``
+    backend decodes the actual bytes — the recovered dimensions must match
+    DuckDB's closed form.  Pixel-level decode correctness is pinned by
+    ``tests/test_png.py`` (per-filter-type spec fixtures)."""
+    from ..functions.png import encode_png
+    from ..stages.multimodal import media_features
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for i in ids:
+            w = 5 + int(i) % 60
+            h = 7 + int(i) % 40
+            img = ((np.arange(h)[:, None] * 2 + np.arange(w)[None, :] * 3
+                    + int(i)) % 256).astype(np.uint8)
+            payloads.append(encode_png(img))
+        return pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    out = media_features(docs.map_batches(_mk, batch_format="pyarrow"),
+                         media_col="payload", backend="real")
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "media_width": b["media_width"].to_numpy().astype(np.int64),
+            "media_height": b["media_height"].to_numpy().astype(np.int64),
+        }),
+        batch_format="pandas")
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame-sample explode (1 doc -> 4 frame rows) — the
     (doc_id, frame_idx, ts_ms) lattice is SQL-checkable."""
@@ -1593,6 +1627,7 @@ QUERIES = {
     "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "frame_sample": q_frame_sample,
+    "media_png_real": q_media_png_real,
 }
 
 
@@ -2043,6 +2078,12 @@ ORACLE_SQL = {
         SELECT d.doc_id, CAST(f.range AS INTEGER) AS frame_idx,
                CAST(f.range * 250 AS BIGINT) AS ts_ms
         FROM documents d CROSS JOIN range(0, 4) f
+    """,
+    "media_png_real": """
+        SELECT doc_id,
+               CAST(5 + doc_id % 60 AS BIGINT) AS media_width,
+               CAST(7 + doc_id % 40 AS BIGINT) AS media_height
+        FROM documents
     """,
     "raster_roundtrip": f"""
         SELECT tile_id, count(*) AS n_docs FROM ({_TILE_SQL}) GROUP BY tile_id

@@ -2,17 +2,19 @@
 
 Image/audio/video ride through the engine as ``binary`` columns with typed
 metadata columns alongside (the pages corpus already carries ``html:binary``).
-The decode kernels themselves need codec libraries that do NOT exist in this
-sandbox, so the Ray-side contract is real and tested while the pixel/sample
-decode is stubbed:
 
 - :class:`MediaFeaturizer` is a genuine actor-pool stage: per-actor setup in
   ``__init__``, small ``batch_size`` (binary payloads are big), stable output
-  schema.  With ``backend="fake"`` (default) it derives a deterministic
-  feature vector + (width, height) from the payload *bytes* (blake2b-seeded),
-  so tests pin schema/shape/determinism.  With ``backend="real"`` it raises
-  ``NotImplementedError`` at construction — the marked integration point for
-  a PIL/ffmpeg-style decoder.
+  schema.  ``backend="fake"`` (default) derives a deterministic feature
+  vector + (width, height) from the payload *bytes* (blake2b-seeded), so
+  tests pin schema/shape/determinism.  ``backend="real"`` decodes actual
+  PNG payloads with the engine's from-scratch codec
+  (:mod:`..functions.png`, stdlib zlib only) — real dims, real pixel
+  statistics, same output schema (VERDICT r02 #6).
+- :func:`media_resize` with ``backend="real"`` decodes, nearest-neighbor
+  resizes and re-encodes PNG thumbnails.
+- :func:`frame_sample`'s real backend stays a marked integration point:
+  video containers/codecs are not implementable from stdlib, unlike PNG.
 - :func:`media_features` wires it with the batch/concurrency shape a real
   decoder needs (actor pool, num_cpus=1, small batches).
 """
@@ -25,23 +27,41 @@ import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
+from ..functions.png import decode_png, encode_png, resize_nearest
+
 __all__ = ["MediaFeaturizer", "media_features", "media_resize", "frame_sample",
            "FEATURE_DIM"]
 
 FEATURE_DIM = 16
 
 
+def _png_features(img: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM deterministic floats from decoded pixels: per-channel
+    mean/std (4 channels, absent -> 0) + 8-bin luminance histogram."""
+    h, w, ch = img.shape
+    f = np.zeros(FEATURE_DIM, np.float64)
+    px = img.reshape(-1, ch).astype(np.float64) / 255.0
+    f[:ch] = px.mean(axis=0)
+    f[4 : 4 + ch] = px.std(axis=0)
+    luma = px[:, : min(ch, 3)].mean(axis=1)
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    f[8:16] = hist / len(luma)
+    return f
+
+
 class MediaFeaturizer:
     """Actor: decode a binary media column into features + dimensions."""
 
     def __init__(self, media_col: str = "html", backend: str = "fake"):
-        if backend != "fake":
-            raise NotImplementedError(
-                "real media decode requires codec libraries not present in this "
-                "environment; plug a decoder in here (load models/codecs ONCE per "
-                "actor in __init__) and keep __call__'s output schema unchanged"
-            )
+        if backend not in ("fake", "real"):
+            raise ValueError(f"backend must be 'fake' or 'real', got {backend!r}")
         self.media_col = media_col
+        self.backend = backend
+
+    @staticmethod
+    def _real_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+        img = decode_png(payload)
+        return img.shape[1], img.shape[0], _png_features(img)
 
     @staticmethod
     def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -53,9 +73,10 @@ class MediaFeaturizer:
         return w, h, feats
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        decode = self._real_decode if self.backend == "real" else self._fake_decode
         ws, hs, fs = [], [], []
         for payload in batch[self.media_col]:
-            w, h, f = self._fake_decode(payload)
+            w, h, f = decode(payload)
             ws.append(w)
             hs.append(h)
             fs.append(f)
@@ -87,15 +108,18 @@ class _MediaResizer:
 
     ``backend="fake"``: deterministic bytes of exactly ``width*height`` derived
     from the source payload (blake2b XOF-style chaining) — real plumbing shape
-    (bounded output size per row, stable schema), stubbed pixels."""
+    (bounded output size per row, stable schema), stubbed pixels.
+    ``backend="real"``: PNG decode -> nearest-neighbor resize -> PNG
+    re-encode via the from-scratch codec."""
 
     def __init__(self, media_col: str, width: int, height: int, backend: str = "fake"):
-        if backend != "fake":
-            raise NotImplementedError(
-                "real resize needs an image library absent here; plug it in and "
-                "keep the (thumb:binary, thumb_width, thumb_height) schema"
-            )
+        if backend not in ("fake", "real"):
+            raise ValueError(f"backend must be 'fake' or 'real', got {backend!r}")
         self.media_col, self.width, self.height = media_col, width, height
+        self.backend = backend
+
+    def _real_resize(self, payload: bytes) -> bytes:
+        return encode_png(resize_nearest(decode_png(payload), self.width, self.height))
 
     def _fake_resize(self, payload: bytes) -> bytes:
         n = self.width * self.height
@@ -107,7 +131,8 @@ class _MediaResizer:
         return bytes(out[:n])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["thumb"] = [self._fake_resize(p) for p in batch[self.media_col]]
+        resize = self._real_resize if self.backend == "real" else self._fake_resize
+        batch["thumb"] = [resize(p) for p in batch[self.media_col]]
         batch["thumb_width"] = np.int32(self.width)
         batch["thumb_height"] = np.int32(self.height)
         return batch.drop(columns=[self.media_col])
@@ -144,8 +169,9 @@ class _FrameSampler:
                  frame_ms: int, backend: str = "fake"):
         if backend != "fake":
             raise NotImplementedError(
-                "real frame sampling needs a video library absent here; plug it "
-                "in and keep the (key, frame_idx, ts_ms, frame) schema"
+                "real frame sampling needs a video container/codec library, which "
+                "(unlike PNG) is not implementable from stdlib in this sandbox; "
+                "plug one in and keep the (key, frame_idx, ts_ms, frame) schema"
             )
         self.media_col, self.key_col = media_col, key_col
         self.num_frames, self.frame_ms = num_frames, frame_ms

@@ -89,9 +89,14 @@ def test_frame_sample_explode(rd):
     assert len(set(one["frame"].tolist())) == 3
 
 
-def test_media_real_backend_is_marked_stub():
+def test_media_real_backend_video_is_marked_stub():
+    # image stages are real now (PNG codec); video frame sampling remains
+    # the documented integration point
+    from drivers_of_global_deforestation_ray.stages.multimodal import _FrameSampler
     with pytest.raises(NotImplementedError):
-        MediaFeaturizer(backend="real")
+        _FrameSampler("html", "url", 3, 40, backend="real")
+    with pytest.raises(ValueError):
+        MediaFeaturizer(backend="nonsense")
 
 
 def test_enrich_documents_stage(rd):
@@ -107,3 +112,48 @@ def test_enrich_documents_stage(rd):
     assert out["fingerprint_md5"].nunique() == 4
     assert set(out.columns) >= {"quality_score", "punct_ratio", "stop_ratio",
                                 "mean_token_len", "fingerprint_roll"}
+
+
+# ---------------------------------------------------------------------------
+# real PNG backend (VERDICT r02 #6)
+# ---------------------------------------------------------------------------
+
+def _png_corpus(n=12, seed=4):
+    from drivers_of_global_deforestation_ray.functions.png import encode_png
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+        ch = int(rng.choice([1, 3, 4]))
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        rows.append({"url": f"img://{i}", "html": encode_png(img),
+                     "true_w": w, "true_h": h})
+    return pd.DataFrame(rows)
+
+
+def test_media_features_real_png(rd):
+    from drivers_of_global_deforestation_ray.stages.multimodal import media_features
+    corpus = _png_corpus()
+    ds = rd.from_pandas(corpus).repartition(3)
+    out = media_features(ds, backend="real", concurrency=2).to_pandas()
+    out = out.sort_values("url").reset_index(drop=True)
+    exp = corpus.sort_values("url").reset_index(drop=True)
+    assert (out["media_width"].to_numpy() == exp["true_w"].to_numpy()).all()
+    assert (out["media_height"].to_numpy() == exp["true_h"].to_numpy()).all()
+    feats = np.stack(out["media_features"].to_numpy())
+    assert feats.shape[1] == 16
+    assert (feats >= 0).all() and (feats <= 1).all()
+    assert np.allclose(feats[:, 8:16].sum(axis=1), 1.0)  # histogram fractions
+
+
+def test_media_resize_real_png_roundtrip(rd):
+    from drivers_of_global_deforestation_ray.functions.png import decode_png
+    from drivers_of_global_deforestation_ray.stages.multimodal import media_resize
+    corpus = _png_corpus(8, seed=9)
+    ds = rd.from_pandas(corpus).repartition(2)
+    out = media_resize(ds, width=16, height=12, backend="real",
+                       concurrency=2).to_pandas()
+    assert "html" not in out.columns  # payload dropped
+    for t in out["thumb"]:
+        img = decode_png(t)
+        assert img.shape[:2] == (12, 16)
