@@ -328,3 +328,24 @@ def test_embedding_neardup_exact_guard(rd, vectors):
     with pytest.raises(ValueError, match="embedding_neardup_lsh"):
         S.embedding_neardup_pairs(ds, V, vectors["vec_id"].to_numpy(),
                                   threshold=0.9, max_vectors=100)
+
+
+def test_embed_neardup_lsh_quantized_matches_exact_path(rd, vectors):
+    """VERDICT r02 #7: int8-quantized bucket shuffle must not change the
+    output — survivors are exactly re-checked, so (a, b, cosine) triples are
+    identical to the unquantized path; shuffled vector bytes drop 8x."""
+    ds = rd.from_pandas(vectors).repartition(4)
+    kw = dict(threshold=0.9, num_planes=4, num_tables=16, num_partitions=2)
+    q = S.embedding_neardup_lsh(ds, quantize=True, **kw).to_pandas()
+    f = S.embedding_neardup_lsh(ds, quantize=False, **kw).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["a", "b", "cosine"]].to_numpy()))
+    assert key(q) == key(f)
+    assert len(q) >= 5  # the planted near-dup pairs are in there
+    # quantized payload is 1/8 the float64 bytes
+    M = np.stack(vectors["embedding"].to_numpy()).astype(np.float64)
+    assert S._quantize_int8(M).nbytes * 8 == M.nbytes
+    # quantized cosine error is inside the default margin
+    Q = S._quantize_int8(M).astype(np.float64)
+    cq = S._cosine(Q[:5], Q[395:400])
+    cf = S._cosine(M[:5], M[395:400])
+    assert np.abs(cq - cf).max() < 0.02
