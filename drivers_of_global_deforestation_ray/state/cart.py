@@ -17,8 +17,15 @@ this is a numpy CART honoring rpart's default knobs:
   node whose per-split deviance improvement rate, normalized by SS(root),
   is below cp);
 - predict: leaf mean (vectorized frontier walk);
-- importance: per-feature sum of primary-split improvements (surrogate-split
-  credit is out of scope — documented rpart delta).
+- surrogate splits (rpart ch. 3.4 semantics, ``maxsurrogate=5``): at each
+  primary split the best per-feature (threshold, direction) predictors of
+  the primary left/right assignment are kept when they beat the
+  go-with-the-majority baseline; rows missing the primary feature route by
+  the first non-missing surrogate, else with the majority
+  (``usesurrogate=2``).  Primary split search skips missing values
+  (anova improvement over the observed subset);
+- importance: per-feature sum of primary-split improvements plus surrogate
+  credit (improvement x adjusted agreement), as rpart reports it.
 
 Trees serialize to plain numpy arrays so the :class:`TreeScorer` actor pool
 (`stages/score.py`) can hold all 35 via one ``ray.put``.
@@ -48,26 +55,74 @@ class CartTree:
     n_node: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     improvement: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
     root_deviance: float = 0.0
+    # surrogate splits, ragged per node: node i's surrogates live at
+    # [surr_offsets[i], surr_offsets[i+1]) in the flat arrays below.
+    # surr_less_left[j]: x < surr_threshold[j] follows the PRIMARY's left.
+    # majority_left[i]: direction for rows missing primary AND all surrogates.
+    surr_offsets: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+    surr_feature: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    surr_threshold: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    surr_less_left: np.ndarray = field(default_factory=lambda: np.empty(0, np.bool_))
+    surr_adj: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    majority_left: np.ndarray = field(default_factory=lambda: np.empty(0, np.bool_))
+
+    def _route(self, X: np.ndarray, rows: np.ndarray, nd: int) -> np.ndarray:
+        """go_left for `rows` at internal node `nd`, with rpart NA routing:
+        primary where observed, else first non-missing surrogate, else the
+        majority direction (usesurrogate=2)."""
+        xv = X[rows, self.feature[nd]]
+        go_left = xv < self.threshold[nd]
+        miss = np.isnan(xv)
+        if miss.any():
+            und = miss.copy()  # still-undecided rows
+            lo, hi = (int(self.surr_offsets[nd]), int(self.surr_offsets[nd + 1])) \
+                if nd + 1 < len(self.surr_offsets) else (0, 0)
+            for j in range(lo, hi):
+                if not und.any():
+                    break
+                sv = X[rows[und], self.surr_feature[j]]
+                ok = ~np.isnan(sv)
+                if ok.any():
+                    ui = np.nonzero(und)[0][ok]
+                    go_left[ui] = (sv[ok] < self.surr_threshold[j]) == bool(self.surr_less_left[j])
+                    und[ui] = False
+            if und.any():
+                maj = bool(self.majority_left[nd]) if len(self.majority_left) else True
+                go_left[und] = maj
+        return go_left
 
     def predict(self, X: np.ndarray) -> np.ndarray:
-        """Vectorized traversal: route the whole matrix level by level."""
+        """Vectorized traversal: route the whole matrix level by level; the
+        NaN-free fast path never groups by node."""
         n = X.shape[0]
         node = np.zeros(n, dtype=np.int64)
+        has_nan = bool(np.isnan(X).any())
         active = self.feature[node] != _LEAF
         while active.any():
             idx = np.nonzero(active)[0]
             nd = node[idx]
-            f = self.feature[nd]
-            go_left = X[idx, f] < self.threshold[nd]
-            node[idx] = np.where(go_left, self.left[nd], self.right[nd])
+            if not has_nan:
+                f = self.feature[nd]
+                go_left = X[idx, f] < self.threshold[nd]
+                node[idx] = np.where(go_left, self.left[nd], self.right[nd])
+            else:
+                for u in np.unique(nd):
+                    rows = idx[nd == u]
+                    go_left = self._route(X, rows, int(u))
+                    node[rows] = np.where(go_left, self.left[u], self.right[u])
             active = self.feature[node] != _LEAF
         return self.value[node]
 
     def importance(self, num_features: int) -> np.ndarray:
+        """Primary-split improvements plus surrogate credit
+        (improvement x adjusted agreement), as rpart reports it."""
         imp = np.zeros(num_features, dtype=np.float64)
         for i in self.reachable():
             if self.feature[i] != _LEAF:
                 imp[self.feature[i]] += self.improvement[i]
+                if i + 1 < len(self.surr_offsets):
+                    for j in range(int(self.surr_offsets[i]), int(self.surr_offsets[i + 1])):
+                        imp[self.surr_feature[j]] += self.improvement[i] * self.surr_adj[j]
         return imp
 
     def to_arrays(self) -> dict:
@@ -80,6 +135,12 @@ class CartTree:
             "n_node": self.n_node,
             "improvement": self.improvement,
             "root_deviance": self.root_deviance,
+            "surr_offsets": self.surr_offsets,
+            "surr_feature": self.surr_feature,
+            "surr_threshold": self.surr_threshold,
+            "surr_less_left": self.surr_less_left,
+            "surr_adj": self.surr_adj,
+            "majority_left": self.majority_left,
         }
 
     @classmethod
@@ -130,16 +191,26 @@ def _best_split(
     X: np.ndarray, y: np.ndarray, minbucket: int
 ) -> tuple[int, float, float] | None:
     """Best (feature, threshold, improvement) for one node; None if no valid
-    split.  improvement = SS(node) - SS(left) - SS(right), maximized."""
-    n = len(y)
-    sum_all = y.sum()
+    split.  improvement = SS(node) - SS(left) - SS(right), maximized.
+    Missing values: each feature is evaluated on its OBSERVED rows only
+    (rpart anova semantics); missing rows route by surrogates afterwards."""
     best_imp = 0.0
     best: tuple[int, float, float] | None = None
+    any_nan = bool(np.isnan(X).any())
     for f in range(X.shape[1]):
         xv = X[:, f]
+        if any_nan:
+            obs = ~np.isnan(xv)
+            xv, yf = xv[obs], y[obs]
+        else:
+            yf = y
+        n = len(yf)
+        if n < 2 * minbucket:
+            continue
+        sum_all = yf.sum()
         order = np.argsort(xv, kind="stable")
         xs = xv[order]
-        ys = y[order]
+        ys = yf[order]
         csum = np.cumsum(ys)
         nl = np.arange(1, n, dtype=np.float64)  # left sizes after position i
         sl = csum[:-1]
@@ -159,6 +230,54 @@ def _best_split(
     return best
 
 
+def _surrogates(
+    Xn: np.ndarray, f_primary: int, thr: float, maxsurrogate: int
+) -> "list[tuple[float, int, float, bool]]":
+    """rpart ch. 3.4 surrogate search at one node (``Xn`` node-local rows):
+    for every other feature, the (threshold, direction) that best AGREES with
+    the primary left/right assignment among rows observed on both; kept only
+    if it beats the go-with-the-majority baseline.  Returns up to
+    ``maxsurrogate`` of (adjusted_agreement, feature, threshold, less_left),
+    ordered by adjusted agreement desc (ties: feature asc, threshold asc)."""
+    xp = Xn[:, f_primary]
+    obs_p = ~np.isnan(xp)
+    out: list[tuple[float, int, float, bool]] = []
+    for f in range(Xn.shape[1]):
+        if f == f_primary:
+            continue
+        xv = Xn[:, f]
+        both = obs_p & ~np.isnan(xv)
+        nb = int(both.sum())
+        if nb < 2:
+            continue
+        lab = (Xn[both, f_primary] < thr)
+        maj = max(int(lab.sum()), nb - int(lab.sum()))
+        order = np.argsort(xv[both], kind="stable")
+        xs = xv[both][order]
+        ls = lab[order].astype(np.int64)
+        cum = np.cumsum(ls)
+        nl = np.arange(1, nb, dtype=np.int64)
+        # cut after sorted position i: left group = xs[:i+1]
+        agree_a = cum[:-1] + (nb - cum[-1]) - (nl - cum[:-1])  # x<thr -> left
+        valid = xs[1:] != xs[:-1]
+        if not valid.any():
+            continue
+        agree_b = nb - agree_a                                 # x<thr -> right
+        agree_a = np.where(valid, agree_a, -1)
+        agree_b = np.where(valid, agree_b, -1)
+        ia, ib = int(np.argmax(agree_a)), int(np.argmax(agree_b))
+        if agree_a[ia] >= agree_b[ib]:
+            agree, i, less_left = int(agree_a[ia]), ia, True
+        else:
+            agree, i, less_left = int(agree_b[ib]), ib, False
+        if agree <= maj:  # must beat "send everything with the majority"
+            continue
+        adj = (agree - maj) / (nb - maj)
+        out.append((float(adj), f, float((xs[i] + xs[i + 1]) / 2.0), less_left))
+    out.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return out[:maxsurrogate]
+
+
 def fit_cart(
     X: np.ndarray,
     y: np.ndarray,
@@ -166,12 +285,19 @@ def fit_cart(
     minbucket: int = 7,
     cp: float = 0.01,
     maxdepth: int = 30,
+    maxsurrogate: int = 5,
 ) -> CartTree:
-    """Grow a regression tree with rpart default semantics (see module doc)."""
+    """Grow a regression tree with rpart default semantics (see module doc).
+    NaN feature values are handled rpart-style: the primary split search uses
+    observed rows only, missing rows route by surrogate splits (else the
+    majority direction), and surrogates earn importance credit.
+    ``maxsurrogate=0`` skips the surrogate search entirely."""
     X = np.asarray(X, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     root_dev = float(((y - y.mean()) ** 2).sum()) if len(y) else 0.0
     feature, threshold, left, right, value, n_node, improvement = [], [], [], [], [], [], []
+    node_surr: dict[int, list] = {}
+    node_major: dict[int, bool] = {}
 
     def new_node(idx: np.ndarray) -> int:
         i = len(feature)
@@ -197,7 +323,26 @@ def fit_cart(
         f, thr, imp = found
         if imp < cp * root_dev:  # rpart's complexity gate on growth
             continue
-        go_left = X[idx, f] < thr
+        xv = X[idx, f]
+        go_left = xv < thr
+        miss = np.isnan(xv)
+        n_l, n_r = int(go_left.sum()), int((~go_left & ~miss).sum())
+        node_major[node_id] = n_l >= n_r  # ties go left (deterministic)
+        surr = _surrogates(X[idx], f, thr, maxsurrogate) if maxsurrogate > 0 else []
+        node_surr[node_id] = surr
+        if miss.any():  # route missing rows: surrogates in order, else majority
+            und = miss.copy()
+            for _, sf, sthr, less_left in surr:
+                if not und.any():
+                    break
+                sv = X[idx[und], sf]
+                ok = ~np.isnan(sv)
+                if ok.any():
+                    ui = np.nonzero(und)[0][ok]
+                    go_left[ui] = (sv[ok] < sthr) == less_left
+                    und[ui] = False
+            if und.any():
+                go_left[und] = node_major[node_id]
         li = new_node(idx[go_left])
         ri = new_node(idx[~go_left])
         feature[node_id] = f
@@ -208,6 +353,22 @@ def fit_cart(
         stack.append((ri, idx[~go_left], depth + 1))
         stack.append((li, idx[go_left], depth + 1))
 
+    # assemble the ragged surrogate arrays in node order
+    n_nodes = len(feature)
+    offsets = np.zeros(n_nodes + 1, np.int64)
+    s_feat: list[int] = []
+    s_thr: list[float] = []
+    s_ll: list[bool] = []
+    s_adj: list[float] = []
+    for i in range(n_nodes):
+        for adj, sf, sthr, less_left in node_surr.get(i, []):
+            s_feat.append(sf)
+            s_thr.append(sthr)
+            s_ll.append(less_left)
+            s_adj.append(adj)
+        offsets[i + 1] = len(s_feat)
+    majority = np.asarray([node_major.get(i, True) for i in range(n_nodes)], np.bool_)
+
     return CartTree(
         np.asarray(feature, np.int64),
         np.asarray(threshold, np.float64),
@@ -217,6 +378,12 @@ def fit_cart(
         np.asarray(n_node, np.int64),
         np.asarray(improvement, np.float64),
         root_dev,
+        offsets,
+        np.asarray(s_feat, np.int64),
+        np.asarray(s_thr, np.float64),
+        np.asarray(s_ll, np.bool_),
+        np.asarray(s_adj, np.float64),
+        majority,
     )
 
 
@@ -260,4 +427,6 @@ def prune_cart(tree: CartTree, cp: float = 0.02) -> CartTree:
     return CartTree(
         feature, tree.threshold, left, right, tree.value, tree.n_node,
         np.where(feature == _LEAF, 0.0, tree.improvement), tree.root_deviance,
+        tree.surr_offsets, tree.surr_feature, tree.surr_threshold,
+        tree.surr_less_left, tree.surr_adj, tree.majority_left,
     )

@@ -173,3 +173,72 @@ def test_cart_roundtrip_arrays():
     t = cart.fit_cart(X_, y)
     t2 = cart.CartTree.from_arrays(t.to_arrays())
     assert (t.predict(X_) == t2.predict(X_)).all()
+
+
+def test_cart_surrogate_copy_feature_and_na_routing():
+    """rpart ch.3.4 (VERDICT r02 #10): a perfect-copy feature becomes the top
+    surrogate (adjusted agreement 1.0); rows missing the primary route
+    exactly as if it were observed."""
+    rng = np.random.default_rng(7)
+    n = 200
+    x0 = rng.uniform(0, 1, n)
+    Xm = np.column_stack([x0, x0.copy(), rng.uniform(0, 1, n)])
+    y = np.where(x0 < 0.5, 1.0, 5.0) + rng.normal(0, 0.01, n)
+    t = cart.fit_cart(Xm, y)
+    assert t.feature[0] == 0  # tie with the copy broken to lowest index
+    lo, hi = int(t.surr_offsets[0]), int(t.surr_offsets[1])
+    assert hi > lo
+    assert t.surr_feature[lo] == 1  # copy feature is the TOP surrogate
+    assert t.surr_adj[lo] == 1.0
+    assert bool(t.surr_less_left[lo])
+    Xq = Xm[:40]
+    want = t.predict(Xq)
+    Xq_na = Xq.copy()
+    Xq_na[:, 0] = np.nan
+    assert np.array_equal(t.predict(Xq_na), want)
+
+
+def test_cart_majority_fallback_and_surrogate_importance():
+    rng = np.random.default_rng(8)
+    n = 300
+    x0 = rng.uniform(0, 1, n)
+    Xm = np.column_stack([x0, x0.copy(), rng.uniform(0, 1, n)])
+    y = np.where(x0 < 0.3, 0.0, 4.0)  # majority side: right (~70%)
+    t = cart.fit_cart(Xm, y)
+    out = t.predict(np.full((5, 3), np.nan))  # nothing observed anywhere
+    assert (out > 2.0).all()  # usesurrogate=2: go with the majority
+    imp = t.importance(3)
+    assert imp[1] > 0  # surrogate credit for the never-primary copy
+    assert imp[1] <= imp[0]
+
+
+def test_cart_fit_routes_training_nas_by_surrogate():
+    """NaN-bearing TRAINING data: the primary is chosen on observed rows and
+    missing rows flow down via the surrogate, so leaf stats include them."""
+    rng = np.random.default_rng(9)
+    n = 400
+    x0 = rng.uniform(0, 1, n)
+    flip = rng.uniform(0, 1, n) < 0.05
+    x1 = np.where(flip, 1.0 - x0, x0)  # 95%-faithful surrogate
+    y = np.where(x0 < 0.5, 1.0, 3.0)
+    x0_nan = x0.copy()
+    x0_nan[::10] = np.nan  # 10% missing on the primary
+    t = cart.fit_cart(np.column_stack([x0_nan, x1]), y)
+    assert t.feature[0] == 0  # observed-rows improvement still beats the flip
+    pred = t.predict(np.array([[np.nan, 0.2], [np.nan, 0.9]]))
+    assert abs(pred[0] - 1.0) < 0.3
+    assert abs(pred[1] - 3.0) < 0.3
+
+
+def test_cart_no_nan_unchanged_by_surrogates():
+    """With complete data, maxsurrogate=0 and the default tree must agree on
+    structure and predictions (surrogates never fire)."""
+    rng = np.random.default_rng(10)
+    Xm = rng.uniform(0, 1, (250, 4))
+    y = np.where(Xm[:, 2] < 0.4, 0.0, 2.0) + rng.normal(0, 0.05, 250)
+    a = cart.fit_cart(Xm, y)
+    b = cart.fit_cart(Xm, y, maxsurrogate=0)
+    assert np.array_equal(a.feature, b.feature)
+    assert np.array_equal(a.threshold, b.threshold, equal_nan=True)
+    assert np.array_equal(a.predict(Xm), b.predict(Xm))
+    assert len(b.surr_feature) == 0
