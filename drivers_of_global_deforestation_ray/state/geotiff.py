@@ -13,10 +13,12 @@ Scope (documented, deliberate):
 - read: little/big endian classic TIFF; compression 1 (none), 5 (LZW,
   TIFF6 early-change variant — the most common real-world GeoTIFF
   compression), 8/32946 (zlib DEFLATE); horizontal-differencing predictor
-  2; strips or tiles; single sample per pixel.  JPEG/BigTIFF are out of
+  2; strips or tiles; multi-band via ``band=`` — chunky (PlanarConfig 1)
+  and planar (PlanarConfig 2) strip layouts.  JPEG/BigTIFF are out of
   scope — raise with a clear message.
-- write: single-band, strip layout, optional DEFLATE or LZW, float32/
-  float64/int32/uint8 samples, ModelPixelScale/Tiepoint + GDAL_NODATA.
+- write: strip layout, optional DEFLATE or LZW, float32/float64/int32/
+  uint8 samples, ModelPixelScale/Tiepoint + GDAL_NODATA; multi-band
+  chunky via a (H, W, S) grid.
 
 Interop with the engine's raster model: :func:`read_geotiff` returns the
 (grid, GeoRef) pair ``state/raster.py`` uses everywhere, so a GeoTIFF can
@@ -196,11 +198,14 @@ def _undo_predictor2(block: np.ndarray) -> np.ndarray:
     return np.cumsum(block, axis=1, dtype=block.dtype)
 
 
-def read_geotiff(path: str) -> tuple[np.ndarray, GeoRef]:
-    """Read a single-band GeoTIFF into (float64 grid, :class:`GeoRef`).
+def read_geotiff(path: str, band: "int | None" = None) -> tuple[np.ndarray, GeoRef]:
+    """Read one band of a GeoTIFF into (float64 grid, :class:`GeoRef`).
 
-    Nodata cells (GDAL_NODATA tag) come back as NaN — matching the engine's
-    npy raster convention so both formats interchange freely."""
+    Single-band files need no ``band``; multi-band files (chunky or planar
+    strip layout) require ``band=0..spp-1`` — the engine's raster model is
+    one grid per feature, so a multi-band file reads as spp separate
+    gathers.  Nodata cells (GDAL_NODATA tag) come back as NaN — matching
+    the engine's npy raster convention so both formats interchange freely."""
     with open(path, "rb") as f:
         buf = f.read()
     magic = buf[:2]
@@ -227,13 +232,21 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoRef]:
 
     width = int(tagv(_IMAGE_WIDTH)[0])
     height = int(tagv(_IMAGE_LENGTH)[0])
-    bits = int(tagv(_BITS_PER_SAMPLE, [8])[0])
+    bits_list = [int(b) for b in tagv(_BITS_PER_SAMPLE, [8])]
+    bits = bits_list[0]
     comp = int(tagv(_COMPRESSION, [1])[0])
     spp = int(tagv(_SAMPLES_PER_PIXEL, [1])[0])
+    planar = int(tagv(_PLANAR_CONFIG, [1])[0])
     fmt = int(tagv(_SAMPLE_FORMAT, [1])[0])
     pred = int(tagv(_PREDICTOR, [1])[0])
-    if spp != 1:
-        raise NotImplementedError(f"{path}: {spp} samples/pixel (single-band only)")
+    if spp > 1:
+        if band is None:
+            raise ValueError(f"{path}: {spp} samples/pixel — pass band=0..{spp - 1}")
+        if len(set(bits_list)) > 1:
+            raise NotImplementedError(f"{path}: mixed per-band bit depths {bits_list}")
+    bi = 0 if band is None else int(band)
+    if not 0 <= bi < spp:
+        raise ValueError(f"{path}: band {band} out of range (spp={spp})")
     if comp not in (1, 5, 8, 32946):
         raise NotImplementedError(f"{path}: compression {comp} (none/lzw/deflate only)")
     dt = _dtype_of(bits, fmt, en)
@@ -247,6 +260,8 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoRef]:
 
     grid = np.empty((height, width), dtype=dt.newbyteorder("="))
     if _TILE_OFFSETS in tags:
+        if spp > 1 and planar != 1:
+            raise NotImplementedError(f"{path}: planar tiled multi-band")
         tw = int(tagv(_TILE_WIDTH)[0])
         th = int(tagv(_TILE_LENGTH)[0])
         offs = tagv(_TILE_OFFSETS)
@@ -254,24 +269,32 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoRef]:
         tiles_across = -(-width // tw)
         for ti, (o, c) in enumerate(zip(offs, cnts)):
             raw = np.frombuffer(decode(buf[o : o + c]), dtype=dt)
-            block = raw.reshape(th, tw).astype(dt.newbyteorder("="))
-            if pred == 2:
+            block = raw.reshape(th, tw, spp).astype(dt.newbyteorder("="))
+            if pred == 2:  # horizontal differencing is per sample component
                 block = _undo_predictor2(block)
             r0 = (ti // tiles_across) * th
             c0 = (ti % tiles_across) * tw
-            grid[r0 : r0 + th, c0 : c0 + tw] = block[: height - r0, : width - c0]
+            grid[r0 : r0 + th, c0 : c0 + tw] = block[: height - r0, : width - c0, bi]
     else:
         rps = int(tagv(_ROWS_PER_STRIP, [height])[0])
         offs = tagv(_STRIP_OFFSETS)
         cnts = tagv(_STRIP_BYTE_COUNTS)
+        if spp > 1 and planar == 2:
+            # planar: all strips of plane 0, then plane 1, ... — slice ours
+            spi = -(-height // rps)
+            offs = offs[bi * spi : (bi + 1) * spi]
+            cnts = cnts[bi * spi : (bi + 1) * spi]
+            read_spp = 1
+        else:
+            read_spp = spp
         r = 0
         for o, c in zip(offs, cnts):
             nrows = min(rps, height - r)
             raw = np.frombuffer(decode(buf[o : o + c]), dtype=dt)
-            block = raw.reshape(nrows, width).astype(dt.newbyteorder("="))
+            block = raw.reshape(nrows, width, read_spp).astype(dt.newbyteorder("="))
             if pred == 2:
                 block = _undo_predictor2(block)
-            grid[r : r + nrows] = block
+            grid[r : r + nrows] = block[:, :, bi if read_spp > 1 else 0]
             r += nrows
     out = grid.astype(np.float64)
     if _GDAL_NODATA in tags:
@@ -302,12 +325,15 @@ def write_geotiff(
     nodata: "float | None" = None,
     compress: "bool | str" = False,
 ) -> None:
-    """Write a single-band GeoTIFF (strip layout, little-endian; ``compress``
-    is False, True/"deflate", or "lzw").  NaN cells become ``nodata``
-    (required if the grid has NaNs).  Round-trips through
-    :func:`read_geotiff` bit-exactly at the written dtype's precision."""
+    """Write a GeoTIFF (strip layout, little-endian; ``compress`` is False,
+    True/"deflate", or "lzw").  A 2-D grid writes single-band; a
+    (H, W, S) grid writes S bands chunky-interleaved (PlanarConfig 1).
+    NaN cells become ``nodata`` (required if the grid has NaNs).
+    Round-trips through :func:`read_geotiff` bit-exactly at the written
+    dtype's precision."""
     grid = np.asarray(grid)
-    if grid.shape != (georef.nrows, georef.ncols):
+    spp = 1 if grid.ndim == 2 else int(grid.shape[2])
+    if grid.shape[:2] != (georef.nrows, georef.ncols):
         raise ValueError(f"grid shape {grid.shape} != georef {(georef.nrows, georef.ncols)}")
     dt = np.dtype("<" + dtype)
     vals = grid.astype(np.float64)
@@ -325,7 +351,7 @@ def write_geotiff(
         data = zlib.compress(data, 6)
     else:
         comp_code = 1
-    height, width = grid.shape
+    height, width = grid.shape[:2]
     if dt.kind == "f":
         fmt_code = 3
     elif dt.kind == "i":
@@ -355,20 +381,25 @@ def write_geotiff(
     scale_off = ext_push(scale)
     tie_off = ext_push(tie)
     nod_off = ext_push(nod_ascii) if nod_ascii else 0
+    if spp == 2:  # two SHORTs fit the 4-byte value slot (spec: must inline)
+        bits_off, fmt_off = bits | (bits << 16), fmt_code | (fmt_code << 16)
+    elif spp > 2:  # longer per-sample SHORT arrays go external
+        bits_off = ext_push(struct.pack(f"<{spp}H", *([bits] * spp)))
+        fmt_off = ext_push(struct.pack(f"<{spp}H", *([fmt_code] * spp)))
     ifd_off = ext_off
 
     entries = [
         (_IMAGE_WIDTH, 4, 1, width),
         (_IMAGE_LENGTH, 4, 1, height),
-        (_BITS_PER_SAMPLE, 3, 1, bits),
+        (_BITS_PER_SAMPLE, 3, spp, bits if spp == 1 else bits_off),
         (_COMPRESSION, 3, 1, comp_code),
         (_PHOTOMETRIC, 3, 1, 1),
         (_STRIP_OFFSETS, 4, 1, data_off),
-        (_SAMPLES_PER_PIXEL, 3, 1, 1),
+        (_SAMPLES_PER_PIXEL, 3, 1, spp),
         (_ROWS_PER_STRIP, 4, 1, height),
         (_STRIP_BYTE_COUNTS, 4, 1, len(data)),
         (_PLANAR_CONFIG, 3, 1, 1),
-        (_SAMPLE_FORMAT, 3, 1, fmt_code),
+        (_SAMPLE_FORMAT, 3, spp, fmt_code if spp == 1 else fmt_off),
         (_MODEL_PIXEL_SCALE, 12, 3, scale_off),
         (_MODEL_TIEPOINT, 12, 6, tie_off),
     ]

@@ -165,3 +165,58 @@ def test_geotiff_lzw_with_nodata(tmp_path):
     assert np.isnan(back[2, 5])
     m = ~np.isnan(g)
     assert np.array_equal(back[m], g[m])
+
+
+# ---------------------------------------------------------------------------
+# multi-band
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("compress", [False, "lzw", True])
+@pytest.mark.parametrize("nbands", [2, 3])
+def test_geotiff_multiband_chunky_roundtrip(tmp_path, compress, nbands):
+    rng = np.random.default_rng(nbands)
+    g = rng.uniform(-50, 50, (20, 30, nbands))
+    p = str(tmp_path / "mb.tif")
+    write_geotiff(p, g, REF, dtype="f8", compress=compress)
+    with pytest.raises(ValueError, match="band="):
+        read_geotiff(p)  # must ask for a band
+    for b in range(nbands):
+        back, ref2 = read_geotiff(p, band=b)
+        assert np.array_equal(back, g[:, :, b])
+    assert ref2.nrows == REF.nrows and ref2.ncols == REF.ncols
+    with pytest.raises(ValueError, match="out of range"):
+        read_geotiff(p, band=nbands)
+
+
+def test_geotiff_planar_strips(tmp_path):
+    """Hand-built PlanarConfig=2 file: strips of plane 0, then plane 1."""
+    import struct
+    import zlib as _z
+
+    h, w = 6, 5
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 255, size=(h, w, 2), dtype=np.uint8).astype(np.float64)
+    planes = [np.ascontiguousarray(g[:, :, b].astype("<u1")).tobytes() for b in range(2)]
+    data = b"".join(planes)
+    offs = [8, 8 + len(planes[0])]
+    cnts = [len(planes[0]), len(planes[1])]
+    ifd_off = 8 + len(data)
+    # external arrays for strip offsets/counts (count=2 LONG > 4 bytes)
+    ext = struct.pack("<2I", *offs) + struct.pack("<2I", *cnts)
+    offs_off, cnts_off = ifd_off, ifd_off + 8
+    ifd_start = ifd_off + len(ext)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 2, 8 | (8 << 16)),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, 2, offs_off), (277, 3, 1, 2), (278, 4, 1, h),
+        (279, 4, 2, cnts_off), (284, 3, 1, 2), (339, 3, 2, 1 | (1 << 16)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    p = tmp_path / "planar.tif"
+    p.write_bytes(b"II" + struct.pack("<HI", 42, ifd_start) + data + ext + ifd)
+    for b in range(2):
+        back, _ = read_geotiff(str(p), band=b)
+        assert np.array_equal(back, g[:, :, b])
