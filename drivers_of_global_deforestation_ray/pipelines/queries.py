@@ -1502,6 +1502,33 @@ def q_media_png_real(sf_dir: str):
         batch_format="pandas")
 
 
+def q_audio_wav_real(sf_dir: str):
+    """REAL WAV decode end-to-end: deterministic doc_id-seeded PCM sine
+    clips are encoded with the from-scratch RIFF codec (``functions/wav.py``)
+    and decoded by the audio featurizer actor pool — recovered sample rate /
+    frame count / channels / duration must match DuckDB's closed form."""
+    from ..functions.wav import encode_wav
+    from ..stages.multimodal import audio_features
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for i in ids:
+            dur_ms = 100 + int(i) % 400
+            ch = 1 + int(i) % 2
+            n = 8 * dur_ms  # rate 8000
+            t = np.arange(n) / 8000.0
+            tone = 0.5 * np.sin(2 * np.pi * (200.0 + (int(i) % 20) * 50.0) * t)
+            payloads.append(encode_wav(np.tile(tone[:, None], (1, ch)), 8000))
+        return pd.DataFrame({"doc_id": ids, "audio": payloads})
+
+    out = audio_features(docs.map_batches(_mk, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "sample_rate", "n_frames", "channels",
+                               "duration_ms"])
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame-sample explode (1 doc -> 4 frame rows) — the
     (doc_id, frame_idx, ts_ms) lattice is SQL-checkable."""
@@ -1628,6 +1655,7 @@ QUERIES = {
     "extract_text": q_extract_text,
     "frame_sample": q_frame_sample,
     "media_png_real": q_media_png_real,
+    "audio_wav_real": q_audio_wav_real,
 }
 
 
@@ -2083,6 +2111,14 @@ ORACLE_SQL = {
         SELECT doc_id,
                CAST(5 + doc_id % 60 AS BIGINT) AS media_width,
                CAST(7 + doc_id % 40 AS BIGINT) AS media_height
+        FROM documents
+    """,
+    "audio_wav_real": """
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(8 * (100 + doc_id % 400) AS BIGINT) AS n_frames,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms
         FROM documents
     """,
     "raster_roundtrip": f"""

