@@ -1529,6 +1529,33 @@ def q_audio_wav_real(sf_dir: str):
                                "duration_ms"])
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Cross-snapshot exact dedup: documents with even ids are the 'seen'
+    snapshot, odd ids the new crawl — new docs already seen (by text) drop,
+    and the survivors dedup internally to the min odd id per text."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    def _parity(keep_even: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            return b.filter(pa.array((ids % 2 == 0) == keep_even))
+        return _f
+
+    seen = docs.map_batches(_parity(True), batch_format="pyarrow")
+    new = docs.map_batches(_parity(False), batch_format="pyarrow")
+    out = D.dedup_incremental(new, seen, "text", "doc_id", num_partitions=4,
+                              keep_cols=["doc_id", "text"])
+    return out.select_columns(["doc_id"])
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (duplicate-word / top-word fractions)
+    — exact integer-ratio fractions, SQL-checkable via string_split."""
+    from ..stages.textstage import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(docs)
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame-sample explode (1 doc -> 4 frame rows) — the
     (doc_id, frame_idx, ts_ms) lattice is SQL-checkable."""
@@ -1656,6 +1683,8 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "media_png_real": q_media_png_real,
     "audio_wav_real": q_audio_wav_real,
+    "dedup_incremental": q_dedup_incremental,
+    "doc_repetition": q_doc_repetition,
 }
 
 
@@ -2120,6 +2149,25 @@ ORACLE_SQL = {
                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
                CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms
         FROM documents
+    """,
+    "dedup_incremental": """
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM documents s
+                          WHERE s.doc_id % 2 = 0 AND s.text = d.text)
+          AND d.doc_id = (SELECT min(d2.doc_id) FROM documents d2
+                          WHERE d2.doc_id % 2 = 1 AND d2.text = d.text)
+    """,
+    "doc_repetition": """
+        SELECT doc_id,
+               count(*) AS n_words,
+               count(DISTINCT w) AS n_distinct_words,
+               CAST(count(*) - count(DISTINCT w) AS DOUBLE) / count(*) AS dup_word_frac,
+               CAST(max(cnt) AS DOUBLE) / count(*) AS top_word_frac
+        FROM (
+            SELECT doc_id, w, count(*) OVER (PARTITION BY doc_id, w) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        ) GROUP BY doc_id
     """,
     "raster_roundtrip": f"""
         SELECT tile_id, count(*) AS n_docs FROM ({_TILE_SQL}) GROUP BY tile_id

@@ -28,6 +28,7 @@ from .relational import grouped_agg, grouped_transform, hash_join, union_all
 
 __all__ = [
     "dedup_exact_text",
+    "dedup_incremental",
     "minhash_lsh_pairs",
     "minhash_lsh_dedup",
     "simhash_pairs",
@@ -46,7 +47,8 @@ __all__ = [
 # exact
 # ---------------------------------------------------------------------------
 
-def dedup_exact_text(ds: Dataset, text_col: str, id_col: str) -> Dataset:
+def dedup_exact_text(ds: Dataset, text_col: str, id_col: str,
+                     num_partitions: int = 32) -> Dataset:
     """Keep the min-id row per exact text.  Shuffles md5 fingerprints (16 B),
     never the text bodies: hash -> groupby(hash) -> min id -> broadcast-join
     the winner ids back is unnecessary since we keep (id, hash) only —
@@ -62,7 +64,42 @@ def dedup_exact_text(ds: Dataset, text_col: str, id_col: str) -> Dataset:
     def _first(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df.groupby("__fp", sort=False)[id_col].idxmin()].drop(columns="__fp")
 
-    return grouped_transform(ds.map_batches(_fp, batch_format="pandas"), ["__fp"], _first)
+    return grouped_transform(ds.map_batches(_fp, batch_format="pandas"), ["__fp"], _first,
+                             num_partitions)
+
+
+def dedup_incremental(new_ds: Dataset, seen_ds: Dataset, text_col: str,
+                      id_col: str, broadcast: bool = True,
+                      num_partitions: int = 32,
+                      keep_cols: "list[str] | None" = None) -> Dataset:
+    """Cross-snapshot crawl dedup: drop rows of ``new_ds`` whose exact text
+    was already seen in ``seen_ds``, then dedup the remainder internally
+    (min id per text).
+
+    Shuffle discipline: only 16-byte md5 fingerprints leave either corpus —
+    the seen side reduces to a distributed distinct-fingerprint build inside
+    :func:`~.relational.semi_join` (``anti=True``); ``broadcast=False``
+    switches to the marker-join path (O(1) driver) when the seen-fingerprint
+    set outgrows one object-store value."""
+    from .relational import semi_join
+
+    def _fps_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__fp": md5_fingerprints(batch[text_col])})
+
+    def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy(deep=False)
+        batch["__fp"] = md5_fingerprints(batch[text_col])
+        return batch
+
+    # schema() would execute the upstream just to learn column names —
+    # callers that know their columns pass keep_cols and skip that
+    out_cols = keep_cols if keep_cols is not None else list(new_ds.schema().names)
+    fresh = semi_join(new_ds.map_batches(_tag, batch_format="pandas"),
+                      seen_ds.map_batches(_fps_only, batch_format="pandas"),
+                      on="__fp", right_on="__fp", anti=True,
+                      broadcast=broadcast, num_partitions=num_partitions)
+    return dedup_exact_text(fresh.select_columns(out_cols), text_col, id_col,
+                            num_partitions)
 
 
 # ---------------------------------------------------------------------------

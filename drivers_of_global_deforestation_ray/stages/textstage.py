@@ -17,7 +17,35 @@ from ..functions.text import (
     rolling_fingerprints,
 )
 
-__all__ = ["enrich_documents"]
+__all__ = ["enrich_documents", "repetition_stats"]
+
+
+def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+                     batch_size: int = 4096) -> Dataset:
+    """Gopher-style repetition signals per document: word count, distinct
+    words, duplicate-word fraction, most-common-word fraction.  Fully
+    vectorized (one explode + two groupbys per batch; tokenization is a
+    plain single-space split so the DuckDB ``string_split`` oracle matches
+    exactly — fractions are exact integer ratios, no rounding)."""
+
+    def _rep(batch: pd.DataFrame) -> pd.DataFrame:
+        words = (batch[[id_col]].assign(__w=batch[text_col].str.split(" "))
+                 .explode("__w"))
+        g = words.groupby(id_col, sort=False)["__w"]
+        n = g.size()
+        dist = g.nunique()
+        top = words.groupby([id_col, "__w"], sort=False).size().groupby(
+            id_col, sort=False).max()
+        out = pd.DataFrame({
+            id_col: n.index.to_numpy(),
+            "n_words": n.to_numpy(dtype=np.int64),
+            "n_distinct_words": dist.to_numpy(dtype=np.int64),
+        })
+        out["dup_word_frac"] = (out["n_words"] - out["n_distinct_words"]) / out["n_words"]
+        out["top_word_frac"] = top.reindex(n.index).to_numpy(dtype=np.float64) / out["n_words"]
+        return out
+
+    return ds.map_batches(_rep, batch_format="pandas", batch_size=batch_size)
 
 
 def enrich_documents(

@@ -349,3 +349,46 @@ def test_embed_neardup_lsh_quantized_matches_exact_path(rd, vectors):
     cq = S._cosine(Q[:5], Q[395:400])
     cf = S._cosine(M[:5], M[395:400])
     assert np.abs(cq - cf).max() < 0.02
+
+
+def test_dedup_incremental_cross_snapshot(rd):
+    """New docs already seen (by exact text) drop; survivors dedup internally
+    to the min new id; unseen uniques pass through untouched."""
+    seen = pd.DataFrame({"doc_id": np.arange(0, 10, dtype=np.int64),
+                         "text": [f"seen {i}" for i in range(10)]})
+    new = pd.DataFrame({
+        "doc_id": np.array([100, 101, 102, 103, 104, 105], dtype=np.int64),
+        "text": ["seen 3",        # already seen -> drop
+                 "brand new a",   # unseen
+                 "brand new a",   # internal dup of 101 -> drop
+                 "seen 7",        # already seen -> drop
+                 "brand new b",   # unseen
+                 "brand new a"],  # internal dup -> drop
+    })
+    out = D.dedup_incremental(rd.from_pandas(new).repartition(3),
+                              rd.from_pandas(seen).repartition(2),
+                              "text", "doc_id", num_partitions=2).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [101, 104]
+    # distributed (marker-join) path must agree
+    out2 = D.dedup_incremental(rd.from_pandas(new).repartition(3),
+                               rd.from_pandas(seen).repartition(2),
+                               "text", "doc_id", broadcast=False,
+                               num_partitions=2).to_pandas()
+    assert sorted(out2["doc_id"].tolist()) == [101, 104]
+
+
+def test_repetition_stats_gopher_signals(rd):
+    from drivers_of_global_deforestation_ray.stages.textstage import repetition_stats
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c d",          # all distinct
+                 "a a a b",          # dup-heavy, top=a 3/4
+                 "x y x y x y"],     # 2 distinct of 6, top 3/6
+    })
+    out = repetition_stats(rd.from_pandas(df).repartition(2)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [4, 4, 6]
+    assert out["n_distinct_words"].tolist() == [4, 2, 2]
+    assert np.allclose(out["dup_word_frac"], [0.0, 0.5, 4 / 6])
+    assert np.allclose(out["top_word_frac"], [0.25, 0.75, 0.5])
