@@ -1529,6 +1529,16 @@ def q_audio_wav_real(sf_dir: str):
                                "duration_ms"])
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping event-time window (size 600 s, step 200 s): each event lands
+    in 3 windows; exact scaled-int sums (SQL oracle: CROSS JOIN range(3))."""
+    from ..stages.window import hopping_window
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return hopping_window(ds, "ts", "value", size_s=600, step_s=200,
+                          num_partitions=4)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Cross-snapshot exact dedup: documents with even ids are the 'seen'
     snapshot, odd ids the new crawl — new docs already seen (by text) drop,
@@ -1685,6 +1695,7 @@ QUERIES = {
     "audio_wav_real": q_audio_wav_real,
     "dedup_incremental": q_dedup_incremental,
     "doc_repetition": q_doc_repetition,
+    "hopping_window": q_hopping_window,
 }
 
 
@@ -2149,6 +2160,16 @@ ORACLE_SQL = {
                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
                CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms
         FROM documents
+    """,
+    "hopping_window": """
+        SELECT (e.ts_s // 200) * 200 - f.range * 200 AS window_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+        FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+              FROM events) e
+        CROSS JOIN range(0, 3) f
+        WHERE (e.ts_s // 200) * 200 - f.range * 200 > e.ts_s - 600
+        GROUP BY 1
     """,
     "dedup_incremental": """
         SELECT d.doc_id FROM documents d

@@ -26,7 +26,51 @@ from .relational import grouped_transform
 
 __all__ = ["sessionize", "rolling_agg", "rolling_rows", "lag_shift",
            "percent_rank", "ntile", "dense_rank", "cume_dist",
-           "first_last_value"]
+           "first_last_value", "hopping_window"]
+
+
+def hopping_window(
+    ds: Dataset,
+    ts_col: str,
+    val_col: str,
+    size_s: int,
+    step_s: int,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Hopping (sliding) event-time window aggregate: every window start is a
+    multiple of ``step_s`` and covers ``[w, w + size_s)`` seconds; an event
+    contributes to ceil(size/step) windows.  Output: (window_start:int64
+    epoch-seconds, n_events, sum_value_scaled — x100 int64, exact).
+
+    Scale shape: the explode happens INSIDE map_batches with a per-block
+    partial aggregate, so the shuffle carries one row per (block, window) —
+    never per (event, window); the final reduce is one small grouped sum.
+    The streaming analogue of ``ts_bucket``'s tumbling window."""
+    from .relational import grouped_agg
+
+    m = -(-size_s // step_s)  # windows per event
+
+    def _explode_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # normalize any datetime64 resolution (ns/us/ms) to epoch seconds
+        ts = b[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        v = np.round(b[val_col].to_numpy() * 100).astype(np.int64)
+        base = (ts // step_s) * step_s
+        frames = []
+        for k in range(m):
+            w = base - k * step_s
+            keep = w > ts - size_s  # w <= ts holds by construction
+            frames.append(pd.DataFrame({"window_start": w[keep], "__v": v[keep]}))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby("window_start", sort=False)["__v"]
+        return pd.DataFrame({"window_start": g.size().index.to_numpy(),
+                             "n_events": g.size().to_numpy(dtype=np.int64),
+                             "sum_value_scaled": g.sum().to_numpy(dtype=np.int64)})
+
+    partial = ds.map_batches(_explode_partial, batch_format="pandas")
+    return grouped_agg(partial, ["window_start"],
+                       {"n_events": ("n_events", "sum"),
+                        "sum_value_scaled": ("sum_value_scaled", "sum")},
+                       num_partitions=num_partitions)
 
 
 def rolling_rows(

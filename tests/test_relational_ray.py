@@ -439,3 +439,34 @@ def test_semi_join_bloom_mixed_dtype_kinds(rd):
                          "rk", num_bits=1 << 16)
     probe = pd.Series(keys.astype(np.int64))
     assert R.bloom_contains(bits, probe).all()
+
+
+def test_hopping_window_counts(rd):
+    """Each event lands in exactly ceil(size/step) windows; per-window counts
+    match a brute-force enumeration."""
+    import pandas as pd
+
+    from drivers_of_global_deforestation_ray.stages.window import hopping_window
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ts_s = np.sort(rng.integers(0, 5000, n))
+    df = pd.DataFrame({"ts": pd.to_datetime(ts_s * 1_000_000, unit="us"),
+                       "value": np.round(rng.uniform(0, 10, n), 2)})
+    out = hopping_window(rd.from_pandas(df).repartition(4), "ts", "value",
+                         size_s=300, step_s=100, num_partitions=2).to_pandas()
+    # brute force
+    import collections
+    cnt = collections.Counter()
+    sums = collections.Counter()
+    for t, v in zip(ts_s, np.round(df["value"].to_numpy() * 100).astype(np.int64)):
+        w = (t // 100) * 100
+        for k in range(3):
+            if w - k * 100 > t - 300:
+                cnt[w - k * 100] += 1
+                sums[w - k * 100] += v
+    out = out.sort_values("window_start").reset_index(drop=True)
+    assert out["window_start"].tolist() == sorted(cnt)
+    assert out["n_events"].tolist() == [cnt[w] for w in sorted(cnt)]
+    assert out["sum_value_scaled"].tolist() == [sums[w] for w in sorted(cnt)]
+    assert out["n_events"].sum() == 3 * n  # every event in exactly 3 windows
