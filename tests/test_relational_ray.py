@@ -470,3 +470,37 @@ def test_hopping_window_counts(rd):
     assert out["n_events"].tolist() == [cnt[w] for w in sorted(cnt)]
     assert out["sum_value_scaled"].tolist() == [sums[w] for w in sorted(cnt)]
     assert out["n_events"].sum() == 3 * n  # every event in exactly 3 windows
+
+
+def test_copart_join_matches_dataset_join(rd):
+    """Task-based co-partition equi-join: identical output to Dataset.join
+    for inner and left, including typed-null left-join payloads."""
+    import pandas as pd
+
+    from drivers_of_global_deforestation_ray.stages.relational import copart_join, hash_join
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 200).astype(np.int64),
+                         "lv": np.arange(200, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 40, dtype=np.int64),
+                          "rv": rng.uniform(0, 1, 40)})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    for how in ("inner", "left"):
+        a = copart_join(lds, rds, on="k", right_on="rk", how=how,
+                        num_partitions=3).to_pandas()
+        b = hash_join(lds, rds, on="k", right_on="rk", how=how,
+                      num_partitions=2).to_pandas()
+        key = ["k", "lv"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert a["k"].tolist() == b["k"].tolist()
+        assert a["lv"].tolist() == b["lv"].tolist()
+        # matched payloads agree; unmatched are null on both engines
+        av = a["rv"].to_numpy(dtype=np.float64, na_value=np.nan)
+        bv = b["rv"].to_numpy(dtype=np.float64, na_value=np.nan)
+        assert np.array_equal(np.isnan(av), np.isnan(bv))
+        assert np.allclose(av[~np.isnan(av)], bv[~np.isnan(bv)])
+        if how == "inner":  # plain dtypes for the comparator
+            assert a["k"].dtype == np.int64 and a["lv"].dtype == np.int64
