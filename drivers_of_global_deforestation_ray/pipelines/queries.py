@@ -1529,6 +1529,68 @@ def q_audio_wav_real(sf_dir: str):
                                "duration_ms"])
 
 
+def q_url_canonical(sf_dir: str):
+    """Crawl URL canonicalization (dedup-by-canonical-url precursor): strip
+    fragment, sort query params, lowercase host, drop www. and :443, strip
+    trailing slash.  Messy variants are synthesized deterministically per
+    doc_id so every rule fires; the DuckDB oracle applies the same regexp
+    chain.  All rules vectorized (pandas .str); only the few rows carrying
+    query params take the param-sort path."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        host = np.select([ids % 3 == 0, ids % 3 == 1],
+                         ["WWW.Example.COM", "example.com:443"], "sub.example.org")
+        tail = np.select([ids % 4 == 0, ids % 4 == 1, ids % 4 == 2],
+                         ["#frag", "/", "?b=2&a=1"], "")
+        url = ("https://" + pd.Series(host) + "/Path" + pd.Series(ids).astype(str)
+               + pd.Series(tail))
+        return pd.DataFrame({"doc_id": ids, "url": url})
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["url"].str.replace(r"#.*$", "", regex=True)  # fragment
+        has_q = u.str.contains("?", regex=False)
+        if has_q.any():  # sort query params (rare rows only)
+            parts = u[has_q].str.partition("?")
+            sorted_q = parts[2].map(lambda q: "&".join(sorted(q.split("&"))))
+            u = u.copy()
+            u[has_q] = parts[0] + "?" + sorted_q
+        m = u.str.extract(r"^(https?://)([^/?#]+)(.*)$")
+        host = (m[1].str.lower()
+                .str.replace(r"^www\.", "", regex=True)
+                .str.replace(r":443$", "", regex=True))
+        canon = (m[0] + host + m[2]).str.replace(r"/$", "", regex=True)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "canon_url": canon})
+
+    return docs.map_batches(_mk, batch_format="pyarrow").map_batches(
+        _canon, batch_format="pandas")
+
+
+def q_top_ngrams(sf_dir: str):
+    """Corpus-wide most frequent word trigrams (contamination / boilerplate
+    probe): vectorized shift-based trigram explode with per-block partial
+    counts, grouped sum, deterministic global top-20 (count desc, ngram
+    asc)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tri(b: pd.DataFrame) -> pd.DataFrame:
+        w = (b[["doc_id"]].assign(__w=b["text"].str.split(" ")).explode("__w"))
+        same_doc = w["doc_id"].to_numpy()
+        words = w["__w"].to_numpy(dtype=object)
+        w1 = np.roll(words, -1)
+        w2 = np.roll(words, -2)
+        ok = (same_doc == np.roll(same_doc, -1)) & (same_doc == np.roll(same_doc, -2))
+        ok[-2:] = False
+        tri = pd.Series(words[ok]) + " " + pd.Series(w1[ok]) + " " + pd.Series(w2[ok])
+        g = tri.groupby(tri, sort=False).size()  # per-block partial
+        return pd.DataFrame({"ngram": g.index.to_numpy(), "n": g.to_numpy(dtype=np.int64)})
+
+    counts = R.grouped_agg(docs.map_batches(_tri, batch_format="pandas"),
+                           ["ngram"], {"n": ("n", "sum")}, num_partitions=4)
+    return counts.sort(["n", "ngram"], descending=[True, False]).limit(20)
+
+
 def q_hopping_window(sf_dir: str):
     """Hopping event-time window (size 600 s, step 200 s): each event lands
     in 3 windows; exact scaled-int sums (SQL oracle: CROSS JOIN range(3))."""
@@ -1696,6 +1758,8 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "doc_repetition": q_doc_repetition,
     "hopping_window": q_hopping_window,
+    "url_canonical": q_url_canonical,
+    "top_ngrams": q_top_ngrams,
 }
 
 
@@ -2160,6 +2224,47 @@ ORACLE_SQL = {
                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
                CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms
         FROM documents
+    """,
+    "url_canonical": """
+        WITH raw AS (
+            SELECT doc_id,
+                   'https://' ||
+                   CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+                                   WHEN 1 THEN 'example.com:443'
+                                   ELSE 'sub.example.org' END ||
+                   '/Path' || doc_id ||
+                   CASE doc_id % 4 WHEN 0 THEN '#frag' WHEN 1 THEN '/'
+                                   WHEN 2 THEN '?b=2&a=1' ELSE '' END AS url
+            FROM documents
+        ), nofrag AS (
+            SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+        ), qsorted AS (
+            SELECT doc_id,
+                   CASE WHEN contains(u, '?')
+                        THEN split_part(u, '?', 1) || '?' ||
+                             array_to_string(list_sort(string_split(split_part(u, '?', 2), '&')), '&')
+                        ELSE u END AS u
+            FROM nofrag
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_extract(u, '^(https?://)', 1) ||
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(u, '^https?://([^/?#]+)', 1)),
+                       '^www\\.', ''), ':443$', '') ||
+                   regexp_replace(u, '^https?://[^/?#]+', ''),
+                   '/$', '') AS canon_url
+        FROM qsorted
+    """,
+    "top_ngrams": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        SELECT ws[f.range + 1] || ' ' || ws[f.range + 2] || ' ' || ws[f.range + 3] AS ngram,
+               count(*) AS n
+        FROM d CROSS JOIN range(0, 2000) f
+        WHERE f.range + 3 <= len(ws)
+        GROUP BY 1
+        ORDER BY n DESC, ngram ASC
+        LIMIT 20
     """,
     "hopping_window": """
         SELECT (e.ts_s // 200) * 200 - f.range * 200 AS window_start,
