@@ -1529,6 +1529,14 @@ def q_audio_wav_real(sf_dir: str):
                                "duration_ms"])
 
 
+def q_dedup_lines(sf_dir: str):
+    """C4-style corpus-level line dedup, driven at word granularity (the
+    documents fixture is single-line; ``sep=' '`` makes every word a 'line')
+    so the winner/reassembly semantics are fully SQL-checkable."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return D.dedup_lines(docs, "text", "doc_id", sep=" ", num_partitions=4)
+
+
 def q_url_canonical(sf_dir: str):
     """Crawl URL canonicalization (dedup-by-canonical-url precursor): strip
     fragment, sort query params, lowercase host, drop www. and :443, strip
@@ -1760,6 +1768,7 @@ QUERIES = {
     "hopping_window": q_hopping_window,
     "url_canonical": q_url_canonical,
     "top_ngrams": q_top_ngrams,
+    "dedup_lines": q_dedup_lines,
 }
 
 
@@ -2224,6 +2233,19 @@ ORACLE_SQL = {
                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
                CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms
         FROM documents
+    """,
+    "dedup_lines": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        w AS (
+            SELECT doc_id, ws[f.range + 1] AS line, f.range AS idx
+            FROM d CROSS JOIN range(0, 2000) f
+            WHERE f.range < len(ws)
+        ),
+        win AS (SELECT line, min(doc_id * 1048576 + idx) AS k FROM w GROUP BY line)
+        SELECT w.doc_id, string_agg(w.line, ' ' ORDER BY w.idx) AS text
+        FROM w JOIN win ON w.line = win.line
+                       AND w.doc_id * 1048576 + w.idx = win.k
+        GROUP BY w.doc_id
     """,
     "url_canonical": """
         WITH raw AS (

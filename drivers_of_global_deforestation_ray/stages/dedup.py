@@ -29,6 +29,7 @@ from .relational import grouped_agg, grouped_transform, hash_join, union_all
 __all__ = [
     "dedup_exact_text",
     "dedup_incremental",
+    "dedup_lines",
     "minhash_lsh_pairs",
     "minhash_lsh_dedup",
     "simhash_pairs",
@@ -100,6 +101,43 @@ def dedup_incremental(new_ds: Dataset, seen_ds: Dataset, text_col: str,
                       broadcast=broadcast, num_partitions=num_partitions)
     return dedup_exact_text(fresh.select_columns(out_cols), text_col, id_col,
                             num_partitions)
+
+
+def dedup_lines(ds: Dataset, text_col: str, id_col: str, sep: str = "\n",
+                num_partitions: int = 32) -> Dataset:
+    """C4-style corpus-level line dedup: every line that occurs more than
+    once across the WHOLE corpus is kept only at its first occurrence
+    (lowest (doc id, line index)); documents are reassembled from their
+    surviving lines in order.  Docs left with zero lines drop.
+
+    Two co-partition shuffles of the line table (lines must reach
+    reassembly regardless): explode -> partition by line content (winner =
+    min composite key, vectorized transform-min per partition) -> partition
+    by doc id -> ordered rejoin.  Line indexes are bounded to 2^20 per doc
+    so the (doc, idx) composite winner key packs into one int64."""
+
+    def _explode(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[[id_col]].assign(__line=b[text_col].str.split(sep)).explode("__line")
+        e["__idx"] = e.groupby(id_col, sort=False).cumcount()
+        if len(e) and int(e["__idx"].max()) >= (1 << 20):
+            raise ValueError("dedup_lines: document exceeds 2^20 lines")
+        return pd.DataFrame({id_col: e[id_col].to_numpy(),
+                             "__idx": e["__idx"].to_numpy(dtype=np.int64),
+                             "__line": e["__line"].to_numpy()})
+
+    def _keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[id_col].to_numpy(dtype=np.int64) * (1 << 20) + df["__idx"].to_numpy()
+        win = df.assign(__k=key).groupby("__line", sort=False)["__k"].transform("min")
+        return df[key == win.to_numpy()]
+
+    def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("__idx", kind="stable")
+        g = df.groupby(id_col, sort=False)["__line"].agg(sep.join)
+        return pd.DataFrame({id_col: g.index.to_numpy(), text_col: g.to_numpy()})
+
+    ex = ds.map_batches(_explode, batch_format="pandas")
+    kept = grouped_transform(ex, ["__line"], _keep_first, num_partitions)
+    return grouped_transform(kept, [id_col], _reassemble, num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -392,3 +392,34 @@ def test_repetition_stats_gopher_signals(rd):
     assert out["n_distinct_words"].tolist() == [4, 2, 2]
     assert np.allclose(out["dup_word_frac"], [0.0, 0.5, 4 / 6])
     assert np.allclose(out["top_word_frac"], [0.25, 0.75, 0.5])
+
+
+def test_dedup_lines_removes_corpus_boilerplate(rd):
+    """C4-style line dedup: a boilerplate line shared by every doc survives
+    only in the lowest (doc, idx) position; unique lines are untouched and
+    document line order is preserved."""
+    boiler = "subscribe to our newsletter"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [f"intro zero\n{boiler}\nbody zero",
+                 f"{boiler}\nbody one",
+                 f"body two\n{boiler}",
+                 "all unique\nlines here"],
+    })
+    out = D.dedup_lines(rd.from_pandas(docs).repartition(3), "text", "doc_id",
+                        num_partitions=2).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got[0] == f"intro zero\n{boiler}\nbody zero"  # first occurrence kept
+    assert got[1] == "body one"
+    assert got[2] == "body two"
+    assert got[3] == "all unique\nlines here"
+
+
+def test_dedup_lines_drops_fully_duplicated_docs(rd):
+    docs = pd.DataFrame({
+        "doc_id": np.array([10, 20], dtype=np.int64),
+        "text": ["same line", "same line"],
+    })
+    out = D.dedup_lines(rd.from_pandas(docs).repartition(2), "text", "doc_id",
+                        num_partitions=2).to_pandas()
+    assert out["doc_id"].tolist() == [10]  # doc 20 has no surviving lines
