@@ -1537,6 +1537,34 @@ def q_dedup_lines(sf_dir: str):
     return D.dedup_lines(docs, "text", "doc_id", sep=" ", num_partitions=4)
 
 
+def q_pretrain_filter(sf_dir: str):
+    """Composed pretraining-data quality gate (the C4/Gopher shape): length
+    window + mean-token-length cap + duplicate-word-fraction cap, one
+    vectorized pass — survivors ship (doc_id, stats).  Thresholds sit inside
+    the observed sf distributions so the gate genuinely splits the corpus;
+    every stat is an exact integer ratio, so the SQL oracle filter agrees
+    bit-for-bit."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _gate(b: pd.DataFrame) -> pd.DataFrame:
+        nt = token_counts(b["text"])
+        nc = char_counts_nospace(b["text"])
+        words = (b[["doc_id"]].assign(__w=b["text"].str.split(" "))
+                 .explode("__w").groupby("doc_id", sort=False)["__w"])
+        n_w = words.size().reindex(b["doc_id"]).to_numpy()
+        n_d = words.nunique().reindex(b["doc_id"]).to_numpy()
+        mtl = nc / np.maximum(nt, 1)
+        dwf = (n_w - n_d) / np.maximum(n_w, 1)
+        keep = (nt >= 30) & (nt <= 90) & (mtl < 5.0) & (dwf < 0.6)
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                            "n_tokens": nt.astype(np.int64),
+                            "mean_token_len": mtl,
+                            "dup_word_frac": dwf})
+        return out[keep]
+
+    return docs.map_batches(_gate, batch_format="pandas")
+
+
 def q_url_canonical(sf_dir: str):
     """Crawl URL canonicalization (dedup-by-canonical-url precursor): strip
     fragment, sort query params, lowercase host, drop www. and :443, strip
@@ -1769,6 +1797,7 @@ QUERIES = {
     "url_canonical": q_url_canonical,
     "top_ngrams": q_top_ngrams,
     "dedup_lines": q_dedup_lines,
+    "pretrain_filter": q_pretrain_filter,
 }
 
 
@@ -2233,6 +2262,25 @@ ORACLE_SQL = {
                CAST(1 + doc_id % 2 AS BIGINT) AS channels,
                CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms
         FROM documents
+    """,
+    "pretrain_filter": """
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(array_length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                       / greatest(array_length(regexp_extract_all(text, '\\S+')), 1) AS mean_token_len
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   CAST(count(*) - count(DISTINCT w) AS DOUBLE)
+                       / greatest(count(*), 1) AS dup_word_frac
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_tokens, s.mean_token_len, r.dup_word_frac
+        FROM s JOIN r USING (doc_id)
+        WHERE s.n_tokens >= 30 AND s.n_tokens <= 90
+          AND s.mean_token_len < 5.0 AND r.dup_word_frac < 0.6
     """,
     "dedup_lines": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
