@@ -482,6 +482,10 @@ def q_asof_join(sf_dir: str):
         ["o_custkey", "o_orderdate"],
         {"day_spend_scaled": ("spend_scaled", "sum"),
          "n_day_orders": ("spend_scaled", "size")})
+    # asof_join inspects right.schema(); on a shuffle-rooted side that would
+    # EXECUTE the aggregation once for the schema and again for the join —
+    # materialize the (bounded, per-(cust,day)) table so it runs once
+    by_day = by_day.materialize()
     j = R.asof_join(ev, by_day, left_ts="ts", right_ts="o_orderdate",
                     left_by="user_id", right_by="o_custkey",
                     num_partitions=_nparts(sf_dir, "events", "orders"))

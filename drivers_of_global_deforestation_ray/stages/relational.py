@@ -1002,7 +1002,10 @@ def asof_join(
     - the right side should be unique per (key, ts) — pre-aggregate ties
       upstream for deterministic output;
     - partitioning assumption: every row of one key lands in one partition
-      (bounded by that partition's memory for a pathological hot key).
+      (bounded by that partition's memory for a pathological hot key);
+    - both sides' schemas are inspected up front: a SHUFFLE-rooted side
+      (groupby/sort output) would execute once for the schema and again for
+      the join — ``materialize()`` such a side first if it is bounded.
     """
     l_schema, r_schema = left.schema(), right.schema()
     lcols = list(l_schema.names)
