@@ -98,6 +98,7 @@ class TreeScorer:
         X = batch[self.feature_names].to_numpy(dtype=np.float64)
         region = batch[self.region_col].to_numpy()
         out = np.zeros((len(batch), len(DRIVERS)))
+        has_nan = bool(np.isnan(X).any())  # ONE scan for all 35 trees
         for r in self.regions:
             mask = region == r
             if not mask.any():
@@ -106,7 +107,7 @@ class TreeScorer:
             for j, d in enumerate(DRIVERS):
                 tree = self.trees.get((r, d))
                 if tree is not None:
-                    out[mask, j] = tree.predict(Xr)
+                    out[mask, j] = tree.predict(Xr, has_nan=has_nan)
         for j, d in enumerate(DRIVERS):
             batch[f"out{d}"] = out[:, j]
         return batch

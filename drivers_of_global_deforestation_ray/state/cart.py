@@ -91,12 +91,16 @@ class CartTree:
                 go_left[und] = maj
         return go_left
 
-    def predict(self, X: np.ndarray) -> np.ndarray:
+    def predict(self, X: np.ndarray, has_nan: "bool | None" = None) -> np.ndarray:
         """Vectorized traversal: route the whole matrix level by level; the
-        NaN-free fast path never groups by node."""
+        NaN-free fast path never groups by node.  Callers scoring MANY trees
+        over the same matrix pass ``has_nan`` once — the isnan scan is a
+        full-matrix pass that must not repeat per tree (35x in the
+        flagship scorer)."""
         n = X.shape[0]
         node = np.zeros(n, dtype=np.int64)
-        has_nan = bool(np.isnan(X).any())
+        if has_nan is None:
+            has_nan = bool(np.isnan(X).any())
         active = self.feature[node] != _LEAF
         while active.any():
             idx = np.nonzero(active)[0]
