@@ -1683,6 +1683,47 @@ def q_frame_sample(sf_dir: str):
     return frames.select_columns(["doc_id", "frame_idx", "ts_ms"])
 
 
+def _s2_batch(b: pa.Table, level: int = 10, parent_level: "int | None" = None) -> pd.DataFrame:
+    """Geocode a documents batch and encode S2 cells (vectorized numpy)."""
+    from ..functions.s2 import cell_parent, cell_token, latlng_to_cell
+
+    urls = ["https://example.com/" + s + "/" + str(i)
+            for s, i in zip(b["source"].to_pylist(), b["doc_id"].to_pylist())]
+    lat, lon = geocode_urls(urls)
+    cells = latlng_to_cell(lat, lon, level)
+    if parent_level is not None:
+        cells = cell_parent(cells, parent_level)
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy(),
+        "s2_face": (cells >> np.uint64(61)).astype(np.int64),
+        "s2_token": cell_token(cells),
+    })
+
+
+def q_s2_cells(sf_dir: str):
+    """North-star tiling contract: batched S2 cell encoding (level 10,
+    ~10 km edge) over geocoded web documents — from-scratch codec
+    (``functions/s2.py``), hash-exact vs an unrolled-Hilbert SQL twin."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return docs.map_batches(_s2_batch, batch_format="pyarrow")
+
+
+def q_s2_zonal(sf_dir: str):
+    """Zonal rollup keyed by the S2 hierarchy: level-10 encode ->
+    ``cell_parent`` to level 7 -> groupby cell.  The oracle encodes level 7
+    DIRECTLY (its own Hilbert unroll), so a hash match proves the parent
+    algebra equals an independent coarse encode (Hilbert prefix property)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    cells = docs.map_batches(
+        lambda b: _s2_batch(b, level=10, parent_level=7).assign(
+            n_chars=b["n_chars"].to_numpy()),
+        batch_format="pyarrow")
+    return R.grouped_agg(
+        cells, ["s2_token"],
+        {"n_docs": ("doc_id", "size"), "sum_chars": ("n_chars", "sum"),
+         "min_doc": ("doc_id", "min")})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1793,6 +1834,8 @@ QUERIES = {
     "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "frame_sample": q_frame_sample,
+    "s2_cells": q_s2_cells,
+    "s2_zonal": q_s2_zonal,
     "media_png_real": q_media_png_real,
     "audio_wav_real": q_audio_wav_real,
     "dedup_incremental": q_dedup_incremental,
@@ -1868,6 +1911,75 @@ def _goode_sql() -> str:
              CAST(sign(y) * floor(abs(y) + 0.5) AS BIGINT) AS y_m,
              grow * {g.ncols} + gcol + 1 AS goode_tile
       FROM cells
+    """
+
+
+def _s2_sql(level: int) -> str:
+    """SQL twin of ``functions/s2.py`` ``latlng_to_cell``: identical
+    face/UV/quadratic-ST algebra in the same IEEE op order, with the
+    Hilbert per-bit descent unrolled as one chained CTE per level over
+    literal CASE lookups of the public ``IJ_TO_POS`` / ``POS_TO_ORIENT``
+    tables (the same Newton-in-SQL discipline as :func:`_goode_sql`)."""
+    from ..functions.s2 import IJ_TO_POS
+
+    n_cells = 1 << level
+    whens = lambda k: " ".join(
+        f"WHEN {o * 4 + ij} THEN {int(IJ_TO_POS[o, ij])}"
+        for o in range(4) for ij in range(4))
+    pos = lambda k: (f"CASE orient * 4 + (((i >> {k}) & 1) * 2 + ((j >> {k}) & 1)) "
+                     f"{whens(k)} END")
+    hilbert = "".join(
+        f", h{m} AS (SELECT * REPLACE (\n"
+        f"    n * 4 + {pos(level - m)} AS n,\n"
+        f"    xor(orient, CASE {pos(level - m)} WHEN 0 THEN 1 WHEN 1 THEN 0"
+        f" WHEN 2 THEN 0 ELSE 3 END) AS orient)\n"
+        f"  FROM h{m - 1})\n"
+        for m in range(1, level + 1)
+    )
+    face_hi = 1 << 61
+    pos_lsb = 1 << (61 - 2 * level)   # one curve step at this level
+    marker = 1 << (60 - 2 * level)
+    return f"""
+      WITH geo AS ({_GEO_SQL}),
+      xyz AS (
+        SELECT doc_id,
+               cos(lat * (pi()/180.0)) * cos(lon * (pi()/180.0)) AS x,
+               cos(lat * (pi()/180.0)) * sin(lon * (pi()/180.0)) AS y,
+               sin(lat * (pi()/180.0)) AS z
+        FROM geo),
+      ax AS (
+        SELECT *, CASE WHEN abs(x) >= abs(y)
+                       THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                       ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS axis
+        FROM xyz),
+      fc AS (
+        SELECT *, axis + CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) >= 0.0
+                              THEN 0 ELSE 3 END AS face
+        FROM ax),
+      uv AS (
+        SELECT doc_id, face,
+               CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                         WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+               CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                         WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        FROM fc),
+      st AS (
+        SELECT doc_id, face, u, v,
+               0.5 * sqrt(1.0 + 3.0 * abs(u)) AS ru,
+               0.5 * sqrt(1.0 + 3.0 * abs(v)) AS rv
+        FROM uv),
+      h0 AS (
+        SELECT doc_id, face,
+               CAST(LEAST(GREATEST(floor((CASE WHEN u >= 0.0 THEN ru ELSE 1.0 - ru END) * {n_cells}), 0), {n_cells - 1}) AS BIGINT) AS i,
+               CAST(LEAST(GREATEST(floor((CASE WHEN v >= 0.0 THEN rv ELSE 1.0 - rv END) * {n_cells}), 0), {n_cells - 1}) AS BIGINT) AS j,
+               CAST(0 AS BIGINT) AS n, face & 1 AS orient
+        FROM st)
+      {hilbert}
+      SELECT doc_id, CAST(face AS BIGINT) AS s2_face,
+             rtrim(lpad(lower(hex(CAST(face AS UBIGINT) * CAST({face_hi} AS UBIGINT)
+                                  + CAST(n AS UBIGINT) * CAST({pos_lsb} AS UBIGINT)
+                                  + CAST({marker} AS UBIGINT))), 16, '0'), '0') AS s2_token
+      FROM h{level}
     """
 
 
@@ -1970,6 +2082,14 @@ ORACLE_SQL = {
     """,
     "geocode_tiles": f"SELECT doc_id, lat, lon, tile_id FROM ({_TILE_SQL})",
     "goode_tiles": _goode_sql(),
+    "s2_cells": f"SELECT doc_id, s2_face, s2_token FROM ({_s2_sql(10)})",
+    "s2_zonal": f"""
+        SELECT s.s2_token, count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(d.doc_id) AS BIGINT) AS min_doc
+        FROM ({_s2_sql(7)}) s JOIN documents d USING (doc_id)
+        GROUP BY s.s2_token
+    """,
     "goode_zonal": f"""
         SELECT g.goode_tile, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
