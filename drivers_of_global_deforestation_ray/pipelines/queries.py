@@ -1683,6 +1683,72 @@ def q_frame_sample(sf_dir: str):
     return frames.select_columns(["doc_id", "frame_idx", "ts_ms"])
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (grouping-sets hierarchy): per (event_type, day),
+    per event_type, and grand total in one result — raw input shuffled once,
+    coarser levels re-aggregated from the materialized finest level."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.strftime("%Y-%m-%d"),
+            "value_scaled": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return R.rollup_agg(
+        ds.map_batches(_prep, batch_format="pandas"), ["event_type", "day"],
+        {"n": ("value_scaled", "size"), "sum_value_scaled": ("value_scaled", "sum"),
+         "max_value_scaled": ("value_scaled", "max")})
+
+
+# Deterministic PII suffix grafted onto each document so the redaction
+# operator has real matches at every scale; the SQL oracle builds the SAME
+# suffix with || so both sides scrub identical bytes.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+    " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||"
+    " CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || ' tel +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+def q_pii_scrub(sf_dir: str):
+    """Pretraining PII redaction: email/IPv4/phone counts + masking
+    (stages/textstage.pii_scrub), hash-exact vs DuckDB regexp_replace."""
+    from ..stages.textstage import pii_scrub
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        b["text"] = (
+            b["text"] + " contact user" + pd.Series(ids.astype(str), index=b.index)
+            + "@mail.example.com from 10." + pd.Series((ids % 200).astype(str), index=b.index)
+            + "." + pd.Series((ids % 250).astype(str), index=b.index)
+            + "." + pd.Series((ids % 256).astype(str), index=b.index)
+            + " tel +1-555-" + pd.Series((1000 + ids % 9000).astype(str), index=b.index)
+        )
+        return b
+
+    return pii_scrub(docs.map_batches(_inject, batch_format="pandas"))
+
+
+def q_nfc_norm(sf_dir: str):
+    """Unicode NFC normalization over documents (combining-sequence suffix
+    grafted on both sides), content + codepoint-length checked."""
+    from ..stages.textstage import nfc_normalize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    combining = " café juergen Jürgen"
+
+    def _inject(b: pd.DataFrame) -> pd.DataFrame:
+        b["text"] = b["text"] + combining
+        return b
+
+    return nfc_normalize(docs.map_batches(_inject, batch_format="pandas"))
+
+
 def _s2_batch(b: pa.Table, level: int = 10, parent_level: "int | None" = None) -> pd.DataFrame:
     """Geocode a documents batch and encode S2 cells (vectorized numpy)."""
     from ..functions.s2 import cell_parent, cell_token, latlng_to_cell
@@ -1836,6 +1902,9 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "s2_cells": q_s2_cells,
     "s2_zonal": q_s2_zonal,
+    "rollup": q_rollup,
+    "pii_scrub": q_pii_scrub,
+    "nfc_norm": q_nfc_norm,
     "media_png_real": q_media_png_real,
     "audio_wav_real": q_audio_wav_real,
     "dedup_incremental": q_dedup_incremental,
@@ -2082,6 +2151,33 @@ ORACLE_SQL = {
     """,
     "geocode_tiles": f"SELECT doc_id, lat, lon, tile_id FROM ({_TILE_SQL})",
     "goode_tiles": _goode_sql(),
+    "rollup": """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_scaled
+        FROM events GROUP BY ROLLUP(event_type, day)
+    """,
+    "pii_scrub": f"""
+        WITH t AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4,}}')) AS BIGINT) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4,}}', '<PHONE>', 'g'),
+                   '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g') AS red_text
+        FROM t
+    """,
+    "nfc_norm": """
+        WITH t AS (SELECT doc_id,
+                          text || ' cafe' || chr(769) || ' juergen Ju' || chr(776) || 'rgen' AS text
+                   FROM documents)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+               nfc_normalize(text) AS norm_text,
+               CAST(length(nfc_normalize(text)) AS BIGINT) AS n_norm
+        FROM t
+    """,
     "s2_cells": f"SELECT doc_id, s2_face, s2_token FROM ({_s2_sql(10)})",
     "s2_zonal": f"""
         SELECT s.s2_token, count(*) AS n_docs,

@@ -219,6 +219,63 @@ def grouped_agg_final(partial: Dataset, keys: list[str], specs: dict[str, tuple[
     )
 
 
+def rollup_agg(
+    ds: Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    batch_size: int = 65536,
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)``: one aggregate per key prefix, from
+    the finest level down to the grand total, dropped keys emitted as typed
+    nulls.
+
+    Scale shape: the raw input is scanned and shuffled ONCE (the finest
+    :func:`grouped_agg`); that result — one row per fine group — is
+    materialized and every coarser level re-aggregates it (sum of sums, min
+    of mins, counts re-summed), so a 100-TB rollup costs one partial-agg
+    shuffle plus re-aggs of an already-tiny table.  ``mean`` is rejected:
+    it is not re-aggregable from finals (carry sum + count instead)."""
+    if any(how == "mean" for _, how in specs.values()):
+        raise ValueError("rollup_agg: mean is not re-aggregable; carry sum and count")
+    aliases = list(specs)
+    fine = grouped_agg(ds, keys, specs, batch_size, num_partitions).materialize()
+    reagg = {a: (a, "sum" if how in ("count", "size") else how)
+             for a, (_, how) in specs.items()}
+    int_aliases = [a for a, (_, how) in specs.items() if how in ("count", "size")]
+    key_dtype = {k: _pd_dtype_of(t) for k, t in
+                 zip(fine.schema().names, fine.schema().types) if k in keys}
+
+    def _order(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys + aliases]
+
+    levels = [fine.map_batches(_order, batch_format="pandas")]
+    for cut in range(len(keys) - 1, -1, -1):
+        sub = keys[:cut]
+        if sub:
+            coarse = grouped_agg(fine, sub, reagg,
+                                 num_partitions=max(2, num_partitions // 4))
+        else:
+            coarse = grouped_agg(
+                fine.map_batches(lambda b: b.assign(__all=np.int64(0)),
+                                 batch_format="pandas"),
+                ["__all"], reagg, num_partitions=2,
+            ).map_batches(lambda b: b.drop(columns="__all"), batch_format="pandas")
+
+        def _fill(df: pd.DataFrame, _nulls=tuple(keys[cut:])) -> pd.DataFrame:
+            for k in _nulls:
+                df[k] = _typed_null_series(key_dtype[k], len(df))
+            for a in int_aliases:
+                df[a] = df[a].astype(np.int64)
+            return df[keys + aliases]
+
+        levels.append(coarse.map_batches(_fill, batch_format="pandas"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # joins
 # ---------------------------------------------------------------------------

@@ -17,7 +17,52 @@ from ..functions.text import (
     rolling_fingerprints,
 )
 
-__all__ = ["enrich_documents", "repetition_stats"]
+__all__ = ["enrich_documents", "repetition_stats", "pii_scrub", "nfc_normalize"]
+
+# PII patterns (ASCII-explicit, no \b / \d shorthands: Python re and RE2
+# treat those differently around non-ASCII word chars, and byte-identical
+# behavior vs the DuckDB oracle is part of the operator contract).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4,}"
+
+
+def pii_scrub(ds: Dataset, text_col: str = "text",
+              out_col: str = "red_text", batch_size: int = 4096) -> Dataset:
+    """Pretraining-pipeline PII redaction (C4/Dolma-style): count then mask
+    emails, IPv4 addresses and international phone numbers.  Vectorized
+    pandas-str kernels (compiled regex cache inside pandas); counts are
+    taken on the raw text, masks applied email -> phone -> ip so nested
+    matches resolve deterministically."""
+
+    def _scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col]
+        batch["n_email"] = s.str.count(PII_EMAIL).astype(np.int64)
+        batch["n_ip"] = s.str.count(PII_IPV4).astype(np.int64)
+        batch["n_phone"] = s.str.count(PII_PHONE).astype(np.int64)
+        red = s.str.replace(PII_EMAIL, "<EMAIL>", regex=True)
+        red = red.str.replace(PII_PHONE, "<PHONE>", regex=True)
+        batch[out_col] = red.str.replace(PII_IPV4, "<IP>", regex=True)
+        return batch.drop(columns=[text_col])
+
+    return ds.map_batches(_scrub, batch_format="pandas", batch_size=batch_size)
+
+
+def nfc_normalize(ds: Dataset, text_col: str = "text",
+                  out_col: str = "norm_text", batch_size: int = 4096) -> Dataset:
+    """Unicode NFC normalization (combining sequences -> precomposed), the
+    standard first step of web-corpus text cleaning.  ``Series.str.normalize``
+    is the pandas-native kernel; codepoint lengths ride along so the oracle
+    (DuckDB ``nfc_normalize`` + ``length``) checks both content and size."""
+
+    def _norm(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col]
+        batch["n_raw"] = s.str.len().astype(np.int64)
+        batch[out_col] = s.str.normalize("NFC")
+        batch["n_norm"] = batch[out_col].str.len().astype(np.int64)
+        return batch.drop(columns=[text_col])
+
+    return ds.map_batches(_norm, batch_format="pandas", batch_size=batch_size)
 
 
 def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",

@@ -504,3 +504,60 @@ def test_copart_join_matches_dataset_join(rd):
         assert np.allclose(av[~np.isnan(av)], bv[~np.isnan(bv)])
         if how == "inner":  # plain dtypes for the comparator
             assert a["k"].dtype == np.int64 and a["lv"].dtype == np.int64
+
+
+def test_rollup_agg_vs_pandas(rd):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 4000),
+        "b": rng.choice(["p", "q"], 4000),
+        "v": rng.integers(0, 100, 4000).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    got = R.rollup_agg(ds, ["a", "b"], {
+        "n": ("v", "size"), "s": ("v", "sum"), "mx": ("v", "max"),
+    }).to_pandas()
+    fine = got[got["b"].notna()]
+    mid = got[got["b"].isna() & got["a"].notna()]
+    total = got[got["a"].isna()]
+    want_fine = df.groupby(["a", "b"]).agg(n=("v", "size"), s=("v", "sum"),
+                                           mx=("v", "max")).reset_index()
+    m = fine.sort_values(["a", "b"]).reset_index(drop=True)
+    w = want_fine.sort_values(["a", "b"]).reset_index(drop=True)
+    assert (m[["n", "s", "mx"]].to_numpy() == w[["n", "s", "mx"]].to_numpy()).all()
+    want_mid = df.groupby("a").agg(n=("v", "size"), s=("v", "sum"),
+                                   mx=("v", "max")).reset_index()
+    m2 = mid.sort_values("a").reset_index(drop=True)
+    assert (m2[["n", "s", "mx"]].to_numpy()
+            == want_mid.sort_values("a")[["n", "s", "mx"]].to_numpy()).all()
+    assert len(total) == 1
+    assert total["n"].iloc[0] == 4000 and total["s"].iloc[0] == df["v"].sum()
+    assert got["n"].dtype.kind == "i"  # counts stay int64 through the union
+    with pytest.raises(ValueError):
+        R.rollup_agg(ds, ["a"], {"avg": ("v", "mean")})
+
+
+def test_pii_scrub_and_nfc(rd):
+    from drivers_of_global_deforestation_ray.stages.textstage import (
+        nfc_normalize, pii_scrub)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail me at a.b@x.io or c@y.org from 10.0.0.1",
+            "call +1-555-12345 plain text 999",
+            "nothing here",
+        ],
+    })
+    got = pii_scrub(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert got["n_email"].tolist() == [2, 0, 0]
+    assert got["n_ip"].tolist() == [1, 0, 0]
+    assert got["n_phone"].tolist() == [0, 1, 0]
+    assert got["red_text"].iloc[0] == "mail me at <EMAIL> or <EMAIL> from <IP>"
+    assert got["red_text"].iloc[1] == "call <PHONE> plain text 999"
+    assert got["red_text"].iloc[2] == "nothing here"
+
+    df2 = pd.DataFrame({"doc_id": [1], "text": ["café Jürgen"]})
+    norm = nfc_normalize(rd.from_pandas(df2)).to_pandas()
+    assert norm["norm_text"].iloc[0] == "café Jürgen"
+    assert norm["n_raw"].iloc[0] == 13 and norm["n_norm"].iloc[0] == 11
