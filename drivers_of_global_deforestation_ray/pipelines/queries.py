@@ -1749,6 +1749,26 @@ def q_nfc_norm(sf_dir: str):
     return nfc_normalize(docs.map_batches(_inject, batch_format="pandas"))
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """Typed JSONL source+sink as a checked query: customer -> JSONL dir
+    (shortest-roundtrip float formatting) -> schema-declared read back.
+    Oracle reads the ORIGINAL parquet, so the hash only matches if every
+    int, string and float64 survived text serialization bit-for-bit."""
+    import shutil
+
+    from ..sources.jsonio import read_jsonl_typed, write_jsonl_dir
+
+    out = "/tmp/graft_jsonl_customer"
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    write_jsonl_dir(cust, out)
+    return read_jsonl_typed(out, {
+        "c_custkey": pa.int64(), "c_name": pa.string(),
+        "c_acctbal": pa.float64(), "c_mktsegment": pa.string(),
+    })
+
+
 def _s2_batch(b: pa.Table, level: int = 10, parent_level: "int | None" = None) -> pd.DataFrame:
     """Geocode a documents batch and encode S2 cells (vectorized numpy)."""
     from ..functions.s2 import cell_parent, cell_token, latlng_to_cell
@@ -1859,6 +1879,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "stratified_sample": q_stratified_sample,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -2460,6 +2481,9 @@ ORACLE_SQL = {
     """,
     "partition_write": """
         SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+    """,
+    "jsonl_roundtrip": """
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
     """,
     "csv_roundtrip": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_ev,
