@@ -1810,6 +1810,100 @@ def q_s2_zonal(sf_dir: str):
          "min_doc": ("doc_id", "min")})
 
 
+def _hex_batch(b: pa.Table, res: int = 5, with_chars: bool = False) -> pd.DataFrame:
+    """Geocode a documents batch and encode aperture-7 hex cells."""
+    from ..functions.hexgrid import latlng_to_hex
+
+    urls = ["https://example.com/" + s + "/" + str(i)
+            for s, i in zip(b["source"].to_pylist(), b["doc_id"].to_pylist())]
+    lat, lon = geocode_urls(urls)
+    ids = latlng_to_hex(lat, lon, res)
+    out = {"doc_id": b["doc_id"].to_numpy(),
+           "hex_face": (ids >> np.int64(54)) & np.int64(31),
+           "hex_id": ids}
+    if with_chars:
+        out["n_chars"] = b["n_chars"].to_numpy()
+    return pd.DataFrame(out)
+
+
+def q_hex_cells(sf_dir: str):
+    """North-star hexagonal tiling contract: batched aperture-7 icosahedral
+    hex encoding (res 5, ~10-km tile ≈ H3 res 5) over geocoded web
+    documents — from-scratch codec (``functions/hexgrid.py``), hash-exact
+    vs a face-argmax/gnomonic/cube-round SQL twin (:func:`_hex_encode_cte`)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return docs.map_batches(_hex_batch, batch_format="pyarrow")
+
+
+def q_hex_zonal_salted(sf_dir: str):
+    """Hex-cell-keyed zonal aggregate through the EXPLICIT salted hot-cell
+    shuffle (``relational.salted_grouped_agg``): stage 1 groups by
+    (hex_id, salt) so a hot cell spreads over 8 reducers, stage 2 merges.
+    The oracle is a plain GROUP BY — a hash match proves salting is
+    result-invariant."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    cells = docs.map_batches(
+        lambda b: _hex_batch(b, with_chars=True), batch_format="pyarrow")
+    return R.salted_grouped_agg(
+        cells.select_columns(["hex_id", "doc_id", "n_chars"]), ["hex_id"],
+        {"n_docs": ("doc_id", "size"), "sum_chars": ("n_chars", "sum"),
+         "min_doc": ("doc_id", "min")}, num_salts=8)
+
+
+def q_hex_parent_zonal(sf_dir: str):
+    """Resolution-ladder rollup: encode res 7 -> ``hex_parent`` to res 5 ->
+    zonal count.  The oracle replicates the geometric parent exactly
+    (encode(7) -> decode center -> encode(5) in SQL), proving the
+    decode/re-encode algebra — the aperture-7 ladder, like real H3's, is
+    not strictly nested, so parent is defined as "cell of my center"."""
+    from ..functions.hexgrid import hex_parent
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _p(b: pa.Table) -> pd.DataFrame:
+        df = _hex_batch(b, res=7)
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "hex_id": hex_parent(df["hex_id"].to_numpy(), 5)})
+
+    cells = docs.map_batches(_p, batch_format="pyarrow")
+    return R.grouped_agg(cells, ["hex_id"],
+                         {"n_docs": ("doc_id", "size"),
+                          "min_doc": ("doc_id", "min")})
+
+
+def q_hex_kring(sf_dir: str):
+    """Hex k-ring (k=1 disk) smoothing: per occupied res-5 cell, the doc
+    count summed over its 7-cell neighborhood.  Neighbors are geometric
+    re-encodes (seam-correct); the cell table is bounded by the grid
+    (~2M cells globally at res 5), so the pair explode is cell-sized, not
+    corpus-sized.  Oracle: the same offsets -> decode -> re-encode chain in
+    SQL over the grouped counts."""
+    from ..functions.hexgrid import hex_k_ring
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    cells = docs.map_batches(_hex_batch, batch_format="pyarrow")
+    counts = R.grouped_agg(
+        cells.select_columns(["hex_id", "doc_id"]), ["hex_id"],
+        {"n_docs": ("doc_id", "size"), "min_doc": ("doc_id", "min")})
+
+    def _nb(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["hex_id"].to_numpy()
+        ring = hex_k_ring(ids, 1)
+        return pd.DataFrame({
+            "hex_id": np.repeat(ids, ring.shape[1]),
+            "member": ring.ravel()}).drop_duplicates()
+
+    pairs = counts.select_columns(["hex_id"]).map_batches(_nb, batch_format="pandas")
+    member_docs = counts.map_batches(
+        lambda df: df.rename(columns={"hex_id": "member", "n_docs": "member_docs"})
+        [["member", "member_docs"]], batch_format="pandas")
+    np_ = _nparts(sf_dir, "documents")
+    ring_sum = R.grouped_agg(
+        R.hash_join(pairs, member_docs, on="member", num_partitions=np_),
+        ["hex_id"], {"ring_docs": ("member_docs", "sum")})
+    return R.hash_join(counts, ring_sum, on="hex_id", num_partitions=np_)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1842,22 +1936,22 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "lead": q_lead,
     "dense_rank": q_dense_rank,
-    "cume_dist": q_cume_dist,
+    "hex_cells": q_hex_cells,
     "window_first_last": q_window_first_last,
     "rolling_minmax": q_rolling_minmax,
     "range_join_copart": q_range_join_copart,
     "grouped_stats": q_grouped_stats,
     "intersect": q_intersect,
-    "except": q_except,
+    "hex_zonal_salted": q_hex_zonal_salted,
     "string_agg": q_string_agg,
-    "grouped_mode": q_grouped_mode,
+    "hex_kring": q_hex_kring,
     "term_doc_freq": q_term_doc_freq,
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
     "goode_zonal": q_goode_zonal,
     "stratified_alloc": q_stratified_alloc,
     "unpivot": q_unpivot,
-    "cross_join": q_cross_join,
+    "hex_parent_zonal": q_hex_parent_zonal,
     "rolling_rows": q_rolling_rows,
     "full_outer_join": q_full_outer_join,
     "fuzzy_pairs": q_fuzzy_pairs,
@@ -1880,6 +1974,10 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "cume_dist": q_cume_dist,
+    "grouped_mode": q_grouped_mode,
+    "cross_join": q_cross_join,
+    "except": q_except,
     "stratified_sample": q_stratified_sample,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -2076,6 +2174,152 @@ def _s2_sql(level: int) -> str:
     """
 
 
+def _hex_faces_cte() -> str:
+    """The 20 icosahedron face frames as a VALUES CTE (repr-exact literals
+    of ``functions/hexgrid.py`` constants)."""
+    from ..functions.hexgrid import FACE_EX, FACE_EY, FACE_N
+
+    rows = ",\n        ".join(
+        f"({f}, {float(FACE_N[f, 0])!r}, {float(FACE_N[f, 1])!r}, {float(FACE_N[f, 2])!r},"
+        f" {float(FACE_EX[f, 0])!r}, {float(FACE_EX[f, 1])!r}, {float(FACE_EX[f, 2])!r},"
+        f" {float(FACE_EY[f, 0])!r}, {float(FACE_EY[f, 1])!r}, {float(FACE_EY[f, 2])!r})"
+        for f in range(20))
+    return (f"fct AS (SELECT * FROM (VALUES {rows}) "
+            "AS t(face, nx, ny, nz, ax, ay, az, bx, by, bz))")
+
+
+def _hex_encode_cte(src: str, res: int, keys: "list[str]", out: str, sfx: str) -> str:
+    """SQL twin of ``functions/hexgrid.py`` ``xyz_to_hex``: identical
+    face-argmax / gnomonic / aperture-7 lattice / cube-round algebra in the
+    same IEEE op order (the Newton-in-SQL discipline of :func:`_goode_sql`).
+    ``src`` must expose ``keys`` (a per-row unique tuple) plus x, y, z;
+    emits CTEs ending in ``enc{sfx}`` with columns keys + face{sfx} + out."""
+    from ..functions.hexgrid import FWD
+
+    f00, f01 = float(FWD[res][0, 0]), float(FWD[res][0, 1])
+    f10, f11 = float(FWD[res][1, 0]), float(FWD[res][1, 1])
+    k = ", ".join(keys)
+    return f"""
+      r{sfx} AS (
+        SELECT {k}, x, y, z, fct.face, fct.ax, fct.ay, fct.az, fct.bx, fct.by, fct.bz,
+               x * fct.nx + y * fct.ny + z * fct.nz AS dot,
+               row_number() OVER (PARTITION BY {k}
+                   ORDER BY x * fct.nx + y * fct.ny + z * fct.nz DESC, fct.face ASC) AS rn
+        FROM {src} CROSS JOIN fct),
+      uv{sfx} AS (
+        SELECT {k}, face,
+               (x * ax + y * ay + z * az) / dot AS u,
+               (x * bx + y * by + z * bz) / dot AS v
+        FROM r{sfx} WHERE rn = 1),
+      cr{sfx} AS (
+        SELECT {k}, face, fi, fj,
+               floor(fi + 0.5) AS rx, floor(-fi - fj + 0.5) AS ry, floor(fj + 0.5) AS rz
+        FROM (SELECT {k}, face, {f00!r} * u + {f01!r} * v AS fi,
+                     {f10!r} * u + {f11!r} * v AS fj FROM uv{sfx})),
+      fx{sfx} AS (
+        SELECT {k}, face, rx, ry, rz,
+               abs(rx - fi) AS dx, abs(ry - (-fi - fj)) AS dy, abs(rz - fj) AS dz
+        FROM cr{sfx}),
+      ij{sfx} AS (
+        SELECT {k}, face,
+               CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS i,
+               CAST(CASE WHEN (dx > dy AND dx > dz) OR dy > dz THEN rz ELSE -rx - ry END AS BIGINT) AS j
+        FROM fx{sfx}),
+      enc{sfx} AS (
+        SELECT {k}, CAST(face AS BIGINT) AS face{sfx},
+               CAST({res} AS BIGINT) * {1 << 59} + face * {1 << 54}
+               + (i + {1 << 26}) * {1 << 27} + (j + {1 << 26}) AS {out}
+        FROM ij{sfx})"""
+
+
+def _hex_decode_cte(src: str, id_col: str, res: int, keys: "list[str]", sfx: str,
+                    offsets: "str | None" = None) -> str:
+    """SQL twin of ``hex_to_center`` (and, with ``offsets`` naming a
+    (di, dj) CTE, of the ``hex_k_ring`` neighbor-center expansion): unpack
+    the id, lattice -> face plane, face frame -> 3D.  Emits CTEs ending in
+    ``ctr{sfx}`` with columns keys (+ di, dj when offsets) + x, y, z."""
+    from ..functions.hexgrid import INV
+
+    m00, m01 = float(INV[res][0, 0]), float(INV[res][0, 1])
+    m10, m11 = float(INV[res][1, 0]), float(INV[res][1, 1])
+    k = ", ".join(keys)
+    if offsets:
+        cross, ksel, k2 = f" CROSS JOIN {offsets} o", f"{k}, o.di AS di, o.dj AS dj", f"{k}, di, dj"
+        ii = f"(({id_col} // {1 << 27}) % {1 << 27} - {1 << 26} + o.di)"
+        jj = f"({id_col} % {1 << 27} - {1 << 26} + o.dj)"
+    else:
+        cross, ksel, k2 = "", k, k
+        ii = f"(({id_col} // {1 << 27}) % {1 << 27} - {1 << 26})"
+        jj = f"({id_col} % {1 << 27} - {1 << 26})"
+    return f"""
+      up{sfx} AS (
+        SELECT {ksel}, ({id_col} // {1 << 54}) % 32 AS face,
+               CAST({ii} AS DOUBLE) AS fi, CAST({jj} AS DOUBLE) AS fj
+        FROM {src}{cross}),
+      ctr{sfx} AS (
+        SELECT {k2},
+               fct.nx + px * fct.ax + py * fct.bx AS x,
+               fct.ny + px * fct.ay + py * fct.by AS y,
+               fct.nz + px * fct.az + py * fct.bz AS z
+        FROM (SELECT {k2}, face, {m00!r} * fi + {m01!r} * fj AS px,
+                     {m10!r} * fi + {m11!r} * fj AS py FROM up{sfx})
+             JOIN fct USING (face))"""
+
+
+_HEX_XYZ = """
+      xyz AS (
+        SELECT doc_id,
+               cos(lat * (pi()/180.0)) * cos(lon * (pi()/180.0)) AS x,
+               cos(lat * (pi()/180.0)) * sin(lon * (pi()/180.0)) AS y,
+               sin(lat * (pi()/180.0)) AS z
+        FROM geo)"""
+
+
+def _hex_cells_sql(res: int = 5) -> str:
+    return f"""
+      WITH geo AS ({_GEO_SQL}),
+      {_hex_faces_cte()},
+      {_HEX_XYZ},
+      {_hex_encode_cte('xyz', res, ['doc_id'], 'hex_id', '1')}
+      SELECT doc_id, face1 AS hex_face, hex_id FROM enc1
+    """
+
+
+def _hex_parent_zonal_sql() -> str:
+    return f"""
+      WITH geo AS ({_GEO_SQL}),
+      {_hex_faces_cte()},
+      {_HEX_XYZ},
+      {_hex_encode_cte('xyz', 7, ['doc_id'], 'hex7', '1')},
+      {_hex_decode_cte('enc1', 'hex7', 7, ['doc_id'], '2')},
+      {_hex_encode_cte('ctr2', 5, ['doc_id'], 'hex_id', '3')}
+      SELECT hex_id, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
+      FROM enc3 GROUP BY hex_id
+    """
+
+
+def _hex_kring_sql() -> str:
+    from ..functions.hexgrid import ring_offsets
+
+    offs = ", ".join(f"({int(a)}, {int(b)})" for a, b in ring_offsets(1))
+    return f"""
+      WITH geo AS ({_GEO_SQL}),
+      {_hex_faces_cte()},
+      {_HEX_XYZ},
+      {_hex_encode_cte('xyz', 5, ['doc_id'], 'hex_id', '1')},
+      cnt AS (
+        SELECT hex_id, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
+        FROM enc1 GROUP BY hex_id),
+      offs AS (SELECT * FROM (VALUES {offs}) AS t(di, dj)),
+      {_hex_decode_cte('cnt', 'hex_id', 5, ['hex_id'], '2', offsets='offs')},
+      {_hex_encode_cte('ctr2', 5, ['hex_id', 'di', 'dj'], 'member', '3')},
+      nb AS (SELECT DISTINCT hex_id, member FROM enc3)
+      SELECT c.hex_id, c.n_docs, c.min_doc, CAST(sum(m.n_docs) AS BIGINT) AS ring_docs
+      FROM cnt c JOIN nb USING (hex_id) JOIN cnt m ON m.hex_id = nb.member
+      GROUP BY 1, 2, 3
+    """
+
+
 ORACLE_SQL = {
     "filter_project": """
         SELECT l_orderkey, l_quantity, l_extendedprice * (1.0 - l_discount) AS revenue
@@ -2210,6 +2454,20 @@ ORACLE_SQL = {
         FROM ({_s2_sql(7)}) s JOIN documents d USING (doc_id)
         GROUP BY s.s2_token
     """,
+    "hex_cells": _hex_cells_sql(),
+    "hex_zonal_salted": f"""
+        WITH geo AS ({_GEO_SQL}),
+        {_hex_faces_cte()},
+        {_HEX_XYZ},
+        {_hex_encode_cte('xyz', 5, ['doc_id'], 'hex_id', '1')}
+        SELECT e.hex_id, count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(d.doc_id) AS BIGINT) AS min_doc
+        FROM enc1 e JOIN documents d USING (doc_id)
+        GROUP BY e.hex_id
+    """,
+    "hex_parent_zonal": _hex_parent_zonal_sql(),
+    "hex_kring": _hex_kring_sql(),
     "goode_zonal": f"""
         SELECT g.goode_tile, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

@@ -219,6 +219,54 @@ def grouped_agg_final(partial: Dataset, keys: list[str], specs: dict[str, tuple[
     )
 
 
+def salted_grouped_agg(
+    ds: Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+    batch_size: int = 65536,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Explicit salted hot-key aggregation (the north-rule's "salted
+    hot-cell splitting").
+
+    Stage 1 aggregates by ``(keys..., __salt)`` where ``__salt`` spreads
+    every key's rows across ``num_salts`` independent reducer groups
+    (deterministic round-robin within each batch — no RNG), so a hot key
+    that would otherwise pin one reducer lands on ``num_salts`` of them.
+    Stage 2 re-aggregates the per-salt partials by the bare keys (sum of
+    sums, min of mins, counts re-summed).
+
+    The result is identical to :func:`grouped_agg` for the re-aggregable
+    aggs (sum/count/size/min/max) — ``mean`` is rejected (carry sum and
+    count instead).  Note :func:`grouped_agg` already bounds hot-key
+    traffic to one partial row per key per *block*; this operator is the
+    explicit remedy for the remaining final-combine skew, where a single
+    key's many partials must otherwise merge on one reducer."""
+    if any(how == "mean" for _, how in specs.values()):
+        raise ValueError("salted_grouped_agg: mean is not re-aggregable; carry sum and count")
+
+    def _salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__salt"] = np.arange(len(df), dtype=np.int64) % num_salts
+        return df
+
+    fine = grouped_agg(ds.map_batches(_salt, batch_format="pandas", batch_size=batch_size),
+                       keys + ["__salt"], specs, batch_size, num_partitions)
+    reagg = {a: (a, "sum" if how in ("count", "size") else how)
+             for a, (_, how) in specs.items()}
+    int_aliases = [a for a, (_, how) in specs.items() if how in ("count", "size")]
+    merged = grouped_agg(fine, keys, reagg, batch_size,
+                         max(2, num_partitions // 4))
+
+    def _fix(df: pd.DataFrame) -> pd.DataFrame:
+        for a in int_aliases:
+            df[a] = df[a].astype(np.int64)
+        return df[keys + list(specs)]
+
+    return merged.map_batches(_fix, batch_format="pandas")
+
+
 def rollup_agg(
     ds: Dataset,
     keys: list[str],

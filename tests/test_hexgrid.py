@@ -1,0 +1,260 @@
+"""Aperture-7 icosahedral hex codec invariants (pure numpy — no Ray).
+
+Parity with Uber's H3 library cannot be executed in this sandbox (no h3
+lib), and H3's exact base-cell numbering derives from library-internal
+orientation constants; these tests pin the codec to its documented
+semantics contract instead (`functions/hexgrid.py` docstring): icosahedron
+geometry, total deterministic partition, center roundtrip away from face
+seams (with a measured seam band), aperture-7 pitch ladder, k-ring
+adjacency + seam totality, geometric parenthood, and pack/unpack algebra.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from drivers_of_global_deforestation_ray.functions import hexgrid as hg
+
+
+def _rand_sphere(n, seed=7):
+    rng = np.random.default_rng(seed)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, n)))  # area-uniform
+    lon = rng.uniform(-180.0, 180.0, n)
+    return lat, lon
+
+
+# ---------------------------------------------------------------------------
+# icosahedron geometry
+# ---------------------------------------------------------------------------
+
+def test_icosahedron_frames():
+    n, ex, ey = hg.FACE_N, hg.FACE_EX, hg.FACE_EY
+    assert n.shape == ex.shape == ey.shape == (20, 3)
+    for m in (n, ex, ey):
+        assert np.allclose((m * m).sum(axis=1), 1.0, atol=1e-12)
+    # orthonormal right-handed frame per face
+    assert np.allclose((n * ex).sum(axis=1), 0.0, atol=1e-12)
+    assert np.allclose((n * ey).sum(axis=1), 0.0, atol=1e-12)
+    assert np.allclose(np.cross(n, ex), ey, atol=1e-12)
+    # 20 distinct face centers, all pairwise dots < 1 (no duplicate faces)
+    dots = n @ n.T
+    np.fill_diagonal(dots, -1.0)
+    assert dots.max() < 0.999
+
+
+def test_aperture7_ladder():
+    # each resolution step shrinks pitch by sqrt(7) and rotates by
+    # atan(sqrt(3)/5); |det| of the inverse (lattice) matrix is the cell
+    # area in plane units -> ratio 7 between consecutive resolutions
+    det = np.abs(hg.INV[:, 0, 0] * hg.INV[:, 1, 1] - hg.INV[:, 0, 1] * hg.INV[:, 1, 0])
+    assert np.allclose(det[:-1] / det[1:], 7.0, rtol=1e-9)
+    # FWD is the exact float inverse of INV
+    for r in range(hg.MAX_RES + 1):
+        assert np.allclose(hg.FWD[r] @ hg.INV[r], np.eye(2), atol=1e-9)
+    # res-5 pitch ~ 10-15 km on Earth (radius 6371 km): H3-res-5-class tile
+    km = hg.PITCH0 / np.sqrt(7.0) ** 5 * 6371.0
+    assert 8.0 < km < 20.0
+
+
+# ---------------------------------------------------------------------------
+# encode: total deterministic partition
+# ---------------------------------------------------------------------------
+
+def test_encode_total_and_deterministic():
+    lat, lon = _rand_sphere(20000)
+    a = hg.latlng_to_hex(lat, lon, 5)
+    b = hg.latlng_to_hex(lat, lon, 5)
+    assert (a == b).all()
+    res, face, i, j = hg.hex_unpack(a)
+    assert (res == 5).all()
+    assert ((face >= 0) & (face < 20)).all()
+    # poles and antimeridian encode too (totality)
+    edge = hg.latlng_to_hex(np.array([90.0, -90.0, 0.0, 0.0]),
+                            np.array([0.0, 0.0, 180.0, -180.0]), 5)
+    assert edge.shape == (4,)
+    # +180 and -180 are the same meridian -> the same cell
+    assert edge[2] == edge[3]
+
+
+def test_encode_scale_invariance():
+    # xyz_to_hex must not depend on vector norm (gnomonic = pure ratios)
+    lat, lon = _rand_sphere(1000, seed=11)
+    la, lo = np.radians(lat), np.radians(lon)
+    x, y, z = np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)
+    a = hg.xyz_to_hex(x, y, z, 6)
+    b = hg.xyz_to_hex(3.7 * x, 3.7 * y, 3.7 * z, 6)
+    assert (a == b).all()
+
+
+def test_nearby_points_share_cell_far_points_dont():
+    # two points 100 m apart almost always share a ~15-km res-5 cell;
+    # two points continents apart never do
+    lat, lon = _rand_sphere(5000, seed=3)
+    near = hg.latlng_to_hex(lat + 0.0005, lon, 5)
+    base = hg.latlng_to_hex(lat, lon, 5)
+    assert (near == base).mean() > 0.97
+    far = hg.latlng_to_hex(np.clip(lat + 40.0, -89.0, 89.0), lon, 5)
+    assert (far != base).all()
+
+
+# ---------------------------------------------------------------------------
+# center roundtrip + seam band
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("res", [3, 5, 7])
+def test_center_roundtrip_outside_seam_band(res):
+    lat, lon = _rand_sphere(20000, seed=res)
+    ids = np.unique(hg.latlng_to_hex(lat, lon, res))
+    x, y, z = hg.hex_to_center(ids)
+    back = hg.xyz_to_hex(x, y, z, res)
+    ok = back == ids
+    # seam cells (center clipped across the face boundary) re-encode to a
+    # neighboring face's cell; docstring bounds the band at <2% of cells
+    frac_seam = 1.0 - ok.mean()
+    assert frac_seam < 0.02, f"seam band {frac_seam:.3%} at res {res}"
+    # every non-roundtripping cell is genuinely at a face boundary: its
+    # center's best and second-best face dots are within the pitch scale
+    bad = ids[~ok]
+    if len(bad):
+        bx, by, bz = hg.hex_to_center(bad)
+        pts = np.stack([bx, by, bz], axis=1)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        dots = pts @ hg.FACE_N.T
+        top2 = np.sort(dots, axis=1)[:, -2:]
+        assert (top2[:, 1] - top2[:, 0] < 2 * hg.PITCH0 / np.sqrt(7.0) ** res).all()
+
+
+def test_center_latlng_consistency():
+    lat, lon = _rand_sphere(2000, seed=9)
+    ids = hg.latlng_to_hex(lat, lon, 5)
+    clat, clon = hg.hex_to_latlng(ids)
+    # cell center within ~2 pitches of the encoded point (gnomonic
+    # distortion + hex radius); res-5 pitch ≈ 0.13 deg
+    d = np.abs(clat - lat)
+    assert d.max() < 0.5
+
+
+# ---------------------------------------------------------------------------
+# pack / unpack / token
+# ---------------------------------------------------------------------------
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(5)
+    res = rng.integers(0, hg.MAX_RES + 1, 1000)
+    face = rng.integers(0, 20, 1000)
+    i = rng.integers(-(1 << 25), 1 << 25, 1000)
+    j = rng.integers(-(1 << 25), 1 << 25, 1000)
+    ids = hg.hex_pack(res, face, i, j)
+    r2, f2, i2, j2 = hg.hex_unpack(ids)
+    assert (r2 == res).all() and (f2 == face).all()
+    assert (i2 == i).all() and (j2 == j).all()
+    # ids are unique per distinct tuple
+    assert len(np.unique(ids)) == len(
+        {(a, b, c, d) for a, b, c, d in zip(res, face, i, j)})
+
+
+def test_hex_token():
+    ids = hg.latlng_to_hex(np.array([10.0, -45.0]), np.array([20.0, 170.0]), 5)
+    toks = hg.hex_token(ids)
+    assert all(len(t) == 16 and t == t.lower() for t in toks)
+    assert (np.array([int(t, 16) for t in toks], dtype=np.uint64).astype(np.int64)
+            == ids).all()
+
+
+# ---------------------------------------------------------------------------
+# k-ring
+# ---------------------------------------------------------------------------
+
+def test_ring_offsets_shape_and_distance():
+    for k in (1, 2, 3):
+        offs = hg.ring_offsets(k)
+        assert offs.shape == (1 + 3 * k * (k + 1), 2)
+        # unique offsets; hex distance (axial) <= k, ring k reached
+        assert len({tuple(o) for o in offs}) == len(offs)
+        di, dj = offs[:, 0], offs[:, 1]
+        dist = (np.abs(di) + np.abs(dj) + np.abs(di + dj)) // 2
+        assert dist.max() == k and (dist <= k).all()
+        assert (dist == 0).sum() == 1
+
+
+def test_k_ring_interior():
+    # cells well inside a face: ring-1 disk = 7 distinct cells, all
+    # mutually adjacent to the center (their centers ~1 pitch away)
+    lat = np.array([0.5, 30.0, -40.0])
+    lon = np.array([5.0, 60.0, -100.0])
+    ids = hg.latlng_to_hex(lat, lon, 5)
+    ring = hg.hex_k_ring(ids, 1)
+    assert ring.shape == (3, 7)
+    for row, home in zip(ring, ids):
+        assert row[0] == home  # center first
+        assert len(set(row.tolist())) == 7
+        # neighbor centers sit within ~1.5 lattice pitch of home center
+        hx, hy, hz = hg.hex_to_center(np.array([home]))
+        nx, ny, nz = hg.hex_to_center(row)
+        h = np.stack([hx, hy, hz], 1) / np.linalg.norm([hx[0], hy[0], hz[0]])
+        nv = np.stack([nx, ny, nz], 1)
+        nv /= np.linalg.norm(nv, axis=1, keepdims=True)
+        chord = np.linalg.norm(nv - h, axis=1)
+        pitch = hg.PITCH0 / np.sqrt(7.0) ** 5
+        assert chord[1:].max() < 1.6 * pitch and chord[1:].min() > 0.4 * pitch
+
+
+def test_k_ring_seam_totality():
+    # cells across the whole sphere (incl. seam cells): every returned
+    # neighbor id is a VALID cell at the same res (re-encoding its center
+    # yields a cell on some face) — totality, no exceptions
+    lat, lon = _rand_sphere(3000, seed=21)
+    ids = np.unique(hg.latlng_to_hex(lat, lon, 4))
+    ring = hg.hex_k_ring(ids, 1)
+    res, face, _, _ = hg.hex_unpack(ring.ravel())
+    assert (res == 4).all()
+    assert ((face >= 0) & (face < 20)).all()
+    # symmetry on interior pairs: if b is in ring(a), a is in ring(b)
+    # (spot-check the first 50 interior cells)
+    x, y, z = hg.hex_to_center(ids)
+    back = hg.xyz_to_hex(x, y, z, 4)
+    interior = ids[back == ids][:50]
+    nb = hg.hex_k_ring(interior, 1)
+    viol = 0
+    for row, home in zip(nb, interior):
+        for m in row[1:]:
+            if m == home:
+                continue
+            if home not in hg.hex_k_ring(np.array([m]), 1)[0]:
+                viol += 1
+    # seam-adjacent members may be asymmetric (clipped cells); interior
+    # hexagon adjacency must be near-perfectly symmetric
+    assert viol <= len(interior)  # at most ~1 seam edge per sampled cell
+
+
+# ---------------------------------------------------------------------------
+# parent
+# ---------------------------------------------------------------------------
+
+def test_parent_is_geometric():
+    lat, lon = _rand_sphere(5000, seed=13)
+    fine = hg.latlng_to_hex(lat, lon, 7)
+    par = hg.hex_parent(fine, 5)
+    res, _, _, _ = hg.hex_unpack(par)
+    assert (res == 5).all()
+    # parent = encode(center, 5) by definition
+    x, y, z = hg.hex_to_center(fine)
+    assert (par == hg.xyz_to_hex(x, y, z, 5)).all()
+    # aperture 7: each parent covers ~7 children
+    import collections
+    counts = collections.Counter(par.tolist())
+    # occupied-children histogram is data-dependent; just sanity the ratio
+    assert len(set(par.tolist())) < len(set(fine.tolist()))
+
+
+def test_parent_containment():
+    # a child's center is closer to its parent's center than to almost any
+    # other parent cell: parent assignment is the nearest-center rule of
+    # the coarser lattice (within gnomonic distortion)
+    lat, lon = _rand_sphere(300, seed=17)
+    fine = hg.latlng_to_hex(lat, lon, 6)
+    par = hg.hex_parent(fine, 5)
+    fx, fy, fz = hg.hex_to_center(fine)
+    back = hg.xyz_to_hex(fx, fy, fz, 5)
+    assert (back == par).all()
