@@ -50,7 +50,8 @@ from ..stages.score import fit_region_trees, score_with_trees, vote_and_gate
 from ..stages.smooth import kring_smooth
 
 __all__ = ["FlagshipConfig", "run_flagship", "run_flagship_checkpointed",
-           "tiles_to_classes", "build_training_table", "page_features_batch"]
+           "run_flagship_hex", "tiles_to_classes", "build_training_table",
+           "page_features_batch"]
 
 
 @dataclass
@@ -256,6 +257,133 @@ def tiles_to_classes(per_tile: Dataset, cfg: FlagshipConfig, out_dir: str | None
 
     final = smoothed.map_batches(_final, batch_format="pandas")
 
+    if out_dir is not None:
+        final.write_parquet(os.path.join(out_dir, "classes"), partition_cols=["class_final"])
+    return final
+
+
+def hex_page_features_batch(batch: pa.Table, hex_res: int) -> pa.Table:
+    """Stateless page map for the hex-keyed flagship: html -> text, url ->
+    (lat, lon) -> aperture-7 hex cell (the north star's "assign every record
+    to a 10-km analysis tile via batched H3 encoding")."""
+    from ..functions.hexgrid import latlng_to_hex
+
+    texts = extract_text_batch(batch["html"].to_pylist())
+    lat, lon = geocode_urls(batch["url"].to_pylist())
+    q = quality_stats(pd.Series(texts))
+    return pa.table(
+        {
+            "url": batch["url"],
+            "hex_id": pa.array(latlng_to_hex(lat, lon, hex_res), pa.int64()),
+            "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+            "quality_score": pa.array(q["quality_score"], pa.float64()),
+        }
+    )
+
+
+class HexCellFeaturizer:
+    """Actor: region PIP + raster gather + loss lookup for HEX-keyed batches.
+
+    The raster<->vector bridge: each hex cell's spherical center (decoded
+    from the id) is projected to the covariate grid's (lat, lon) frame, PIP-
+    assigned against the polygon layer, and the grid tile under the center
+    supplies the raster covariates and loss — the same center-sampling rule
+    the grid flagship uses, re-keyed to the hexagonal index.
+    """
+
+    def __init__(self, world_dir: str, grid: GridSpec, res: int, feature_names: list[str]):
+        paths = miniworld_paths(world_dir)
+        self.grid, self.res = grid, res
+        self.feature_names = feature_names
+        self.registry = RasterRegistry(paths["manifest"])
+        loss_grid, _ = read_raster(paths["loss"])
+        self.loss_flat = np.asarray(loss_grid).ravel()
+        self.rings, self.region_ids = load_polygons(paths["polygons"])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hexgrid import hex_to_latlng
+
+        lat, lon = hex_to_latlng(batch["hex_id"].to_numpy())
+        batch["region"] = assign_regions(
+            np.stack([lon, lat], axis=1), self.rings, self.region_ids
+        )
+        tiles = latlon_to_tile(lat, lon, self.grid, self.res)
+        feats = self.registry.gather(tiles, self.feature_names)
+        for name in self.feature_names:
+            batch[name] = np.nan_to_num(feats[name], nan=0.0)
+        batch["loss"] = np.nan_to_num(self.loss_flat[tiles - 1], nan=0.0)
+        return batch
+
+
+def run_flagship_hex(
+    pages: Dataset | str,
+    cfg: FlagshipConfig,
+    hex_res: int = 2,
+    out_dir: str | None = None,
+) -> Dataset:
+    """The north-star pipeline keyed by the aperture-7 hexagonal index
+    (`functions/hexgrid.py`) instead of the positional grid: batched hex
+    encode -> zonal page stats per cell -> STRtree PIP + raster gather at
+    cell centers -> CART driver classifier -> vote/gates -> HEX K-RING
+    majority smoothing (`stages/smooth.hex_majority_smooth`) -> final gate.
+
+    ``hex_res=2`` matches the miniworld's 64x64 grid pitch (~2.8 deg); the
+    100-TB configuration is res 5 (~10-km cells ≈ H3 res 5).  Stages reuse
+    the grid flagship's actors and gates 1:1 — only the key (hex id vs
+    positional tile id) and the smoothing lattice change, which is the point:
+    the engine's tiling contract is pluggable.
+    """
+    import ray.data as rd
+
+    from ..stages.smooth import hex_majority_smooth
+
+    if isinstance(pages, str):
+        pages = rd.read_parquet(pages, columns=["url", "html"])
+
+    per_cell = grouped_agg(
+        pages.map_batches(
+            lambda b: hex_page_features_batch(b, hex_res),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        ),
+        ["hex_id"], {
+            "n_pages": ("url", "count"),
+            "sum_tokens": ("n_tokens", "sum"),
+            "mean_quality": ("quality_score", "mean"),
+        },
+        batch_size=cfg.batch_size,
+    )
+
+    grid, res = cfg.grid, cfg.res
+    pool_conc = _pool_concurrency(cfg)
+    per_cell = per_cell.map_batches(
+        HexCellFeaturizer,
+        fn_constructor_kwargs={
+            "world_dir": cfg.world_dir, "grid": grid, "res": res,
+            "feature_names": cfg.feature_names,
+        },
+        batch_format="pandas", batch_size=cfg.batch_size, concurrency=pool_conc,
+    )
+    universe = per_cell.filter(expr="region > 0 and loss > 0")
+
+    training = build_training_table(cfg.world_dir, grid, res, cfg.feature_names)
+    trees, _importance = fit_region_trees(
+        training, cfg.feature_names, regions=list(range(1, cfg.num_regions + 1))
+    )
+    scored = score_with_trees(
+        universe, trees, cfg.feature_names,
+        concurrency=pool_conc, batch_size=cfg.batch_size,
+    )
+    voted = vote_and_gate(scored, "loss", cfg.conf_threshold, cfg.loss_threshold)
+    smoothed = hex_majority_smooth(voted, cfg.smooth_k, id_col="hex_id")
+
+    def _final(batch: pd.DataFrame) -> pd.DataFrame:
+        loss = batch["loss"].to_numpy()
+        cls = batch["class_smoothed"].to_numpy()
+        gated = np.where((loss > 0) & (loss < cfg.loss_threshold), 0, cls)
+        batch["class_final"] = np.round(gated).astype(np.int64)
+        return batch
+
+    final = smoothed.map_batches(_final, batch_format="pandas")
     if out_dir is not None:
         final.write_parquet(os.path.join(out_dir, "classes"), partition_cols=["class_final"])
     return final

@@ -1904,6 +1904,52 @@ def q_hex_kring(sf_dir: str):
     return R.hash_join(counts, ring_sum, on="hex_id", num_partitions=np_)
 
 
+def q_hex_smooth(sf_dir: str):
+    """The north star's "H3 k-ring kNN smoothing", hash-exact: occupied
+    res-5 hex cells get a deterministic class (0 = unclassified); class-0
+    cells take the FIRST ring (r=1..2) with any classified neighbor, then
+    the majority class with lowest-class tie-break
+    (``stages/smooth.hex_majority_smooth`` — broadcast sorted cell map, no
+    shuffle).  The oracle replays the identical ring-ordered rule in SQL:
+    ring offsets -> decode -> re-encode (seam-correct members), DISTINCT per
+    (cell, ring), row_number ordered by (ring, cnt DESC, class)."""
+    from ..stages.smooth import hex_majority_smooth
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    # res 1 (not 5): at the 500-doc fixture this gives ~35% cell occupancy,
+    # so class-0 cells really do have classified neighbors and the ring-
+    # ordered rule fires (at res 5 every cell is a singleton and the query
+    # would be hash-exact but vacuous)
+    cells = docs.map_batches(lambda b: _hex_batch(b, res=1), batch_format="pyarrow")
+    agg = R.grouped_agg(
+        cells.select_columns(["hex_id", "doc_id"]), ["hex_id"],
+        {"n_docs": ("doc_id", "size"), "md": ("doc_id", "min")})
+
+    def _cls(df: pd.DataFrame) -> pd.DataFrame:
+        md = df["md"].to_numpy()
+        df["class"] = np.where(md % 3 == 0, 0, 1 + (md % 4)).astype(np.int64)
+        return df[["hex_id", "n_docs", "class"]]
+
+    return hex_majority_smooth(agg.map_batches(_cls, batch_format="pandas"), k=2)
+
+
+def q_flagship_hex(sf_dir: str):
+    """The north-star pipeline end-to-end on the hexagonal index: batched
+    hex tile assignment -> zonal page stats -> STRtree PIP + raster gather
+    at cell centers -> CART driver classifier -> vote/gates -> hex k-ring
+    majority smoothing -> final gate (``pipelines/flagship.run_flagship_hex``).
+    Rows-only (CART scoring is non-SQL); the smoothing lattice is separately
+    hash-exact via ``hex_smooth`` and the codec via ``hex_cells``."""
+    from ..sources.miniworld import build_miniworld
+    from .flagship import FlagshipConfig, run_flagship_hex
+
+    build_miniworld("/tmp/graft_miniworld")
+    pages_dir = _pages_dir_for(sf_dir)
+    cfg = FlagshipConfig(world_dir="/tmp/graft_miniworld")
+    final = run_flagship_hex(pages_dir, cfg, hex_res=2)
+    return final.select_columns(["hex_id", "region", "class_final", "n_pages", "loss"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1933,7 +1979,7 @@ QUERIES = {
     "kring": q_kring,
     "doc_tokens": q_doc_tokens,
     "doc_fingerprint": q_doc_fingerprint,
-    "dedup_simhash": q_dedup_simhash,
+    "hex_smooth": q_hex_smooth,
     "lead": q_lead,
     "dense_rank": q_dense_rank,
     "hex_cells": q_hex_cells,
@@ -1947,7 +1993,7 @@ QUERIES = {
     "hex_kring": q_hex_kring,
     "term_doc_freq": q_term_doc_freq,
     "heavy_hitters": q_heavy_hitters,
-    "quantile_sketch": q_quantile_sketch,
+    "flagship_hex": q_flagship_hex,
     "goode_zonal": q_goode_zonal,
     "stratified_alloc": q_stratified_alloc,
     "unpivot": q_unpivot,
@@ -1974,6 +2020,8 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "quantile_sketch": q_quantile_sketch,
+    "dedup_simhash": q_dedup_simhash,
     "cume_dist": q_cume_dist,
     "grouped_mode": q_grouped_mode,
     "cross_join": q_cross_join,
@@ -2320,6 +2368,53 @@ def _hex_kring_sql() -> str:
     """
 
 
+def _hex_smooth_sql(k: int = 2) -> str:
+    """SQL twin of ``hex_majority_smooth``'s ring-ordered majority rule.
+
+    Neighbor members come from the SAME decode->re-encode chain the engine
+    uses (seam-correct); ring is recovered from the offset via the axial hex
+    distance ``(|di|+|dj|+|di+dj|)/2``; DISTINCT (cell, ring, member)
+    mirrors the engine's per-ring dedup; ``row_number`` ordered by
+    (ring ASC, cnt DESC, class ASC) is exactly "first ring with any
+    classified neighbor -> majority -> lowest-class tie-break"."""
+    from ..functions.hexgrid import ring_offsets
+
+    offs = ", ".join(f"({int(a)}, {int(b)})" for a, b in ring_offsets(k)[1:])
+    return f"""
+      WITH geo AS ({_GEO_SQL}),
+      {_hex_faces_cte()},
+      {_HEX_XYZ},
+      {_hex_encode_cte('xyz', 1, ['doc_id'], 'hex_id', '1')},
+      cls AS (
+        SELECT hex_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CASE WHEN min(doc_id) % 3 = 0 THEN 0
+                    ELSE 1 + (min(doc_id) % 4) END AS class
+        FROM enc1 GROUP BY hex_id),
+      offs AS (SELECT * FROM (VALUES {offs}) AS t(di, dj)),
+      {_hex_decode_cte('cls', 'hex_id', 1, ['hex_id'], '2', offsets='offs')},
+      {_hex_encode_cte('ctr2', 1, ['hex_id', 'di', 'dj'], 'member', '3')},
+      nb AS (
+        SELECT DISTINCT hex_id,
+               CAST((abs(di) + abs(dj) + abs(di + dj)) / 2 AS BIGINT) AS ring,
+               member
+        FROM enc3 WHERE member <> hex_id),
+      nbc AS (
+        SELECT nb.hex_id, nb.ring, m.class, count(*) AS cnt
+        FROM nb JOIN cls m ON m.hex_id = nb.member
+        WHERE m.class > 0
+        GROUP BY 1, 2, 3),
+      win AS (
+        SELECT hex_id, class AS sm,
+               row_number() OVER (PARTITION BY hex_id
+                   ORDER BY ring ASC, cnt DESC, class ASC) AS rn
+        FROM nbc)
+      SELECT c.hex_id, c.n_docs, CAST(c.class AS BIGINT) AS class,
+             CAST(CASE WHEN c.class > 0 THEN c.class
+                       ELSE coalesce(w.sm, 0) END AS BIGINT) AS class_smoothed
+      FROM cls c LEFT JOIN win w ON w.hex_id = c.hex_id AND w.rn = 1
+    """
+
+
 ORACLE_SQL = {
     "filter_project": """
         SELECT l_orderkey, l_quantity, l_extendedprice * (1.0 - l_discount) AS revenue
@@ -2468,6 +2563,7 @@ ORACLE_SQL = {
     """,
     "hex_parent_zonal": _hex_parent_zonal_sql(),
     "hex_kring": _hex_kring_sql(),
+    "hex_smooth": _hex_smooth_sql(2),
     "goode_zonal": f"""
         SELECT g.goode_tile, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

@@ -168,3 +168,35 @@ def test_entry_contract(ray_session):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 30 and len(osql) >= 20
+
+
+def test_flagship_hex_runs_and_is_deterministic(pages_dir, miniworld):
+    """Hex-keyed north-star pipeline: same stages, hexagonal tiling + hex
+    k-ring smoothing; output must be batch-size-invariant and respect the
+    same gates as the grid flagship."""
+    from drivers_of_global_deforestation_ray.pipelines.flagship import run_flagship_hex
+
+    outs = []
+    for bs in (512, 8192):
+        cfg = FlagshipConfig(world_dir=miniworld["root"], batch_size=bs)
+        df = (run_flagship_hex(pages_dir, cfg, hex_res=2).to_pandas()
+              .sort_values("hex_id").reset_index(drop=True))
+        outs.append(df)
+    a, b = outs
+    assert len(a) > 50
+    for c in ["hex_id", "region", "n_pages", "sum_tokens", "class",
+              "class_smoothed", "class_final", "loss", "max_value"]:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    # gates hold on the hex universe too
+    assert (a["region"] > 0).all() and (a["loss"] > 0).all()
+    gated = a[(a["loss"] > 0) & (a["loss"] < 0.005)]
+    assert (gated["class_final"] == 0).all()
+    low = a[a["max_value"] < 0.5]
+    assert (low["class"] == 0).all()
+    # smoothing only ever fills class-0 cells
+    ch = a[a["class"] != a["class_smoothed"]]
+    assert (ch["class"] == 0).all() and (ch["class_smoothed"] > 0).all()
+    # hex ids are valid res-2 cells
+    from drivers_of_global_deforestation_ray.functions.hexgrid import hex_unpack
+    res, face, _, _ = hex_unpack(a["hex_id"].to_numpy())
+    assert (res == 2).all() and ((face >= 0) & (face < 20)).all()

@@ -258,3 +258,80 @@ def test_parent_containment():
     fx, fy, fz = hg.hex_to_center(fine)
     back = hg.xyz_to_hex(fx, fy, fz, 5)
     assert (back == par).all()
+
+
+# ---------------------------------------------------------------------------
+# hex k-ring majority smoothing (batch kernel; Dataset wrapper tested in
+# tests/test_flagship_ray.py)
+# ---------------------------------------------------------------------------
+
+def _smooth(cells: dict, k=2, num_classes=5):
+    """cells: {hex_id: class}; smooth all of them against each other."""
+    from drivers_of_global_deforestation_ray.stages.smooth import _hex_smooth_batch
+
+    ids = np.array(list(cells), dtype=np.int64)
+    cls = np.array(list(cells.values()), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    return dict(zip(ids.tolist(),
+                    _hex_smooth_batch(ids, cls, ids[order], cls[order], k, num_classes)))
+
+
+def _interior_cell_and_rings(res=2):
+    """An interior cell (center roundtrips) plus its ring-1/ring-2 ids."""
+    ids = hg.latlng_to_hex(np.array([12.0]), np.array([15.0]), res)
+    x, y, z = hg.hex_to_center(ids)
+    assert hg.xyz_to_hex(x, y, z, res)[0] == ids[0]
+    disk = hg.hex_k_ring(ids, 2)[0]
+    return ids[0], disk[1:7].tolist(), disk[7:].tolist()
+
+
+def test_hex_smooth_nearest_ring_first():
+    home, r1, r2 = _interior_cell_and_rings()
+    cells = {home: 0, r1[0]: 3, r2[0]: 1, r2[1]: 1, r2[2]: 1}
+    assert _smooth(cells)[home] == 3  # ring 1 wins despite ring-2 majority
+
+
+def test_hex_smooth_majority_then_lowest_class():
+    home, r1, _ = _interior_cell_and_rings()
+    cells = {home: 0, r1[0]: 5, r1[1]: 5, r1[2]: 2, r1[3]: 2, r1[4]: 4}
+    assert _smooth(cells, k=1)[home] == 2  # 5/2 tie 2-2 -> lowest class
+    cells2 = {home: 0, r1[0]: 4, r1[1]: 4, r1[2]: 1}
+    assert _smooth(cells2, k=1)[home] == 4  # plain majority
+
+
+def test_hex_smooth_no_neighbor_and_classified_unchanged():
+    home, r1, r2 = _interior_cell_and_rings()
+    far = hg.latlng_to_hex(np.array([-60.0]), np.array([-120.0]), 2)[0]
+    out = _smooth({home: 0, far: 3}, k=2)
+    assert out[home] == 0 and out[far] == 3
+    out2 = _smooth({home: 2, r1[0]: 5}, k=2)
+    assert out2[home] == 2  # classified cells never change
+
+
+def test_hex_smooth_matches_bruteforce_reference():
+    # random occupied cells over a region; compare the vectorized kernel to
+    # a direct per-cell reimplementation of the documented rule
+    rng = np.random.default_rng(23)
+    lat = rng.uniform(-30, 30, 400)
+    lon = rng.uniform(-40, 40, 400)
+    ids = np.unique(hg.latlng_to_hex(lat, lon, 2))
+    cls = rng.integers(0, 5, len(ids))  # ~20% class 0
+    cells = dict(zip(ids.tolist(), cls.tolist()))
+    got = _smooth(cells, k=2, num_classes=5)
+
+    occupied = dict(cells)
+    for home, c in cells.items():
+        if c != 0:
+            assert got[home] == c
+            continue
+        disk = hg.hex_k_ring(np.array([home]), 2)[0]
+        want = 0
+        for lo, hi in ((1, 7), (7, 19)):
+            members = {int(m) for m in disk[lo:hi]} - {home}
+            votes = [occupied[m] for m in members if occupied.get(m, 0) > 0]
+            if votes:
+                counts = {c2: votes.count(c2) for c2 in set(votes)}
+                best = max(counts.values())
+                want = min(c2 for c2, n in counts.items() if n == best)
+                break
+        assert got[home] == want, home
