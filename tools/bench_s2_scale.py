@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""S2 tiling contract at scale: geocode + level-10 S2 encode + cell-keyed
-zonal aggregate over the cached multi-million-page corpus.
+"""Tiling contract at scale: geocode + cell encode + cell-keyed zonal
+aggregate over the cached multi-million-page corpus, for EITHER codec.
 
 This is the north star's "assign every record to a 10-km analysis tile via
-batched S2 cell encoding ... explicit cell-keyed groupby-aggregate shuffle"
-measured end-to-end: read urls -> md5 geocode -> vectorized
-``latlng_to_cell`` (level 10, ~10 km edge) -> ``cell_parent`` to level 7 ->
-two-phase grouped aggregate (per-block partials; one row per cell per block
-crosses the shuffle, the skew remedy).  Prints ONE JSON line.
+batched H3 (res 5-7) / S2 cell encoding ... explicit cell-keyed
+groupby-aggregate shuffle" measured end-to-end:
 
-Run: ``python tools/bench_s2_scale.py [--pages /tmp/graft_pages_4000000]``
+- ``--codec s2`` (default): read urls -> md5 geocode -> vectorized
+  ``latlng_to_cell`` (level 10, ~10 km edge) -> ``cell_parent`` to level 7
+  -> two-phase grouped aggregate.
+- ``--codec hex``: same pages -> aperture-7 ``latlng_to_hex`` (res 7) ->
+  geometric ``hex_parent`` to res 5 (~10-km tile; decode + full re-encode,
+  the heavier half of the ladder) -> two-phase grouped aggregate.
+
+Per-block partials mean one row per cell per block crosses the shuffle (the
+skew remedy).  Prints ONE JSON line.
+
+Run: ``python tools/bench_s2_scale.py [--codec hex] [--pages /tmp/graft_pages_4000000]``
 """
 
 from __future__ import annotations
@@ -37,9 +44,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", default="/tmp/graft_pages_4000000")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
-    ap.add_argument("--level", type=int, default=10)
-    ap.add_argument("--parent", type=int, default=7)
+    ap.add_argument("--level", type=int, default=None,
+                    help="encode level/res (default: 10 for s2, 7 for hex)")
+    ap.add_argument("--parent", type=int, default=None,
+                    help="parent level/res (default: 7 for s2, 5 for hex)")
+    ap.add_argument("--codec", choices=["s2", "hex"], default="s2")
     args = ap.parse_args()
+    if args.level is None:
+        args.level = 10 if args.codec == "s2" else 7
+    if args.parent is None:
+        args.parent = 7 if args.codec == "s2" else 5
 
     import ray
 
@@ -48,17 +62,26 @@ def main() -> int:
     import ray.data as rd
 
     from drivers_of_global_deforestation_ray.functions.extract import geocode_urls
-    from drivers_of_global_deforestation_ray.functions.s2 import (
-        cell_parent, latlng_to_cell)
     from drivers_of_global_deforestation_ray.stages import relational as R
 
     level, parent = args.level, args.parent
 
+    if args.codec == "s2":
+        from drivers_of_global_deforestation_ray.functions.s2 import (
+            cell_parent, latlng_to_cell)
+
+        encode, to_parent = latlng_to_cell, cell_parent
+    else:
+        from drivers_of_global_deforestation_ray.functions.hexgrid import (
+            hex_parent, latlng_to_hex)
+
+        encode, to_parent = latlng_to_hex, hex_parent
+
     def _encode(b) -> pd.DataFrame:
         urls = b["url"].to_pylist()
         lat, lon = geocode_urls(urls)
-        cells = latlng_to_cell(lat, lon, level)
-        return pd.DataFrame({"cell7": cell_parent(cells, parent),
+        cells = encode(lat, lon, level)
+        return pd.DataFrame({"cell7": to_parent(cells, parent),
                              "one": np.ones(len(urls), dtype=np.int64)})
 
     rd.range(1000).map_batches(lambda b: b).count()  # warm workers
@@ -73,7 +96,7 @@ def main() -> int:
     s1, t1c = _steal_counters()
     n_pages = int(df["n_pages"].sum())
     print(json.dumps({
-        "metric": "s2-encode + cell-keyed zonal shuffle (pages/sec)",
+        "metric": f"{args.codec}-encode + cell-keyed zonal shuffle (pages/sec)",
         "value": round(n_pages / wall, 1),
         "unit": "pages/sec",
         "wall_sec": round(wall, 2),
