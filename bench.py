@@ -38,6 +38,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 BENCH_QUERIES = [
     "flagship",
     "flagship_checkpointed",
+    "flagship_hex",
     "extract_text",
     "groupby_agg",
     "hash_join",

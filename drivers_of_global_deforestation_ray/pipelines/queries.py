@@ -1950,6 +1950,49 @@ def q_flagship_hex(sf_dir: str):
     return final.select_columns(["hex_id", "region", "class_final", "n_pages", "loss"])
 
 
+#: pretraining mixture weights for the synthetic sources: src<i> kept at i/20
+_MIX_RATIOS = {f"src{i}": i / 20 for i in range(20)}
+
+
+def q_corpus_mix(sf_dir: str):
+    """Deterministic source-ratio corpus mixing
+    (``stages/textstage.deterministic_mix``): pretraining data-mixture
+    weights as a pure md5-hash filter — same rows kept at any partitioning,
+    on resume, and by the SQL twin.  src<i> is kept at ratio i/20 (src0
+    drops entirely, src19 keeps 95%)."""
+    from ..stages.textstage import deterministic_mix
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return deterministic_mix(docs, _MIX_RATIOS)
+
+
+def q_doc_chunk(sf_dir: str):
+    """Sequence chunking/packing (``stages/textstage.chunk_documents``):
+    100-char training windows with 20-char overlap, exact integer
+    chunk-count rule shared with the SQL twin (generate_series + substr)."""
+    from ..stages.textstage import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, size=100, overlap=20)
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (``stages/textstage.decontaminate``): the
+    docs with ``doc_id % 50 == 0`` stand in for an eval benchmark; every
+    document reports its count of DISTINCT word trigrams shared with that
+    set plus a contaminated flag.  Benchmark trigrams are broadcast
+    (bounded by the benchmark, not the corpus); the corpus side is a
+    stateless vectorized scan."""
+    from ..stages.textstage import _word_trigrams, decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # the benchmark subset is filtered DISTRIBUTED; only it reaches the driver
+    bdf = docs.map_batches(lambda df: df[df["doc_id"] % 50 == 0],
+                           batch_format="pandas").to_pandas()
+    grams = set(_word_trigrams(bdf["doc_id"].to_numpy(), bdf["text"])["gram"])
+    return decontaminate(docs, grams)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1972,10 +2015,10 @@ QUERIES = {
     "ts_bucket": q_ts_bucket,
     "strata_key": q_strata_key,
     "zonal_two_level": q_zonal_two_level,
-    "range_ids": q_range_ids,
-    "url_host": q_url_host,
+    "corpus_mix": q_corpus_mix,
+    "doc_chunk": q_doc_chunk,
     "pivot": q_pivot,
-    "approx_count_distinct": q_approx_count_distinct,
+    "decontam": q_decontam,
     "kring": q_kring,
     "doc_tokens": q_doc_tokens,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2020,6 +2063,9 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "range_ids": q_range_ids,
+    "url_host": q_url_host,
+    "approx_count_distinct": q_approx_count_distinct,
     "quantile_sketch": q_quantile_sketch,
     "dedup_simhash": q_dedup_simhash,
     "cume_dist": q_cume_dist,
@@ -2415,7 +2461,47 @@ def _hex_smooth_sql(k: int = 2) -> str:
     """
 
 
+def _corpus_mix_sql() -> str:
+    rows = ", ".join(f"('src{i}', {i / 20!r})" for i in range(20))
+    return f"""
+        WITH r AS (SELECT * FROM (VALUES {rows}) AS t(source, ratio))
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              / 4294967296.0 < r.ratio
+    """
+
+
 ORACLE_SQL = {
+    "corpus_mix": _corpus_mix_sql(),
+    "doc_chunk": """
+        WITH n AS (
+          SELECT doc_id, text, length(text) AS ln,
+                 CASE WHEN length(text) <= 100 THEN 1
+                      ELSE 1 + (length(text) - 100 + 79) // 80 END AS nc
+          FROM documents)
+        SELECT doc_id, r.range AS chunk_idx,
+               substr(text, CAST(r.range * 80 + 1 AS INT), 100) AS chunk_text,
+               CAST(length(substr(text, CAST(r.range * 80 + 1 AS INT), 100)) AS BIGINT) AS chunk_len
+        FROM n CROSS JOIN range(0, 16) r
+        WHERE r.range < n.nc
+    """,
+    "decontam": """
+        WITH bt AS (
+          SELECT DISTINCT ws[r.range + 1] || ' ' || ws[r.range + 2] || ' ' || ws[r.range + 3] AS gram
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 50 = 0) b
+          CROSS JOIN range(0, 2000) r WHERE r.range + 3 <= len(ws)),
+        dt AS (
+          SELECT doc_id, ws[r.range + 1] || ' ' || ws[r.range + 2] || ' ' || ws[r.range + 3] AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
+          CROSS JOIN range(0, 2000) r WHERE r.range + 3 <= len(ws)),
+        hits AS (
+          SELECT dt.doc_id, count(DISTINCT dt.gram) AS n_hits
+          FROM dt JOIN bt USING (gram) GROUP BY dt.doc_id)
+        SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
     "filter_project": """
         SELECT l_orderkey, l_quantity, l_extendedprice * (1.0 - l_discount) AS revenue
         FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'

@@ -17,7 +17,8 @@ from ..functions.text import (
     rolling_fingerprints,
 )
 
-__all__ = ["enrich_documents", "repetition_stats", "pii_scrub", "nfc_normalize"]
+__all__ = ["enrich_documents", "repetition_stats", "pii_scrub", "nfc_normalize",
+           "deterministic_mix", "chunk_documents", "decontaminate"]
 
 # PII patterns (ASCII-explicit, no \b / \d shorthands: Python re and RE2
 # treat those differently around non-ASCII word chars, and byte-identical
@@ -112,3 +113,126 @@ def enrich_documents(
         return batch
 
     return ds.map_batches(_enrich, batch_format="pandas", batch_size=batch_size)
+
+
+# --- pretraining corpus assembly ops ---------------------------------------
+
+def deterministic_mix(
+    ds: Dataset,
+    ratios: "dict[str, float]",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    batch_size: int = 8192,
+) -> Dataset:
+    """Deterministic source-ratio corpus mixing (pretraining data-mixture
+    weights): keep a row iff ``md5_u32(id) / 2^32 < ratios[source]``.
+
+    The md5-derived uniform is the engine's established SQL-twin hash
+    (``functions/extract.geocode_urls``), so the SAME rows are selected on
+    every run, at every partitioning, and by the DuckDB oracle — corpus
+    mixing as a pure, resumable filter (no RNG state, no sampling pass).
+    Sources absent from ``ratios`` get 0.0 (dropped); ratio 1.0 keeps all.
+    Stateless vectorized map — scale-safe at any corpus size."""
+    import hashlib
+
+    _u32 = 4294967296.0
+
+    def _mix(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        u = np.empty(len(ids), dtype=np.float64)
+        for i, v in enumerate(ids):
+            u[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        u /= _u32
+        r = batch[source_col].map(ratios).fillna(0.0).to_numpy(dtype=np.float64)
+        return batch[u < r]
+
+    return ds.map_batches(_mix, batch_format="pandas", batch_size=batch_size)
+
+
+def chunk_documents(
+    ds: Dataset,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 2048,
+) -> Dataset:
+    """Sequence chunking/packing: split each document into windows of
+    ``size`` chars stepping by ``size - overlap`` (training-sample prep).
+
+    Exact integer chunk-count rule, shared verbatim with the SQL twin:
+    ``n = 1 if len <= size else 1 + ceil_div(len - size, step)`` with
+    integer ``ceil_div``; chunk ``k`` is ``text[k*step : k*step + size]``
+    (1-based ``substr(text, k*step + 1, size)`` in SQL).  Empty documents
+    produce one empty chunk.  Row-multiplying explode inside the batch —
+    output rows never cross blocks, so the op streams."""
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_documents: require 0 <= overlap < size")
+    step = size - overlap
+
+    def _chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].to_numpy(dtype=object)
+        lens = batch[text_col].str.len().to_numpy(dtype=np.int64)
+        n = np.where(lens <= size, 1, 1 + (np.maximum(lens - size, 0) + step - 1) // step)
+        rep = np.repeat(np.arange(len(texts)), n)
+        idx = np.concatenate([np.arange(k) for k in n]) if len(n) else np.empty(0, np.int64)
+        starts = idx * step
+        chunks = [texts[r][s:s + size] for r, s in zip(rep, starts)]
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[rep],
+            "chunk_idx": idx.astype(np.int64),
+            "chunk_text": pd.array(chunks, dtype=object),
+            "chunk_len": pd.Series(chunks).str.len().to_numpy(dtype=np.int64),
+        })
+
+    return ds.map_batches(_chunk, batch_format="pandas", batch_size=batch_size)
+
+
+def _word_trigrams(ids: np.ndarray, texts: pd.Series) -> pd.DataFrame:
+    """(doc_id, trigram) pairs via the vectorized shift explode
+    (same kernel shape as the top-ngrams query)."""
+    w = pd.DataFrame({"doc_id": ids}).assign(__w=texts.str.split(" ").to_numpy(dtype=object)).explode("__w")
+    d = w["doc_id"].to_numpy()
+    words = w["__w"].to_numpy(dtype=object)
+    ok = (d == np.roll(d, -1)) & (d == np.roll(d, -2))
+    if len(ok) >= 2:
+        ok[-2:] = False
+    tri = (pd.Series(words[ok]) + " " + pd.Series(np.roll(words, -1)[ok])
+           + " " + pd.Series(np.roll(words, -2)[ok]))
+    return pd.DataFrame({"doc_id": d[ok], "gram": tri.to_numpy(dtype=object)})
+
+
+def decontaminate(
+    ds: Dataset,
+    benchmark_grams: "set[str] | frozenset[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Benchmark decontamination: per document, the number of DISTINCT word
+    trigrams shared with the benchmark set, plus a contaminated flag.
+
+    The benchmark side is broadcast (``ray.put`` once, read per actor task)
+    — benchmarks are small by nature (MMLU-class eval sets are <<1 GB of
+    n-grams), so this is the textbook small-side broadcast, never a
+    shuffle.  The corpus side stays a stateless vectorized map: shift-based
+    trigram explode, C-level ``isin`` against the broadcast set, per-doc
+    distinct count — output is one row per input document."""
+    import ray
+
+    grams_ref = ray.put(frozenset(benchmark_grams))
+
+    def _scan(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(grams_ref)
+        ids = batch[id_col].to_numpy()
+        tri = _word_trigrams(ids, batch[text_col])
+        hit = tri[tri["gram"].isin(grams)].drop_duplicates()
+        n = hit.groupby("doc_id", sort=False).size()
+        n_hits = pd.Series(ids).map(n).fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: ids,
+            "n_hits": n_hits,
+            "contaminated": (n_hits > 0).astype(np.int64),
+        })
+
+    return ds.map_batches(_scan, batch_format="pandas", batch_size=batch_size)
