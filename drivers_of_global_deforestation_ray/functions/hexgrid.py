@@ -76,6 +76,8 @@ __all__ = [
     "hex_k_ring",
     "hex_token",
     "ring_offsets",
+    "CORNER_OFFSETS",
+    "hex_boundary",
 ]
 
 MAX_RES = 15
@@ -309,3 +311,44 @@ def hex_token(ids: np.ndarray) -> np.ndarray:
 
     hx = binascii.hexlify(np.asarray(ids, dtype=np.int64).astype(">u8").tobytes()).decode()
     return np.array([hx[16 * i:16 * (i + 1)] for i in range(len(ids))], dtype=object)
+
+
+#: fractional axial (di, dj) of a hex cell's 6 corners (triangle centroids
+#: of the dual lattice), counter-clockwise from the -30 deg corner; each maps
+#: under the lattice basis to distance pitch/sqrt(3) from the center.
+CORNER_OFFSETS = np.array([
+    (2.0 / 3.0, -1.0 / 3.0),
+    (1.0 / 3.0, 1.0 / 3.0),
+    (-1.0 / 3.0, 2.0 / 3.0),
+    (-2.0 / 3.0, 1.0 / 3.0),
+    (-1.0 / 3.0, -1.0 / 3.0),
+    (1.0 / 3.0, -2.0 / 3.0),
+], dtype=np.float64)
+
+
+def hex_boundary(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id -> the 6 corner vertices in degrees, shape (n, 6) each.
+
+    Corners are the dual-triangle centroids of the lattice pushed through
+    the SAME face frame as the center (elementwise fixed op order, so the
+    SQL twin reproduces every double).  Like cell centers, corner vertices
+    of seam-clipped cells are nominal lattice corners — the *drawn* hexagon
+    — which is the standard boundary-export convention (a clipped cell's
+    true region is the intersection with the face's Voronoi region)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    res, face, i, j = hex_unpack(ids)
+    rep = 6
+    m = INV[np.repeat(res, rep)]
+    fi = np.repeat(i, rep).astype(np.float64) + np.tile(CORNER_OFFSETS[:, 0], len(ids))
+    fj = np.repeat(j, rep).astype(np.float64) + np.tile(CORNER_OFFSETS[:, 1], len(ids))
+    px = m[:, 0, 0] * fi + m[:, 0, 1] * fj
+    py = m[:, 1, 0] * fi + m[:, 1, 1] * fj
+    fr = np.repeat(face, rep)
+    n, e1, e2 = FACE_N[fr], FACE_EX[fr], FACE_EY[fr]
+    x = n[:, 0] + px * e1[:, 0] + py * e2[:, 0]
+    y = n[:, 1] + px * e1[:, 1] + py * e2[:, 1]
+    z = n[:, 2] + px * e1[:, 2] + py * e2[:, 2]
+    r = np.sqrt(x * x + y * y + z * z)
+    lat = np.arcsin(z / r) * (180.0 / np.pi)
+    lon = np.arctan2(y, x) * (180.0 / np.pi)
+    return lat.reshape(len(ids), rep), lon.reshape(len(ids), rep)

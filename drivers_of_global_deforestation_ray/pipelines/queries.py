@@ -1950,6 +1950,34 @@ def q_flagship_hex(sf_dir: str):
     return final.select_columns(["hex_id", "region", "class_final", "n_pages", "loss"])
 
 
+def q_hex_boundary(sf_dir: str):
+    """Vector boundary export for the hexagonal tiling: each occupied res-5
+    cell explodes into its 6 corner vertices (dual-triangle centroids pushed
+    through the face frame, ``hexgrid.hex_boundary``), emitted as
+    1e-7-degree scaled ints with the explicit floor(x+0.5) rule on both
+    sides (the goode_tiles discipline).  Cell table is grid-bounded; the
+    explode is x6, never corpus-sized."""
+    from ..functions.hexgrid import hex_boundary
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    cells = docs.map_batches(_hex_batch, batch_format="pyarrow")
+    occupied = R.grouped_agg(
+        cells.select_columns(["hex_id", "doc_id"]), ["hex_id"],
+        {"n_docs": ("doc_id", "size")})
+
+    def _corners(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["hex_id"].to_numpy()
+        lat, lon = hex_boundary(ids)
+        return pd.DataFrame({
+            "hex_id": np.repeat(ids, 6),
+            "corner": np.tile(np.arange(6, dtype=np.int64), len(ids)),
+            "lat7": np.floor(lat.ravel() * 1e7 + 0.5).astype(np.int64),
+            "lon7": np.floor(lon.ravel() * 1e7 + 0.5).astype(np.int64),
+        })
+
+    return occupied.select_columns(["hex_id"]).map_batches(_corners, batch_format="pandas")
+
+
 #: pretraining mixture weights for the synthetic sources: src<i> kept at i/20
 _MIX_RATIOS = {f"src{i}": i / 20 for i in range(20)}
 
@@ -2017,7 +2045,7 @@ QUERIES = {
     "zonal_two_level": q_zonal_two_level,
     "corpus_mix": q_corpus_mix,
     "doc_chunk": q_doc_chunk,
-    "pivot": q_pivot,
+    "hex_boundary": q_hex_boundary,
     "decontam": q_decontam,
     "kring": q_kring,
     "doc_tokens": q_doc_tokens,
@@ -2063,6 +2091,7 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "pivot": q_pivot,
     "range_ids": q_range_ids,
     "url_host": q_url_host,
     "approx_count_distinct": q_approx_count_distinct,
@@ -2461,6 +2490,46 @@ def _hex_smooth_sql(k: int = 2) -> str:
     """
 
 
+def _hex_boundary_sql() -> str:
+    """SQL twin of ``hexgrid.hex_boundary``: unpack the id, add the
+    fractional corner offsets (repr-exact thirds), lattice -> face plane ->
+    3D -> degrees in the same elementwise op order, then the shared
+    floor(x*1e7 + 0.5) scaled-int rule."""
+    from ..functions.hexgrid import CORNER_OFFSETS, INV
+
+    res = 5
+    m00, m01 = float(INV[res][0, 0]), float(INV[res][0, 1])
+    m10, m11 = float(INV[res][1, 0]), float(INV[res][1, 1])
+    corners = ",\n            ".join(
+        f"({c}, {float(di)!r}, {float(dj)!r})"
+        for c, (di, dj) in enumerate(CORNER_OFFSETS))
+    return f"""
+      WITH geo AS ({_GEO_SQL}),
+      {_hex_faces_cte()},
+      {_HEX_XYZ},
+      {_hex_encode_cte('xyz', res, ['doc_id'], 'hex_id', '1')},
+      occ AS (SELECT DISTINCT hex_id FROM enc1),
+      corner_offs AS (SELECT * FROM (VALUES {corners}) AS t(corner, cdi, cdj)),
+      up AS (
+        SELECT hex_id, corner, (hex_id // {1 << 54}) % 32 AS face,
+               CAST((hex_id // {1 << 27}) % {1 << 27} - {1 << 26} AS DOUBLE) + cdi AS fi,
+               CAST(hex_id % {1 << 27} - {1 << 26} AS DOUBLE) + cdj AS fj
+        FROM occ CROSS JOIN corner_offs),
+      pt AS (
+        SELECT hex_id, corner,
+               fct.nx + px * fct.ax + py * fct.bx AS x,
+               fct.ny + px * fct.ay + py * fct.by AS y,
+               fct.nz + px * fct.az + py * fct.bz AS z
+        FROM (SELECT hex_id, corner, face, {m00!r} * fi + {m01!r} * fj AS px,
+                     {m10!r} * fi + {m11!r} * fj AS py FROM up)
+             JOIN fct USING (face))
+      SELECT hex_id, CAST(corner AS BIGINT) AS corner,
+             CAST(floor(asin(z / sqrt(x*x + y*y + z*z)) * (180.0 / pi()) * 1e7 + 0.5) AS BIGINT) AS lat7,
+             CAST(floor(atan2(y, x) * (180.0 / pi()) * 1e7 + 0.5) AS BIGINT) AS lon7
+      FROM pt
+    """
+
+
 def _corpus_mix_sql() -> str:
     rows = ", ".join(f"('src{i}', {i / 20!r})" for i in range(20))
     return f"""
@@ -2650,6 +2719,7 @@ ORACLE_SQL = {
     "hex_parent_zonal": _hex_parent_zonal_sql(),
     "hex_kring": _hex_kring_sql(),
     "hex_smooth": _hex_smooth_sql(2),
+    "hex_boundary": _hex_boundary_sql(),
     "goode_zonal": f"""
         SELECT g.goode_tile, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

@@ -335,3 +335,44 @@ def test_hex_smooth_matches_bruteforce_reference():
                 want = min(c2 for c2, n in counts.items() if n == best)
                 break
         assert got[home] == want, home
+
+
+# ---------------------------------------------------------------------------
+# boundary export
+# ---------------------------------------------------------------------------
+
+def test_hex_boundary_geometry():
+    lat, lon = _rand_sphere(500, seed=31)
+    ids = np.unique(hg.latlng_to_hex(lat, lon, 5))
+    blat, blon = hg.hex_boundary(ids)
+    assert blat.shape == (len(ids), 6) and blon.shape == (len(ids), 6)
+    clat, clon = hg.hex_to_latlng(ids)
+    # all six corners ring the center at ~pitch/sqrt(3) (gnomonic stretch
+    # keeps the spread within a factor ~1.3 of nominal across a face)
+    nominal = hg.PITCH0 / np.sqrt(7.0) ** 5 / np.sqrt(3.0)
+    dla = np.radians(blat - clat[:, None])
+    dlo = np.radians(blon - clon[:, None])
+    dlo = (dlo + np.pi) % (2 * np.pi) - np.pi  # antimeridian wrap
+    d = np.sqrt(dla ** 2 + (dlo * np.cos(np.radians(clat))[:, None]) ** 2)
+    assert d.min() > 0.5 * nominal and d.max() < 1.6 * nominal
+    # corners are distinct and wind once around the center (ccw)
+    ang = np.unwrap(np.arctan2(dla, dlo * np.cos(np.radians(clat))[:, None]), axis=1)
+    sweep = ang[:, -1] - ang[:, 0]
+    assert (np.abs(np.abs(sweep) - 2 * np.pi * 5 / 6) < 1.0).all()
+
+
+def test_hex_boundary_shared_edges():
+    # an interior cell and its lattice neighbor (+1, 0) share two corners
+    ids = hg.latlng_to_hex(np.array([12.0]), np.array([15.0]), 5)
+    res, face, i, j = hg.hex_unpack(ids)
+    nb = hg.hex_pack(res, face, i + 1, j)
+    la, lo = hg.hex_boundary(ids)
+    lb, lob = hg.hex_boundary(np.array([nb[0]]))
+    # corner (2/3,-1/3) of (i,j) == corner (-1/3,-1/3) of (i+1,j), and
+    # corner (1/3,1/3) of (i,j) == corner (-1/3,2/3)... count near-equal pairs
+    pairs = 0
+    for c1 in range(6):
+        for c2 in range(6):
+            if abs(la[0, c1] - lb[0, c2]) < 1e-9 and abs(lo[0, c1] - lob[0, c2]) < 1e-9:
+                pairs += 1
+    assert pairs == 2

@@ -88,3 +88,32 @@ def test_export_tree_report_real_trees(tmp_path, ray_session):
     assert f"/Count {len(trees)}".encode() in raw
     assert b"CART region=1 driver=1" in raw
     assert b"leaf value=" in raw
+
+
+def test_hex_boundary_kml_roundtrip(tmp_path):
+    """S8 x hexgrid: export hex cell boundaries as KML polygons, read them
+    back, and verify each ring's vertices re-encode to its own cell."""
+    import numpy as np
+
+    from drivers_of_global_deforestation_ray.functions import hexgrid as hg
+    from drivers_of_global_deforestation_ray.sources.kml import (
+        read_kml_polygons, write_kml_polygons)
+
+    ids = hg.latlng_to_hex(np.array([12.0, 13.0, -25.0]), np.array([15.0, 16.0, 40.0]), 5)
+    lat, lon = hg.hex_boundary(ids)
+    rings = [np.stack([lon[i], lat[i]], axis=1) for i in range(len(ids))]
+    path = str(tmp_path / "cells.kml")
+    write_kml_polygons(path, rings, np.arange(1, len(ids) + 1),
+                       names=[t for t in hg.hex_token(ids)])
+    back, names = read_kml_polygons(path)
+    assert len(back) == len(ids) and names == list(hg.hex_token(ids))
+    for ring, hid in zip(back, ids):
+        got = np.asarray(ring)[:-1]  # drop the closing vertex
+        assert got.shape == (6, 2)
+        # the ring centroid lies in the cell it was exported from
+        clon, clat = got[:, 0].mean(), got[:, 1].mean()
+        assert hg.latlng_to_hex(np.array([clat]), np.array([clon]), 5)[0] == hid
+        # 9-decimal KML coordinates roundtrip to ~1e-9 deg
+        wlat, wlon = hg.hex_boundary(np.array([hid]))
+        assert np.abs(got[:, 1] - wlat[0]).max() < 1e-8
+        assert np.abs(got[:, 0] - wlon[0]).max() < 1e-8
