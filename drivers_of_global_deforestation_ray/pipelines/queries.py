@@ -1950,6 +1950,36 @@ def q_flagship_hex(sf_dir: str):
     return final.select_columns(["hex_id", "region", "class_final", "n_pages", "loss"])
 
 
+def q_pagerank(sf_dir: str):
+    """Deterministic integer fixed-point PageRank
+    (``stages/graph.pagerank_fixed_point``): 5 rounds of join -> grouped
+    sum -> damped update over a derived citation graph (doc i emits
+    ``1 + i % 4`` edges to ``(i*131 + k*977 + 7) % N``).  Int64 fixed-point
+    arithmetic makes every sum order-insensitive, so the result is
+    bit-identical at any partitioning AND hash-matches a 5-CTE unrolled
+    DuckDB twin — a float PageRank could never be oracle-exact."""
+    from ..stages.graph import pagerank_fixed_point
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        kout = 1 + (ids % 4)
+        rep = np.repeat(ids, kout)
+        k = (np.concatenate([np.arange(c) for c in kout])
+             if len(kout) else np.empty(0, np.int64))
+        return pd.DataFrame({"src": rep, "dst": (rep * 131 + k * 977 + 7) % n})
+
+    edges = docs.map_batches(_edges, batch_format="pandas")
+    nodes = docs.map_batches(lambda b: b.rename(columns={"doc_id": "node_id"}),
+                             batch_format="pandas")
+    np_ = _nparts(sf_dir, "documents")
+    pr = pagerank_fixed_point(edges, nodes, num_iters=5, num_partitions=np_)
+    return pr.map_batches(lambda b: b.rename(columns={"node_id": "doc_id"}),
+                          batch_format="pandas")
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -2048,7 +2078,7 @@ QUERIES = {
     "hex_boundary": q_hex_boundary,
     "decontam": q_decontam,
     "kring": q_kring,
-    "doc_tokens": q_doc_tokens,
+    "pagerank": q_pagerank,
     "doc_fingerprint": q_doc_fingerprint,
     "hex_smooth": q_hex_smooth,
     "lead": q_lead,
@@ -2091,6 +2121,7 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "doc_tokens": q_doc_tokens,
     "pivot": q_pivot,
     "range_ids": q_range_ids,
     "url_host": q_url_host,
@@ -2530,6 +2561,35 @@ def _hex_boundary_sql() -> str:
     """
 
 
+def _pagerank_sql(iters: int = 5, scale: int = 10 ** 12, damping_pct: int = 85) -> str:
+    """SQL twin of ``q_pagerank``: the same integer fixed-point update
+    unrolled into ``iters`` CTEs (edge rule, integer divisions, damping all
+    identical; DuckDB ``//`` is floor division on BIGINT like numpy)."""
+    base = ((100 - damping_pct) * scale) // 100
+    ctes = [f"r0 AS (SELECT doc_id, CAST({scale} AS BIGINT) AS rank FROM nodes)"]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+        SELECT nd.doc_id,
+               CAST({base} + ({damping_pct} * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS doc_id, sum(r{i - 1}.rank // deg.outdeg) AS insum
+          FROM e JOIN deg USING (src) JOIN r{i - 1} ON r{i - 1}.doc_id = e.src
+          GROUP BY e.dst) s USING (doc_id))""")
+    joined = ",\n      ".join(ctes)
+    return f"""
+      WITH nodes AS (SELECT doc_id FROM documents),
+      cnt AS (SELECT count(*) AS n FROM documents),
+      e AS (
+        SELECT d.doc_id AS src,
+               (d.doc_id * 131 + k.range * 977 + 7) % (SELECT n FROM cnt) AS dst
+        FROM documents d CROSS JOIN range(0, 4) k
+        WHERE k.range < 1 + d.doc_id % 4),
+      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      {joined}
+      SELECT doc_id, rank FROM r{iters}
+    """
+
+
 def _corpus_mix_sql() -> str:
     rows = ", ".join(f"('src{i}', {i / 20!r})" for i in range(20))
     return f"""
@@ -2720,6 +2780,7 @@ ORACLE_SQL = {
     "hex_kring": _hex_kring_sql(),
     "hex_smooth": _hex_smooth_sql(2),
     "hex_boundary": _hex_boundary_sql(),
+    "pagerank": _pagerank_sql(5),
     "goode_zonal": f"""
         SELECT g.goode_tile, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

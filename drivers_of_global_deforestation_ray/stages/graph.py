@@ -1,0 +1,107 @@
+"""Iterative graph algebra on Datasets: deterministic fixed-point PageRank.
+
+The engine's second iterative-algorithm class (beside the distributed
+connected components in ``stages/dedup.py``): K rounds of join -> grouped
+sum -> rank update, each round expressed in Dataset ops and materialized so
+the plan stays bounded.  All arithmetic is int64 FIXED-POINT (ranks scaled
+by ``scale``; contributions are integer divisions; the damping update is
+``(15*scale)//100 + (85*insum)//100``), which makes every sum
+order-insensitive and the result bit-reproducible at any partitioning —
+and lets a DuckDB twin with K unrolled CTEs hash-match exactly, which a
+float PageRank never could (float sums depend on reduction order).
+
+Scale shape: per iteration, one hash join (ranks onto edges, co-partitioned
+by src) and one grouped aggregate (contributions by dst, per-block partials
+first) — 2K shuffles of (id, int64) pairs total; the rank table is
+node-sized, never collected to the driver.  Web-graph skew (a page with
+millions of in-links) is absorbed by the partial aggregation: one partial
+row per dst per block crosses the wire.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .relational import copart_join, grouped_agg, hash_join
+
+__all__ = ["pagerank_fixed_point"]
+
+
+def pagerank_fixed_point(
+    edges: Dataset,
+    nodes: Dataset,
+    num_iters: int = 5,
+    scale: int = 10 ** 12,
+    damping_pct: int = 85,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 8,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Integer fixed-point PageRank over (src, dst) edges.
+
+    ``rank_0 = scale`` for every node; each round every node sends
+    ``rank // outdeg`` along each out-edge and becomes
+    ``((100-damping_pct)*scale)//100 + (damping_pct * insum)//100``.
+    Nodes with no in-edges keep the base term; nodes with no out-edges
+    (dangling) simply leak mass — documented, deterministic, and mirrored
+    by the SQL twin.  Returns (node_col, rank) with int64 ranks.
+
+    Join path: ``Dataset.join`` spins an aggregator-actor pool PER JOIN —
+    at 2K+1 joins the spin-ups dominate small runs, so below 8 partitions
+    the loop uses the task-based :func:`copart_join` (same semantics, no
+    actors); big runs keep ``Dataset.join``, which wins once amortized.
+    """
+    base = ((100 - damping_pct) * scale) // 100
+    join = hash_join if num_partitions >= 8 else copart_join
+
+    deg = grouped_agg(edges, [src_col], {"outdeg": (dst_col, "size")},
+                      batch_size, num_partitions).map_batches(
+        lambda b: b.rename(columns={src_col: "__degkey"}), batch_format="pandas")
+    edges_deg = join(edges, deg, on=src_col, right_on="__degkey",
+                     num_partitions=num_partitions).select_columns(
+        [src_col, dst_col, "outdeg"]).materialize()
+
+    def _init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({node_col: b[node_col].to_numpy(),
+                             "rank": np.full(len(b), scale, dtype=np.int64)})
+
+    ranks = nodes.map_batches(_init, batch_format="pandas").materialize()
+
+    def _contrib(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            dst_col: b[dst_col].to_numpy(),
+            "c": b["rank"].to_numpy() // b["outdeg"].to_numpy(),
+        })
+
+    for _ in range(num_iters):
+        sent = join(
+            edges_deg, ranks, on=src_col, right_on=node_col,
+            num_partitions=num_partitions,
+        ).map_batches(_contrib, batch_format="pandas")
+        insum = grouped_agg(sent, [dst_col], {"insum": ("c", "sum")},
+                            batch_size, num_partitions)
+        joined = join(
+            nodes, insum, on=node_col, right_on=dst_col,
+            num_partitions=num_partitions, how="left",
+        )
+
+        def _update(b: "pa.Table") -> pd.DataFrame:
+            # fill_null in Arrow: int64 stays int64 (a pandas fillna would
+            # round-trip through float64 and corrupt ranks above 2^53)
+            # cast first: an all-miss partition arrives null-typed, and
+            # fill_null cannot build a scalar of type null
+            s = pc.fill_null(pc.cast(b["insum"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pd.DataFrame({
+                node_col: b[node_col].to_numpy(),
+                "rank": base + (damping_pct * s) // 100,
+            })
+
+        ranks = joined.map_batches(_update, batch_format="pyarrow").materialize()
+    return ranks

@@ -1,0 +1,93 @@
+"""Iterative graph ops: deterministic fixed-point PageRank (stages/graph.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from drivers_of_global_deforestation_ray.stages.graph import pagerank_fixed_point
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def _reference(edges: pd.DataFrame, n_nodes: int, iters: int,
+               scale: int = 10 ** 12, damping: int = 85) -> np.ndarray:
+    """Direct numpy transcription of the documented integer update."""
+    base = ((100 - damping) * scale) // 100
+    outdeg = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(outdeg, edges["src"].to_numpy(), 1)
+    rank = np.full(n_nodes, scale, dtype=np.int64)
+    for _ in range(iters):
+        contrib = rank[edges["src"]] // outdeg[edges["src"]]
+        insum = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(insum, edges["dst"].to_numpy(), contrib)
+        rank = base + (damping * insum) // 100
+    return rank
+
+
+def _run(rd, edges: pd.DataFrame, n_nodes: int, iters=5, parts=2) -> np.ndarray:
+    nodes = pd.DataFrame({"node_id": np.arange(n_nodes, dtype=np.int64)})
+    got = pagerank_fixed_point(
+        rd.from_pandas(edges).repartition(3), rd.from_pandas(nodes),
+        num_iters=iters, num_partitions=parts,
+    ).to_pandas().sort_values("node_id")
+    assert got["rank"].dtype == np.int64
+    return got["rank"].to_numpy()
+
+
+def test_pagerank_matches_reference(rd):
+    rng = np.random.default_rng(11)
+    n = 200
+    edges = pd.DataFrame({
+        "src": rng.integers(0, n, 1500).astype(np.int64),
+        "dst": rng.integers(0, n, 1500).astype(np.int64),
+    })
+    want = _reference(edges, n, 5)
+    assert (_run(rd, edges, n) == want).all()
+
+
+def test_pagerank_join_paths_agree(rd):
+    # copart path (parts < 8) and Dataset.join path (parts >= 8) bit-agree
+    rng = np.random.default_rng(13)
+    n = 120
+    edges = pd.DataFrame({
+        "src": rng.integers(0, n, 800).astype(np.int64),
+        "dst": rng.integers(0, n, 800).astype(np.int64),
+    })
+    a = _run(rd, edges, n, parts=2)
+    b = _run(rd, edges, n, parts=8)
+    assert (a == b).all()
+    assert (a == _reference(edges, n, 5)).all()
+
+
+def test_pagerank_sink_and_source_semantics(rd):
+    # 0 -> 1 -> 2 (2 is dangling: mass leaks; 0 has no in-edges: stays base)
+    scale, base = 10 ** 12, (15 * 10 ** 12) // 100
+    edges = pd.DataFrame({"src": np.array([0, 1], dtype=np.int64),
+                          "dst": np.array([1, 2], dtype=np.int64)})
+    got = _run(rd, edges, 3, iters=2)
+    # iter1: r = [base, base+.85*scale, base+.85*scale]
+    r1 = np.array([base, base + (85 * scale) // 100, base + (85 * scale) // 100])
+    # iter2: node1 gets 0's r1 (=base), node2 gets node1's r1
+    want = np.array([base,
+                     base + (85 * r1[0]) // 100,
+                     base + (85 * r1[1]) // 100])
+    assert (got == want).all()
+    # total mass is bounded by N*scale (leak through the dangling node)
+    assert got.sum() < 3 * scale
+
+
+def test_pagerank_hub_concentration(rd):
+    # everyone links to node 0: it must hold the overwhelmingly largest rank
+    n = 50
+    edges = pd.DataFrame({"src": np.arange(1, n, dtype=np.int64),
+                          "dst": np.zeros(n - 1, dtype=np.int64)})
+    got = _run(rd, edges, n, iters=5)
+    assert got[0] > 10 * got[1:].max()
+    assert (got[1:] == got[1]).all()  # all leaves identical by symmetry
