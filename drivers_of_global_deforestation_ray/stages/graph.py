@@ -42,6 +42,7 @@ def pagerank_fixed_point(
     dst_col: str = "dst",
     num_partitions: int = 8,
     batch_size: int = 65536,
+    join_path: str = "auto",
 ) -> Dataset:
     """Integer fixed-point PageRank over (src, dst) edges.
 
@@ -52,13 +53,18 @@ def pagerank_fixed_point(
     (dangling) simply leak mass — documented, deterministic, and mirrored
     by the SQL twin.  Returns (node_col, rank) with int64 ranks.
 
-    Join path: ``Dataset.join`` spins an aggregator-actor pool PER JOIN —
-    at 2K+1 joins the spin-ups dominate small runs, so below 8 partitions
-    the loop uses the task-based :func:`copart_join` (same semantics, no
-    actors); big runs keep ``Dataset.join``, which wins once amortized.
+    Join path (``join_path``: auto | copart | dataset): ``Dataset.join``
+    spins an aggregator-actor pool PER JOIN, and this loop issues 2K+1
+    joins — the spin-up/teardown churn hurts at BOTH ends (measured, 32
+    CPUs: 4M nodes / 10M edges / 5 iters, dataset 209 s at 27% steal and
+    ~260 churned workers vs copart 149 s at 6% steal, identical rank
+    mass; sf0.01 toy scale 27 s vs 14 s).  ``auto`` therefore uses the
+    task-based :func:`copart_join` everywhere; ``dataset`` remains as
+    measured optionality for long-lived pipelines where one shared
+    aggregator pool amortizes.
     """
     base = ((100 - damping_pct) * scale) // 100
-    join = hash_join if num_partitions >= 8 else copart_join
+    join = hash_join if join_path == "dataset" else copart_join
 
     deg = grouped_agg(edges, [src_col], {"outdeg": (dst_col, "size")},
                       batch_size, num_partitions).map_batches(

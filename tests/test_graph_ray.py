@@ -31,11 +31,12 @@ def _reference(edges: pd.DataFrame, n_nodes: int, iters: int,
     return rank
 
 
-def _run(rd, edges: pd.DataFrame, n_nodes: int, iters=5, parts=2) -> np.ndarray:
+def _run(rd, edges: pd.DataFrame, n_nodes: int, iters=5, parts=2,
+         join_path="auto") -> np.ndarray:
     nodes = pd.DataFrame({"node_id": np.arange(n_nodes, dtype=np.int64)})
     got = pagerank_fixed_point(
         rd.from_pandas(edges).repartition(3), rd.from_pandas(nodes),
-        num_iters=iters, num_partitions=parts,
+        num_iters=iters, num_partitions=parts, join_path=join_path,
     ).to_pandas().sort_values("node_id")
     assert got["rank"].dtype == np.int64
     return got["rank"].to_numpy()
@@ -53,15 +54,16 @@ def test_pagerank_matches_reference(rd):
 
 
 def test_pagerank_join_paths_agree(rd):
-    # copart path (parts < 8) and Dataset.join path (parts >= 8) bit-agree
+    # task-based copart path and Dataset.join actor path bit-agree, at
+    # different partition counts too
     rng = np.random.default_rng(13)
     n = 120
     edges = pd.DataFrame({
         "src": rng.integers(0, n, 800).astype(np.int64),
         "dst": rng.integers(0, n, 800).astype(np.int64),
     })
-    a = _run(rd, edges, n, parts=2)
-    b = _run(rd, edges, n, parts=8)
+    a = _run(rd, edges, n, parts=2, join_path="copart")
+    b = _run(rd, edges, n, parts=8, join_path="dataset")
     assert (a == b).all()
     assert (a == _reference(edges, n, 5)).all()
 
