@@ -1980,6 +1980,42 @@ def q_pagerank(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_pagerank_pinned(sf_dir: str):
+    """BSP PageRank with pinned edge shards (``stages/graph.pagerank_pinned``,
+    the 100-TB path: edges co-partitioned to storage once, actors keep their
+    shard across supersteps, only node-bounded partial-sum tables move).
+    Same integer fixed-point semantics as ``pagerank`` — verified against
+    the SAME unrolled SQL twin, so the driver certifies the raw-actor
+    operator hash-exactly."""
+    import shutil
+    import tempfile
+
+    from ..stages.graph import pagerank_pinned
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        kout = 1 + (ids % 4)
+        rep = np.repeat(ids, kout)
+        k = (np.concatenate([np.arange(c) for c in kout])
+             if len(kout) else np.empty(0, np.int64))
+        return pd.DataFrame({"src": rep, "dst": (rep * 131 + k * 977 + 7) % n})
+
+    edges = docs.map_batches(_edges, batch_format="pandas")
+    nodes = docs.map_batches(lambda b: b.rename(columns={"doc_id": "node_id"}),
+                             batch_format="pandas")
+    work = tempfile.mkdtemp(prefix="pr_pinned_", dir="/tmp")
+    try:
+        pr = pagerank_pinned(edges, nodes, work_dir=work, num_iters=5,
+                             num_shards=4).materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return pr.map_batches(lambda b: b.rename(columns={"node_id": "doc_id"}),
+                          batch_format="pandas")
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -2077,7 +2113,7 @@ QUERIES = {
     "doc_chunk": q_doc_chunk,
     "hex_boundary": q_hex_boundary,
     "decontam": q_decontam,
-    "kring": q_kring,
+    "pagerank_pinned": q_pagerank_pinned,
     "pagerank": q_pagerank,
     "doc_fingerprint": q_doc_fingerprint,
     "hex_smooth": q_hex_smooth,
@@ -2121,6 +2157,7 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "kring": q_kring,
     "doc_tokens": q_doc_tokens,
     "pivot": q_pivot,
     "range_ids": q_range_ids,
@@ -2781,6 +2818,7 @@ ORACLE_SQL = {
     "hex_smooth": _hex_smooth_sql(2),
     "hex_boundary": _hex_boundary_sql(),
     "pagerank": _pagerank_sql(5),
+    "pagerank_pinned": _pagerank_sql(5),
     "goode_zonal": f"""
         SELECT g.goode_tile, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

@@ -28,7 +28,7 @@ from ray.data import Dataset
 
 from .relational import copart_join, grouped_agg, hash_join
 
-__all__ = ["pagerank_fixed_point"]
+__all__ = ["pagerank_fixed_point", "pagerank_pinned"]
 
 
 def pagerank_fixed_point(
@@ -111,3 +111,156 @@ def pagerank_fixed_point(
 
         ranks = joined.map_batches(_update, batch_format="pyarrow").materialize()
     return ranks
+
+
+# --- pinned-shard BSP variant ----------------------------------------------
+
+import os as _os
+
+import ray as _ray
+
+
+@_ray.remote
+class _EdgeShard:
+    """One PageRank shard: owns the edge partition ``src % P == p`` ACROSS
+    iterations — the big side is co-partitioned to storage ONCE and never
+    moves again.  Rank shards are aligned on the same key, so an actor
+    already holds the rank of every src it needs; the only per-superstep
+    traffic is (dst, partial-sum) int64 tables routed between shards —
+    node-bounded, skew pre-absorbed shard-side."""
+
+    def __init__(self, shard_idx: int, num_shards: int, edge_dir: str):
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(_os.path.join(edge_dir, "*.parquet")))
+        if files:
+            t = pq.read_table(files, columns=["src", "dst"])
+            src = t["src"].to_numpy().astype(np.int64)
+            dst = t["dst"].to_numpy().astype(np.int64)
+        else:
+            src = dst = np.empty(0, np.int64)
+        order = np.argsort(src, kind="stable")
+        self.src, self.dst = src[order], dst[order]
+        # out-degree of this shard's srcs == global out-degree (src-sharded)
+        self.deg_ids, counts = np.unique(self.src, return_counts=True)
+        self.deg = counts.astype(np.int64)
+        self.p, self.np_ = shard_idx, num_shards
+        self.node_ids = None
+        self.rank = None
+
+    def init_ranks(self, node_dir: str, scale: int) -> int:
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(_os.path.join(node_dir, "*.parquet")))
+        ids = (pq.read_table(files).column(0).to_numpy().astype(np.int64)
+               if files else np.empty(0, np.int64))
+        self.node_ids = np.sort(ids)
+        self.rank = np.full(len(self.node_ids), np.int64(scale), dtype=np.int64)
+        return len(self.node_ids)
+
+    def contribs(self) -> list:
+        """One superstep send: my srcs' contributions, partial-summed by dst
+        then split by destination shard."""
+        import numpy as np
+
+        if not len(self.src) or not len(self.node_ids):
+            return [(np.empty(0, np.int64), np.empty(0, np.int64))] * self.np_
+        pos = np.clip(np.searchsorted(self.node_ids, self.src), 0, len(self.node_ids) - 1)
+        r = self.rank[pos]
+        dpos = np.clip(np.searchsorted(self.deg_ids, self.src), 0, len(self.deg_ids) - 1)
+        c = r // self.deg[dpos]
+        uniq, inv = np.unique(self.dst, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        shard = uniq % self.np_
+        return [(uniq[shard == q], sums[shard == q]) for q in range(self.np_)]
+
+    def apply(self, partial_lists: list, scale: int, damping_pct: int) -> bool:
+        """Merge the (dst, sum) partials addressed to me; damped update."""
+        import numpy as np
+
+        base = ((100 - damping_pct) * scale) // 100
+        insum = np.zeros(len(self.node_ids), dtype=np.int64)
+        for ids, sums in partial_lists:
+            if len(ids):
+                np.add.at(insum, np.searchsorted(self.node_ids, ids), sums)
+        self.rank = base + (damping_pct * insum) // 100
+        return True
+
+    def write_result(self, out_dir: str, node_col: str) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = _os.path.join(out_dir, f"shard-{self.p:05d}.parquet")
+        pq.write_table(pa.table({node_col: self.node_ids, "rank": self.rank}), path)
+        return path
+
+
+def pagerank_pinned(
+    edges: Dataset,
+    nodes: Dataset,
+    work_dir: str,
+    num_iters: int = 5,
+    scale: int = 10 ** 12,
+    damping_pct: int = 85,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_shards: int = 8,
+) -> Dataset:
+    """BSP PageRank with PINNED edge shards — the 100-TB path.
+
+    :func:`pagerank_fixed_point` re-shuffles the edge table every round (K x
+    the biggest table through the wire).  Here both inputs are co-partitioned
+    ONCE by ``id % num_shards`` into partitioned parquet under ``work_dir``
+    (a streaming Dataset write — nothing touches the driver), then each
+    :class:`_EdgeShard` actor loads its own shard and keeps it across all
+    supersteps.  Per iteration the only traffic is P x P (dst, partial-sum)
+    int64 tables — node-bounded, already combined shard-side.  The result is
+    written shard-wise and read back as a Dataset (driver never holds ranks).
+
+    Bit-identical to :func:`pagerank_fixed_point` and the SQL twin (same
+    int64 fixed-point update; parity pytest).  This is the engine's one
+    deliberate raw-actor operator — iterative pinned state across
+    supersteps is exactly what ``map_batches`` cannot express.  The
+    co-partitioned parquet doubles as a checkpoint: a rerun can reuse it.
+    """
+
+    def _tag(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__shard"] = df[col].to_numpy() % num_shards
+        return df
+
+    e_dir = _os.path.join(work_dir, "edges")
+    n_dir = _os.path.join(work_dir, "nodes")
+    edges.map_batches(lambda b: _tag(b, src_col), batch_format="pandas") \
+        .write_parquet(e_dir, partition_cols=["__shard"])
+    nodes.map_batches(lambda b: _tag(b, node_col), batch_format="pandas") \
+        .write_parquet(n_dir, partition_cols=["__shard"])
+
+    actors = [_EdgeShard.remote(p, num_shards,
+                                _os.path.join(e_dir, f"__shard={p}"))
+              for p in range(num_shards)]
+    _ray.get([a.init_ranks.remote(_os.path.join(n_dir, f"__shard={p}"), scale)
+              for p, a in enumerate(actors)])
+
+    for _ in range(num_iters):
+        sends = _ray.get([a.contribs.remote() for a in actors])
+        _ray.get([a.apply.remote([sends[p][q] for p in range(num_shards)],
+                                 scale, damping_pct)
+                  for q, a in enumerate(actors)])
+
+    out_dir = _os.path.join(work_dir, "ranks")
+    _os.makedirs(out_dir, exist_ok=True)
+    _ray.get([a.write_result.remote(out_dir, node_col) for a in actors])
+    for a in actors:
+        _ray.kill(a)
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir)

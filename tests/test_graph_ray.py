@@ -93,3 +93,26 @@ def test_pagerank_hub_concentration(rd):
     got = _run(rd, edges, n, iters=5)
     assert got[0] > 10 * got[1:].max()
     assert (got[1:] == got[1]).all()  # all leaves identical by symmetry
+
+
+def test_pagerank_pinned_parity(rd, tmp_path):
+    """BSP pinned-shard variant is bit-identical to the Dataset version
+    (and hence to the SQL twin), across shard counts."""
+    from drivers_of_global_deforestation_ray.stages.graph import pagerank_pinned
+
+    rng = np.random.default_rng(17)
+    n = 300
+    edges = pd.DataFrame({
+        "src": rng.integers(0, n, 2000).astype(np.int64),
+        "dst": rng.integers(0, n, 2000).astype(np.int64),
+    })
+    want = _reference(edges, n, 5)
+    nodes = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64)})
+    for shards in (2, 5):
+        got = pagerank_pinned(
+            rd.from_pandas(edges).repartition(3), rd.from_pandas(nodes),
+            work_dir=str(tmp_path / f"pr{shards}"), num_iters=5,
+            num_shards=shards,
+        ).to_pandas().sort_values("node_id")
+        assert got["rank"].dtype == np.int64
+        assert (got["rank"].to_numpy() == want).all(), shards
