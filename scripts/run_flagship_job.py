@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--ckpt", default=None, help="checkpoint root (enables resume)")
     ap.add_argument("--out", default=None, help="output dir (partitioned parquet)")
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--tiling", choices=["grid", "hex"], default="grid",
+                    help="analysis-tile index: positional grid (reference "
+                         "parity) or aperture-7 hex cells + hex k-ring "
+                         "smoothing (north-star H3 mode; no checkpoint yet)")
+    ap.add_argument("--hex-res", type=int, default=2)
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="force a local session with N CPUs (sandbox mode)")
     args = ap.parse_args()
@@ -46,18 +51,24 @@ def main() -> int:
             ray.init(address="auto")  # the ray job submit / cluster path
 
     from drivers_of_global_deforestation_ray.pipelines.flagship import (
-        FlagshipConfig, run_flagship, run_flagship_checkpointed)
+        FlagshipConfig, run_flagship, run_flagship_checkpointed,
+        run_flagship_hex)
 
     cfg = FlagshipConfig(world_dir=args.world_dir)
     t0 = time.perf_counter()
-    if args.ckpt:
+    if args.tiling == "hex":
+        if args.ckpt:
+            raise SystemExit("--tiling hex has no checkpointed runner yet")
+        final = run_flagship_hex(args.pages, cfg, hex_res=args.hex_res,
+                                 out_dir=args.out)
+    elif args.ckpt:
         final = run_flagship_checkpointed(args.pages, cfg, args.ckpt,
                                           num_shards=args.shards, out_dir=args.out)
     else:
         final = run_flagship(args.pages, cfg, out_dir=args.out)
     rows = final.count()
     print(json.dumps({"rows": rows, "sec": round(time.perf_counter() - t0, 2),
-                      "ckpt": args.ckpt, "out": args.out}))
+                      "tiling": args.tiling, "ckpt": args.ckpt, "out": args.out}))
     ray.shutdown()
     return 0
 
