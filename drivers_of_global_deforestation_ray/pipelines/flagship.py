@@ -50,8 +50,9 @@ from ..stages.score import fit_region_trees, score_with_trees, vote_and_gate
 from ..stages.smooth import kring_smooth
 
 __all__ = ["FlagshipConfig", "run_flagship", "run_flagship_checkpointed",
-           "run_flagship_hex", "tiles_to_classes", "build_training_table",
-           "page_features_batch"]
+           "run_flagship_hex", "run_flagship_hex_checkpointed",
+           "tiles_to_classes", "hex_cells_to_classes",
+           "build_training_table", "page_features_batch"]
 
 
 @dataclass
@@ -335,8 +336,6 @@ def run_flagship_hex(
     """
     import ray.data as rd
 
-    from ..stages.smooth import hex_majority_smooth
-
     if isinstance(pages, str):
         pages = rd.read_parquet(pages, columns=["url", "html"])
 
@@ -345,13 +344,25 @@ def run_flagship_hex(
             lambda b: hex_page_features_batch(b, hex_res),
             batch_format="pyarrow", batch_size=cfg.batch_size,
         ),
-        ["hex_id"], {
-            "n_pages": ("url", "count"),
-            "sum_tokens": ("n_tokens", "sum"),
-            "mean_quality": ("quality_score", "mean"),
-        },
+        ["hex_id"], _ZONAL_SPECS_HEX,
         batch_size=cfg.batch_size,
     )
+    return hex_cells_to_classes(per_cell, cfg, out_dir)
+
+
+_ZONAL_SPECS_HEX = {
+    "n_pages": ("url", "count"),
+    "sum_tokens": ("n_tokens", "sum"),
+    "mean_quality": ("quality_score", "mean"),
+}
+
+
+def hex_cells_to_classes(per_cell: Dataset, cfg: FlagshipConfig,
+                         out_dir: str | None = None) -> Dataset:
+    """Hex tail (featurize -> score -> vote -> HEX k-ring smooth -> gate),
+    shared by the streaming and the checkpointed hex runners — the hex
+    analogue of :func:`tiles_to_classes`."""
+    from ..stages.smooth import hex_majority_smooth
 
     grid, res = cfg.grid, cfg.res
     pool_conc = _pool_concurrency(cfg)
@@ -387,6 +398,45 @@ def run_flagship_hex(
     if out_dir is not None:
         final.write_parquet(os.path.join(out_dir, "classes"), partition_cols=["class_final"])
     return final
+
+
+def run_flagship_hex_checkpointed(
+    pages_dir: str,
+    cfg: FlagshipConfig,
+    ckpt_root: str,
+    hex_res: int = 2,
+    num_shards: int = 8,
+    out_dir: str | None = None,
+) -> Dataset:
+    """Resumable hex-keyed flagship: identical shape to
+    :func:`run_flagship_checkpointed` (per-shard page stage writes
+    CELL-LEVEL partial aggregates + lineage manifest; a rerun skips
+    complete shards; partials are associative so the combine is exact) —
+    only the tiling key and the smoothing lattice differ."""
+    import glob
+
+    import ray.data as rd
+
+    from ..sources.checkpoint import StageCheckpoint, shard_files
+    from ..stages.relational import grouped_agg_final, grouped_agg_partial
+
+    def _stage(files: list[str]) -> Dataset:
+        nblocks = max(8, sum(os.path.getsize(f) for f in files) // (8 << 20))
+        per_page = rd.read_parquet(
+            files, columns=["url", "html"], override_num_blocks=int(nblocks)
+        ).map_batches(
+            lambda b: hex_page_features_batch(b, hex_res),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
+        return grouped_agg_partial(per_page, ["hex_id"], _ZONAL_SPECS_HEX, cfg.batch_size)
+
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    ckpt = StageCheckpoint(ckpt_root, "page_hex_cells")
+    ckpt.run(shard_files(files, num_shards), _stage)
+
+    partials = rd.read_parquet(ckpt.output_files())
+    per_cell = grouped_agg_final(partials, ["hex_id"], _ZONAL_SPECS_HEX)
+    return hex_cells_to_classes(per_cell, cfg, out_dir)
 
 
 def run_flagship_checkpointed(

@@ -35,7 +35,7 @@ def main() -> int:
     ap.add_argument("--tiling", choices=["grid", "hex"], default="grid",
                     help="analysis-tile index: positional grid (reference "
                          "parity) or aperture-7 hex cells + hex k-ring "
-                         "smoothing (north-star H3 mode; no checkpoint yet)")
+                         "smoothing (north-star H3 mode)")
     ap.add_argument("--hex-res", type=int, default=2)
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="force a local session with N CPUs (sandbox mode)")
@@ -52,15 +52,18 @@ def main() -> int:
 
     from drivers_of_global_deforestation_ray.pipelines.flagship import (
         FlagshipConfig, run_flagship, run_flagship_checkpointed,
-        run_flagship_hex)
+        run_flagship_hex, run_flagship_hex_checkpointed)
 
     cfg = FlagshipConfig(world_dir=args.world_dir)
     t0 = time.perf_counter()
     if args.tiling == "hex":
         if args.ckpt:
-            raise SystemExit("--tiling hex has no checkpointed runner yet")
-        final = run_flagship_hex(args.pages, cfg, hex_res=args.hex_res,
-                                 out_dir=args.out)
+            final = run_flagship_hex_checkpointed(
+                args.pages, cfg, args.ckpt, hex_res=args.hex_res,
+                num_shards=args.shards, out_dir=args.out)
+        else:
+            final = run_flagship_hex(args.pages, cfg, hex_res=args.hex_res,
+                                     out_dir=args.out)
     elif args.ckpt:
         final = run_flagship_checkpointed(args.pages, cfg, args.ckpt,
                                           num_shards=args.shards, out_dir=args.out)

@@ -200,3 +200,34 @@ def test_flagship_hex_runs_and_is_deterministic(pages_dir, miniworld):
     from drivers_of_global_deforestation_ray.functions.hexgrid import hex_unpack
     res, face, _, _ = hex_unpack(a["hex_id"].to_numpy())
     assert (res == 2).all() and ((face >= 0) & (face < 20)).all()
+
+
+def test_flagship_hex_checkpointed_parity_and_resume(pages_dir, miniworld, tmp_path):
+    """Checkpointed hex runner == streaming hex runner exactly; a rerun
+    skips completed shards (manifest unchanged) and is still exact."""
+    import json
+
+    from drivers_of_global_deforestation_ray.pipelines.flagship import (
+        run_flagship_hex, run_flagship_hex_checkpointed)
+
+    cfg = FlagshipConfig(world_dir=miniworld["root"])
+    want = (run_flagship_hex(pages_dir, cfg, hex_res=2).to_pandas()
+            .sort_values("hex_id").reset_index(drop=True))
+    ckpt = str(tmp_path / "hex_ckpt")
+    got = (run_flagship_hex_checkpointed(pages_dir, cfg, ckpt, hex_res=2, num_shards=3)
+           .to_pandas().sort_values("hex_id").reset_index(drop=True))
+    for c in ["hex_id", "region", "n_pages", "sum_tokens", "class",
+              "class_smoothed", "class_final"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.allclose(got["mean_quality"], want["mean_quality"])
+    # resume: manifest is complete, so a second run reuses every shard
+    manifest = os.path.join(ckpt, "page_hex_cells", "_manifest.jsonl")
+    before = open(manifest).read()
+    again = (run_flagship_hex_checkpointed(pages_dir, cfg, ckpt, hex_res=2, num_shards=3)
+             .to_pandas().sort_values("hex_id").reset_index(drop=True))
+    assert open(manifest).read() == before  # nothing recomputed
+    assert (again["class_final"].to_numpy() == want["class_final"].to_numpy()).all()
+    lines = [json.loads(l) for l in before.splitlines()]
+    # one input file -> one shard; each line carries the lineage fields
+    assert len(lines) >= 1
+    assert all({"fingerprint", "rows", "bytes"} <= set(l) for l in lines)
