@@ -1980,6 +1980,18 @@ def q_pagerank(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (``relational.weighted_sample_topk``, Efraimidis-Spirakis A-Res keys
+    from fixed md5 uniforms): the 200 orders drawn with probability
+    proportional to o_totalprice — the importance-sampling primitive for
+    weighted data mixtures, reproducible at any partitioning and by the
+    SQL twin (ORDER BY pow(u, 1/w) DESC LIMIT k)."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return R.weighted_sample_topk(ords, k=200, id_col="o_orderkey",
+                                  weight_col="o_totalprice")
+
+
 def q_pagerank_pinned(sf_dir: str):
     """BSP PageRank with pinned edge shards (``stages/graph.pagerank_pinned``,
     the 100-TB path: edges co-partitioned to storage once, actors keep their
@@ -2105,17 +2117,17 @@ def q_decontam(sf_dir: str):
 # CORRECTNESS_local_r03.txt).
 QUERIES = {
     # --- never-driver-recorded queries (r2b additions + r3 operators) ---
-    "union_all": q_union_all,
-    "ts_bucket": q_ts_bucket,
-    "strata_key": q_strata_key,
-    "zonal_two_level": q_zonal_two_level,
+    "weighted_sample": q_weighted_sample,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "cume_dist": q_cume_dist,
+    "grouped_mode": q_grouped_mode,
     "corpus_mix": q_corpus_mix,
     "doc_chunk": q_doc_chunk,
     "hex_boundary": q_hex_boundary,
     "decontam": q_decontam,
     "pagerank_pinned": q_pagerank_pinned,
     "pagerank": q_pagerank,
-    "doc_fingerprint": q_doc_fingerprint,
+    "cross_join": q_cross_join,
     "hex_smooth": q_hex_smooth,
     "lead": q_lead,
     "dense_rank": q_dense_rank,
@@ -2156,7 +2168,11 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
-    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "union_all": q_union_all,
+    "ts_bucket": q_ts_bucket,
+    "strata_key": q_strata_key,
+    "zonal_two_level": q_zonal_two_level,
+    "doc_fingerprint": q_doc_fingerprint,
     "kring": q_kring,
     "doc_tokens": q_doc_tokens,
     "pivot": q_pivot,
@@ -2165,9 +2181,6 @@ QUERIES = {
     "approx_count_distinct": q_approx_count_distinct,
     "quantile_sketch": q_quantile_sketch,
     "dedup_simhash": q_dedup_simhash,
-    "cume_dist": q_cume_dist,
-    "grouped_mode": q_grouped_mode,
-    "cross_join": q_cross_join,
     "except": q_except,
     "stratified_sample": q_stratified_sample,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
@@ -2819,6 +2832,16 @@ ORACLE_SQL = {
     "hex_boundary": _hex_boundary_sql(),
     "pagerank": _pagerank_sql(5),
     "pagerank_pinned": _pagerank_sql(5),
+    "weighted_sample": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY CASE WHEN o_totalprice > 0 THEN
+                   pow((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+                       / 4294967296.0, 1.0 / o_totalprice)
+                 ELSE 0.0 END DESC,
+                 o_orderkey ASC
+        LIMIT 200
+    """,
     "goode_zonal": f"""
         SELECT g.goode_tile, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,

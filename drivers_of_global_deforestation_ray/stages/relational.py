@@ -1298,6 +1298,54 @@ def grouped_topk(ds: Dataset, keys: list[str], order_col: str, k: int,
     return grouped_transform(partial, keys, _local, num_partitions)
 
 
+def weighted_sample_topk(
+    ds: Dataset,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis A-Res order-sampling scheme): each row gets key
+    ``u ** (1/w)`` where ``u = (md5_u32(id) + 0.5) / 2**32`` is a FIXED
+    uniform of the row id — P(selected) is proportional to weight, and the
+    sample is identical at any partitioning, on resume, and in the SQL
+    twin (no RNG state; the engine's md5 selection hash, cf.
+    ``deterministic_mix``).  Rows with ``w <= 0`` get key 0 and are only
+    drawn after every positive-weight row.
+
+    Distributed shape: each block keeps its LOCAL k largest keys (a
+    superset of the global top-k), so only ``k`` rows per block reach the
+    final sort+limit — the importance-sampling primitive for building
+    weighted data mixtures at corpus scale.  The key column is dropped
+    from the output (float keys are libm-sensitive; selection flips at
+    the k-boundary are measure-zero, the repo's goode_tiles discipline).
+    """
+    import hashlib
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        u = np.empty(len(ids), dtype=np.float64)
+        for i, v in enumerate(ids):
+            u[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        u = (u + 0.5) / 4294967296.0
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        key = np.where(w > 0, np.power(u, 1.0 / np.where(w > 0, w, 1.0)), 0.0)
+        df = df.copy(deep=False)
+        df["__wkey"] = key
+        if len(df) > k:
+            # same (key desc, id asc) rule as the global phase, so exact
+            # key ties (w <= 0 rows share key 0.0) resolve identically
+            df = df.sort_values(["__wkey", id_col],
+                                ascending=[False, True], kind="stable").head(k)
+        return df
+
+    local = ds.map_batches(_key, batch_format="pandas", batch_size=batch_size)
+    top = local.sort(["__wkey", id_col], descending=[True, False]).limit(k)
+    return top.map_batches(lambda df: df.drop(columns=["__wkey"]),
+                           batch_format="pandas")
+
+
 def stratified_sample(
     ds: Dataset, stratum_col: str, n_per_stratum: int, seed: int, id_col: str
 ) -> Dataset:

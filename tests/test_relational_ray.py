@@ -586,3 +586,38 @@ def test_pii_scrub_and_nfc(rd):
     norm = nfc_normalize(rd.from_pandas(df2)).to_pandas()
     assert norm["norm_text"].iloc[0] == "café Jürgen"
     assert norm["n_raw"].iloc[0] == 13 and norm["n_norm"].iloc[0] == 11
+
+
+def test_weighted_sample_topk(rd):
+    """A-Res weighted sampling: matches a direct numpy transcription,
+    is partitioning-invariant, favors heavy weights, excludes w<=0 while
+    positive rows remain."""
+    import hashlib
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 10 == 0, 100.0, 1.0)  # 10% of rows carry 100x weight
+    w[:5] = 0.0                              # a few zero-weight rows
+    df = pd.DataFrame({"id": ids, "w": w})
+
+    u = np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                  for v in ids], dtype=np.float64)
+    u = (u + 0.5) / 4294967296.0
+    key = np.where(w > 0, np.power(u, 1.0 / np.where(w > 0, w, 1.0)), 0.0)
+    order = np.lexsort((ids, -key))
+    want = set(ids[order[:300]].tolist())
+
+    outs = []
+    for parts in (1, 6):
+        got = (R.weighted_sample_topk(rd.from_pandas(df).repartition(parts),
+                                      k=300, id_col="id", weight_col="w")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(got)
+        assert set(got["id"]) == want
+        assert list(got.columns) == ["id", "w"]  # key column dropped
+    assert outs[0].equals(outs[1])
+    sel = outs[0]
+    heavy_rate = (sel["id"] % 10 == 0).mean()
+    assert heavy_rate > 0.8        # 100x weights dominate the sample
+    assert not set(sel["id"]) & set(range(5))  # zero-weight rows excluded
