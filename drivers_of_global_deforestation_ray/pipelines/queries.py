@@ -1980,6 +1980,47 @@ def q_pagerank(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_video_y4m_real(sf_dir: str):
+    """REAL video decode end-to-end: deterministic doc_id-seeded YUV4MPEG2
+    clips (constant-luma frames, varied dims/length) are encoded with the
+    from-scratch Y4M codec (``functions/y4m.py``) and frame-sampled by the
+    REAL backend (decode -> fps-based wall-clock frame selection -> raw luma
+    planes).  Recovered plane size and luma value must match DuckDB's closed
+    form — the video analogue of ``audio_wav_real`` / ``media_png_real``."""
+    from ..functions.y4m import encode_y4m
+    from ..stages.multimodal import frame_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for i in ids:
+            i = int(i)
+            w, h = 16 + (i % 3) * 8, 8 + (i % 2) * 8
+            nclip = 3 + i % 5
+            frames = np.stack([np.full((h, w), (i * 7 + k * 11) % 256, np.uint8)
+                               for k in range(nclip)])
+            payloads.append(encode_y4m(frames, fps=(10, 1)))
+        return pd.DataFrame({"doc_id": ids, "video": payloads})
+
+    frames = frame_sample(docs.map_batches(_mk, batch_format="pyarrow"),
+                          media_col="video", key_col="doc_id",
+                          num_frames=2, frame_ms=200, backend="real")
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        fb = df["frame"].tolist()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "frame_idx": df["frame_idx"].to_numpy(),
+            "ts_ms": df["ts_ms"].to_numpy(),
+            "n_bytes": np.array([len(x) for x in fb], dtype=np.int64),
+            "luma": np.array([x[0] for x in fb], dtype=np.int64),
+        })
+
+    return frames.map_batches(_stats, batch_format="pandas")
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (``relational.weighted_sample_topk``, Efraimidis-Spirakis A-Res keys
@@ -2152,7 +2193,7 @@ QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
-    "dow_agg": q_dow_agg,
+    "video_y4m_real": q_video_y4m_real,
     "media_png_real": q_media_png_real,
     "audio_wav_real": q_audio_wav_real,
     "dedup_incremental": q_dedup_incremental,
@@ -2168,6 +2209,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
+    "dow_agg": q_dow_agg,
     "union_all": q_union_all,
     "ts_bucket": q_ts_bucket,
     "strata_key": q_strata_key,
@@ -2832,6 +2874,13 @@ ORACLE_SQL = {
     "hex_boundary": _hex_boundary_sql(),
     "pagerank": _pagerank_sql(5),
     "pagerank_pinned": _pagerank_sql(5),
+    "video_y4m_real": """
+        SELECT d.doc_id, CAST(f.range AS INTEGER) AS frame_idx,
+               CAST(f.range * 200 AS BIGINT) AS ts_ms,
+               CAST((16 + (d.doc_id % 3) * 8) * (8 + (d.doc_id % 2) * 8) AS BIGINT) AS n_bytes,
+               CAST((d.doc_id * 7 + (CASE WHEN f.range = 0 THEN 0 ELSE 22 END)) % 256 AS BIGINT) AS luma
+        FROM documents d CROSS JOIN range(0, 2) f
+    """,
     "weighted_sample": """
         SELECT o_orderkey, o_totalprice
         FROM orders

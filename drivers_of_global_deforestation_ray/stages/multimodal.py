@@ -13,8 +13,13 @@ metadata columns alongside (the pages corpus already carries ``html:binary``).
   statistics, same output schema (VERDICT r02 #6).
 - :func:`media_resize` with ``backend="real"`` decodes, nearest-neighbor
   resizes and re-encodes PNG thumbnails.
-- :func:`frame_sample`'s real backend stays a marked integration point:
-  video containers/codecs are not implementable from stdlib, unlike PNG.
+- :func:`frame_sample` ``backend="real"`` decodes YUV4MPEG2 (.y4m) clips
+  with the engine's from-scratch codec (:mod:`..functions.y4m` — raw
+  planar video, the canonical uncompressed interchange container): frames
+  are selected by wall-clock time against the stream's fps and emitted as
+  raw luma planes.  Compressed containers (mp4/h264) remain out of scope
+  for a stdlib sandbox; the schema is identical so a codec-library decoder
+  drops in.
 - :func:`media_features` wires it with the batch/concurrency shape a real
   decoder needs (actor pool, num_cpus=1, small batches).
 """
@@ -218,28 +223,41 @@ class _FrameSampler:
 
     def __init__(self, media_col: str, key_col: str, num_frames: int,
                  frame_ms: int, backend: str = "fake"):
-        if backend != "fake":
-            raise NotImplementedError(
-                "real frame sampling needs a video container/codec library, which "
-                "(unlike PNG) is not implementable from stdlib in this sandbox; "
-                "plug one in and keep the (key, frame_idx, ts_ms, frame) schema"
-            )
+        if backend not in ("fake", "real"):
+            raise ValueError(f"backend must be 'fake' or 'real', got {backend!r}")
         self.media_col, self.key_col = media_col, key_col
         self.num_frames, self.frame_ms = num_frames, frame_ms
+        self.backend = backend
 
     @staticmethod
     def _fake_frame(payload: bytes, idx: int) -> bytes:
         return hashlib.blake2b((payload or b"") + idx.to_bytes(4, "little"),
                                digest_size=32).digest()
 
+    def _real_frames(self, payload: bytes) -> "list[bytes]":
+        """Decode a .y4m clip once, pick each sample instant's frame by
+        wall-clock time vs the stream fps (clamped at the last frame)."""
+        from ..functions.y4m import decode_y4m
+
+        p, luma = decode_y4m(payload)
+        n = p["n_frames"]
+        out = []
+        for i in range(self.num_frames):
+            fidx = (i * self.frame_ms) * p["fps_num"] // (1000 * p["fps_den"])
+            out.append(luma[min(fidx, n - 1)].tobytes() if n else b"")
+        return out
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         keys, idxs, tss, frames = [], [], [], []
         for key, payload in zip(batch[self.key_col], batch[self.media_col]):
-            for i in range(self.num_frames):
+            picked = (self._real_frames(payload) if self.backend == "real"
+                      else [self._fake_frame(payload, i)
+                            for i in range(self.num_frames)])
+            for i, fb in enumerate(picked):
                 keys.append(key)
                 idxs.append(i)
                 tss.append(i * self.frame_ms)
-                frames.append(self._fake_frame(payload, i))
+                frames.append(fb)
         return pd.DataFrame({
             self.key_col: keys,
             "frame_idx": np.asarray(idxs, dtype=np.int32),

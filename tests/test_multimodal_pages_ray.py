@@ -89,12 +89,12 @@ def test_frame_sample_explode(rd):
     assert len(set(one["frame"].tolist())) == 3
 
 
-def test_media_real_backend_video_is_marked_stub():
-    # image stages are real now (PNG codec); video frame sampling remains
-    # the documented integration point
+def test_media_backend_validation():
+    # every media stage is real now (PNG / WAV / Y4M codecs); unknown
+    # backends are rejected loudly
     from drivers_of_global_deforestation_ray.stages.multimodal import _FrameSampler
-    with pytest.raises(NotImplementedError):
-        _FrameSampler("html", "url", 3, 40, backend="real")
+    with pytest.raises(ValueError):
+        _FrameSampler("html", "url", 3, 40, backend="nonsense")
     with pytest.raises(ValueError):
         MediaFeaturizer(backend="nonsense")
 
@@ -157,3 +157,58 @@ def test_media_resize_real_png_roundtrip(rd):
     for t in out["thumb"]:
         img = decode_png(t)
         assert img.shape[:2] == (12, 16)
+
+
+def test_y4m_codec_roundtrip():
+    """From-scratch YUV4MPEG2 codec: byte-exact luma roundtrip, header
+    fields, Cmono variant, malformed-stream errors."""
+    import numpy as np
+    import pytest
+
+    from drivers_of_global_deforestation_ray.functions.y4m import (
+        decode_y4m, encode_y4m, parse_y4m_header)
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (7, 12, 16), dtype=np.uint8)
+    data = encode_y4m(frames, fps=(30, 1))
+    p = parse_y4m_header(data)
+    assert (p["width"], p["height"], p["fps_num"], p["fps_den"]) == (16, 12, 30, 1)
+    assert p["colorspace"] == "C420jpeg"
+    p2, back = decode_y4m(data)
+    assert p2["n_frames"] == 7 and (back == frames).all()
+    # Cmono: no chroma planes, smaller stream, same luma
+    mono = encode_y4m(frames, fps=(24, 1), colorspace="Cmono")
+    assert len(mono) < len(data)
+    _, backm = decode_y4m(mono)
+    assert (backm == frames).all()
+    # errors: bad magic, odd dims for C420, truncated frame
+    with pytest.raises(ValueError):
+        parse_y4m_header(b"RIFF....")
+    with pytest.raises(ValueError):
+        encode_y4m(frames[:, :11, :], colorspace="C420jpeg")
+    with pytest.raises(ValueError):
+        decode_y4m(data[:-5])
+
+
+def test_frame_sample_real_y4m(ray_session):
+    """Real frame sampling: fps-based wall-clock frame selection with
+    clamping at the clip end; emitted bytes are the exact luma planes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from drivers_of_global_deforestation_ray.functions.y4m import encode_y4m
+    from drivers_of_global_deforestation_ray.stages.multimodal import frame_sample
+
+    # 4 frames at 5 fps (200 ms apart), distinct constant luma per frame
+    frames = np.stack([np.full((8, 8), 10 * k, np.uint8) for k in range(4)])
+    clip = encode_y4m(frames, fps=(5, 1))
+    ds = rd.from_pandas(pd.DataFrame({"vid": [7], "video": [clip]}))
+    out = (frame_sample(ds, media_col="video", key_col="vid", num_frames=6,
+                        frame_ms=300, backend="real")
+           .to_pandas().sort_values("frame_idx"))
+    # sample instants 0,300,...,1500 ms at 5 fps -> frames 0,1,3,4->3,6->3,7->3
+    want_frame = [0, 1, 3, 3, 3, 3]
+    assert [x[0] for x in out["frame"]] == [10 * f for f in want_frame]
+    assert all(len(x) == 64 for x in out["frame"])
+    assert out["ts_ms"].tolist() == [0, 300, 600, 900, 1200, 1500]
