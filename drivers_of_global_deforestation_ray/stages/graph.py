@@ -247,20 +247,22 @@ def pagerank_pinned(
     actors = [_EdgeShard.remote(p, num_shards,
                                 _os.path.join(e_dir, f"__shard={p}"))
               for p in range(num_shards)]
-    _ray.get([a.init_ranks.remote(_os.path.join(n_dir, f"__shard={p}"), scale)
-              for p, a in enumerate(actors)])
+    try:
+        _ray.get([a.init_ranks.remote(_os.path.join(n_dir, f"__shard={p}"), scale)
+                  for p, a in enumerate(actors)])
 
-    for _ in range(num_iters):
-        sends = _ray.get([a.contribs.remote() for a in actors])
-        _ray.get([a.apply.remote([sends[p][q] for p in range(num_shards)],
-                                 scale, damping_pct)
-                  for q, a in enumerate(actors)])
+        for _ in range(num_iters):
+            sends = _ray.get([a.contribs.remote() for a in actors])
+            _ray.get([a.apply.remote([sends[p][q] for p in range(num_shards)],
+                                     scale, damping_pct)
+                      for q, a in enumerate(actors)])
 
-    out_dir = _os.path.join(work_dir, "ranks")
-    _os.makedirs(out_dir, exist_ok=True)
-    _ray.get([a.write_result.remote(out_dir, node_col) for a in actors])
-    for a in actors:
-        _ray.kill(a)
+        out_dir = _os.path.join(work_dir, "ranks")
+        _os.makedirs(out_dir, exist_ok=True)
+        _ray.get([a.write_result.remote(out_dir, node_col) for a in actors])
+    finally:
+        for a in actors:
+            _ray.kill(a)
     import ray.data as rd
 
     return rd.read_parquet(out_dir)
