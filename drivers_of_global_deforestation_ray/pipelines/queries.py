@@ -1168,6 +1168,21 @@ def q_jaccard_pairs_exact(sf_dir: str):
                              ["__pair"], _jac)
 
 
+def q_jaccard_join(sf_dir: str):
+    """EXACT set-similarity self-join over the whole corpus via prefix
+    filtering (``stages/dedup.prefix_jaccard_join``): ALL pairs (a < b)
+    with word-3-gram Jaccard >= 0.6 — the scale path the naive all-pairs
+    SQL twin cannot take.  The engine's candidate phase touches only
+    prefix-token buckets (rarest-first global order); the oracle computes
+    the full token join.  Threshold compare is one IEEE division on both
+    sides; output rounded to 6 decimals."""
+    from ..stages.dedup import prefix_jaccard_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return prefix_jaccard_join(docs, threshold=0.6, shingle_k=3,
+                               num_partitions=_nparts(sf_dir, "documents"))
+
+
 def q_session_stats(sf_dir: str):
     """Composition: sessionize -> per-user session count + max session
     length (windows feeding an aggregate), SQL-window oracle."""
@@ -2160,7 +2175,7 @@ QUERIES = {
     # --- never-driver-recorded queries (r2b additions + r3 operators) ---
     "weighted_sample": q_weighted_sample,
     "jsonl_roundtrip": q_jsonl_roundtrip,
-    "cume_dist": q_cume_dist,
+    "jaccard_join": q_jaccard_join,
     "grouped_mode": q_grouped_mode,
     "corpus_mix": q_corpus_mix,
     "doc_chunk": q_doc_chunk,
@@ -2209,6 +2224,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
+    "cume_dist": q_cume_dist,
     "dow_agg": q_dow_agg,
     "union_all": q_union_all,
     "ts_bucket": q_ts_bucket,
@@ -3373,6 +3389,25 @@ ORACLE_SQL = {
                CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
         FROM (SELECT DISTINCT source FROM documents) a
         JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    """,
+    "jaccard_join": """
+        -- full all-pairs token join: the ground truth the engine's prefix
+        -- filter must match COMPLETELY (theorem: J >= t pairs always share
+        -- a prefix token).  string_split on single spaces matches the
+        -- fixture texts (same convention as the decontam oracle).
+        WITH sets AS (
+          SELECT DISTINCT doc_id, ws[r.range + 1] || ' ' || ws[r.range + 2] || ' ' || ws[r.range + 3] AS gram
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) d
+          CROSS JOIN range(0, 2000) r WHERE r.range + 3 <= len(ws)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+        inter AS (
+          SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS n_inter
+          FROM sets s1 JOIN sets s2 ON s1.gram = s2.gram AND s1.doc_id < s2.doc_id
+          GROUP BY s1.doc_id, s2.doc_id)
+        SELECT i.a, i.b,
+               round(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+        FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+        WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.6
     """,
     "jaccard_pairs_exact": """
         WITH tok AS (

@@ -31,6 +31,8 @@ __all__ = [
     "dedup_incremental",
     "dedup_lines",
     "minhash_lsh_pairs",
+    "pair_text_verify",
+    "prefix_jaccard_join",
     "minhash_lsh_dedup",
     "simhash_pairs",
     "simhash_dedup",
@@ -361,6 +363,31 @@ def minhash_lsh_pairs(
             sims[pos] = jaccard(fa, fb) if exact_verify else float((fa == fb).mean())
         return sims
 
+    return pair_text_verify(pairs, ds, id_col, text_col, _sim_fn, threshold,
+                            verify=verify, broadcast_limit=broadcast_limit,
+                            num_partitions=num_partitions)
+
+
+def pair_text_verify(pairs: Dataset, ds: Dataset, id_col: str, text_col: str,
+                     sim_fn, threshold: float, verify: str = "auto",
+                     broadcast_limit: int = 100_000,
+                     num_partitions: int = 32,
+                     out_col: str = "sim") -> Dataset:
+    """Shared candidate-pair verification plumbing: route each (a, b) pair's
+    two texts to one batch, score them with ``sim_fn(texts_a, texts_b) ->
+    float array``, keep pairs ``>= threshold``.
+
+    - ``"broadcast"``: candidate doc ids collected, matching texts fetched
+      into ONE driver dict and ``ray.put`` — fastest when candidates are
+      orders of magnitude fewer than docs (the typical LSH/prefix regime).
+    - ``"join"``: the scale path for dup-heavy corpora — texts reach the
+      verifier through TWO hash joins (pairs x docs on ``a``, then ``b``);
+      nothing text-sized lands on the driver.  NOTE: two chained
+      ``Dataset.join``s reserve aggregator CPU pools — below ~16 CPUs
+      prefer broadcast (the auto guard picks it for small candidate sets
+      anyway).
+    - ``"auto"``: count candidates, ``<= broadcast_limit`` -> broadcast,
+      else join."""
     mode = verify
     if mode == "auto":
         mode = "broadcast" if pairs.count() <= broadcast_limit else "join"
@@ -380,10 +407,10 @@ def minhash_lsh_pairs(
 
         def _verify(batch: pd.DataFrame) -> pd.DataFrame:
             lookup = ray.get(text_ref)
-            sims = _sim_fn([lookup.get(int(i)) for i in batch["a"].to_numpy()],
-                           [lookup.get(int(i)) for i in batch["b"].to_numpy()])
+            sims = sim_fn([lookup.get(int(i)) for i in batch["a"].to_numpy()],
+                          [lookup.get(int(i)) for i in batch["b"].to_numpy()])
             batch = batch.copy(deep=False)
-            batch["sim"] = sims
+            batch[out_col] = sims
             return batch[sims >= threshold]
 
         return pairs.map_batches(_verify, batch_format="pandas")
@@ -403,9 +430,9 @@ def minhash_lsh_pairs(
                         on="b", num_partitions=num_partitions)
 
     def _verify_join(batch: pd.DataFrame) -> pd.DataFrame:
-        sims = _sim_fn(batch["__text_a"].tolist(), batch["__text_b"].tolist())
+        sims = sim_fn(batch["__text_a"].tolist(), batch["__text_b"].tolist())
         out = batch[["a", "b"]].copy()
-        out["sim"] = sims
+        out[out_col] = sims
         return out[sims >= threshold]
 
     return with_ab.map_batches(_verify_join, batch_format="pandas")
@@ -688,3 +715,157 @@ def simhash_bucket_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc
 def simhash_dedup(ds: Dataset, id_col: str = "doc_id", **kwargs) -> Dataset:
     pairs = simhash_pairs(ds, id_col=id_col, **kwargs)
     return drop_ids(pairs, ds, id_col)
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join via prefix filtering (AllPairs / PPJoin)
+# ---------------------------------------------------------------------------
+
+def _strict_kgrams(text: str, k: int) -> set:
+    """Distinct word k-grams, lowercased.  STRICT: a document shorter than
+    ``k`` words has an EMPTY set (no whole-string fallback like
+    :func:`~..functions.hashing.word_shingles`) so the SQL twin's positional
+    gram generation agrees byte-for-byte."""
+    words = text.lower().split()
+    if len(words) < k:
+        return set()
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def prefix_jaccard_join(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    num_partitions: int = 32,
+) -> Dataset:
+    """EXACT set-similarity self-join: every pair ``(a < b)`` whose word
+    ``shingle_k``-gram Jaccard ``>= threshold`` — via prefix filtering
+    (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08), NOT the
+    all-pairs or full token-join blowup the naive SQL computes.
+
+    This is the scale path for exact n-gram Jaccard dedup: the existing
+    ``jaccard_pairs_exact`` query verifies preset (2k, 2k+1) pairs only,
+    and ``minhash_lsh_pairs(exact_verify=True)`` is probabilistic in its
+    CANDIDATE phase (a band collision must occur).  Here the candidate
+    phase is provably complete:
+
+    THEOREM (prefix filtering): order all tokens by one global total order
+    (here: rarest-first ``(df, gram)``).  If ``J(x, y) >= t`` then the
+    first ``|x| - ceil(t*|x|) + 1`` tokens of x and the first
+    ``|y| - ceil(t*|y|) + 1`` tokens of y intersect.  Bucketing documents
+    by PREFIX token therefore loses no qualifying pair, while frequent
+    tokens (the join-blowup culprits) almost never land in a prefix.
+
+    Phases — all Dataset ops, driver O(1):
+      1. token table ``(gram, id, sz)``: distinct grams per doc + set size;
+         text never leaves this stage.
+      2. document frequency per gram WITHOUT a join: one gram co-partition
+         puts every row of a gram in one partition, so df is simply the
+         in-partition group size — the separate grouped-count + big-big
+         DF join the textbook layout uses is folded into the shuffle
+         (three chained ``Dataset.join``s also risk aggregator-pool
+         starvation at low CPU counts; two remain, in the verify phase).
+      3. per-doc prefix: one ``(id, df, gram)`` sort per partition, keep
+         ``cumcount < sz - ceil(t*sz) + 1`` (ceil taken with a 1e-9 slack
+         DOWN so float error can only ENLARGE the prefix — completeness is
+         never at the mercy of rounding).
+      4. candidate pairs inside each prefix-token bucket with the length
+         filter ``min_sz >= t * max_sz`` (necessary: J >= t forces
+         ``t*|x| <= |y|``); distinct via one (a, b) co-partition.
+      5. verify: :func:`pair_text_verify` (the ``minhash_lsh_pairs``
+         machinery) — broadcast text fetch below ``broadcast_limit``
+         candidates, two hash joins above; exact Jaccard per co-located
+         pair, keep ``>= threshold``.
+
+    Only ``(gram, id:int64, sz:int64)`` rows and int pairs shuffle in the
+    candidate phase; each surviving candidate ships its two texts once.
+
+    Returns ``(a, b, jaccard)`` with jaccard rounded to 6 decimals (raw
+    value used for the threshold compare — one IEEE division, so the SQL
+    twin's ``CAST(..)/..`` agrees exactly)."""
+
+    def _tok(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams, szs = [], [], []
+        for did, txt in zip(batch[id_col].to_numpy(), batch[text_col]):
+            g = _strict_kgrams(txt or "", shingle_k)
+            if not g:
+                continue
+            ids.extend([did] * len(g))
+            grams.extend(g)
+            szs.extend([len(g)] * len(g))
+        return pd.DataFrame({"gram": pd.Series(grams, dtype=object),
+                             "id": np.asarray(ids, dtype=np.int64),
+                             "sz": np.asarray(szs, dtype=np.int64)})
+
+    tok = ds.map_batches(_tok, batch_format="pandas")
+
+    def _attach_df(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy(deep=False)
+        part["df"] = part.groupby("gram", sort=False)["id"].transform("size")
+        return part
+
+    tok_df = grouped_transform(tok, ["gram"], _attach_df, num_partitions)
+
+    def _prefix(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["id", "df", "gram"], kind="stable")
+        pos = part.groupby("id", sort=False).cumcount().to_numpy()
+        sz = part["sz"].to_numpy()
+        plen = sz - np.ceil(threshold * sz - 1e-9).astype(np.int64) + 1
+        return part.loc[pos < plen, ["gram", "id", "sz"]]
+
+    prefix = grouped_transform(tok_df, ["id"], _prefix, num_partitions)
+
+    def _cand(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated("gram", keep=False)]
+        if part.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        outs = []
+        for _, g in part.groupby("gram", sort=False):
+            g = g.sort_values("id", kind="stable")
+            ids = g["id"].to_numpy()
+            szs = g["sz"].to_numpy()
+            i, j = np.triu_indices(len(ids), k=1)
+            sa, sb = szs[i], szs[j]
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            if ok.any():
+                outs.append(pd.DataFrame({"a": ids[i][ok], "b": ids[j][ok]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = grouped_transform(prefix, ["gram"], _cand, num_partitions)
+    cand = grouped_transform(
+        cand, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable").drop_duplicates(["a", "b"]),
+        num_partitions)
+
+    def _sim_fn(texts_a: "list[str]", texts_b: "list[str]") -> np.ndarray:
+        cache: dict = {}
+
+        def sets_of(t: str) -> set:
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = _strict_kgrams(t or "", shingle_k)
+            return s
+
+        sims = np.empty(len(texts_a), dtype=np.float64)
+        for pos, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+            sa, sb = sets_of(ta), sets_of(tb)
+            inter = len(sa & sb)
+            sims[pos] = inter / (len(sa) + len(sb) - inter)
+        return sims
+
+    verified = pair_text_verify(cand, ds, id_col, text_col, _sim_fn, threshold,
+                                num_partitions=num_partitions,
+                                out_col="jaccard")
+
+    def _round(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["a", "b"]].copy()
+        out["jaccard"] = np.round(batch["jaccard"].to_numpy(), 6)
+        return out
+
+    return verified.map_batches(_round, batch_format="pandas")

@@ -423,3 +423,52 @@ def test_dedup_lines_drops_fully_duplicated_docs(rd):
     out = D.dedup_lines(rd.from_pandas(docs).repartition(2), "text", "doc_id",
                         num_partitions=2).to_pandas()
     assert out["doc_id"].tolist() == [10]  # doc 20 has no surviving lines
+
+
+def test_prefix_jaccard_join_matches_bruteforce(rd, corpus):
+    """Completeness of the prefix filter: the exact set-similarity self-join
+    must emit EVERY pair with 3-gram Jaccard >= t (theorem: qualifying pairs
+    always share a prefix token), with exact values."""
+    t = 0.6
+    out = D.prefix_jaccard_join(rd.from_pandas(corpus).repartition(4),
+                                threshold=t, num_partitions=4).to_pandas()
+
+    def grams(s):
+        w = s.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {int(r.doc_id): grams(r.text) for r in corpus.itertuples()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+    got = {(int(r.a), int(r.b)): r.jaccard for r in out.itertuples()}
+    assert got == want
+    assert len(want) >= 20  # exact dups (J=1.0) + near dups actually present
+
+
+def test_prefix_jaccard_join_short_docs_excluded(rd):
+    """Docs under shingle_k words have an empty gram set and never pair
+    (matching the SQL twin's positional gram generation); a higher threshold
+    yields a subset of a lower one."""
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["one two",            # < 3 words: excluded
+                 "a b c d e f g",
+                 "a b c d e f g",      # exact dup of 1
+                 "a b c d e f x",      # near dup
+                 "totally different words here now",
+                 ""],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    lo = D.prefix_jaccard_join(ds, threshold=0.5, num_partitions=2).to_pandas()
+    hi = D.prefix_jaccard_join(ds, threshold=0.99, num_partitions=2).to_pandas()
+    assert 0 not in set(lo["a"]) | set(lo["b"]) and 5 not in set(lo["a"]) | set(lo["b"])
+    assert (1, 2) in set(zip(hi["a"], hi["b"]))  # exact dup survives tau=0.99
+    assert set(zip(hi["a"], hi["b"])) <= set(zip(lo["a"], lo["b"]))
