@@ -1183,6 +1183,31 @@ def q_jaccard_join(sf_dir: str):
                                num_partitions=_nparts(sf_dir, "documents"))
 
 
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle counts (``stages/graph.triangle_counts``:
+    degree-ordered wedge closing, every stage a co-partition — no joins, no
+    broadcast) over a derived web-link graph: doc i links to i+1, i+2 and,
+    for i % 3 == 0, to (i*131 + 7) % N.  Integer counts are
+    partitioning-invariant, so the result hash-matches a 3-way self-join
+    SQL twin exactly."""
+    from ..stages.graph import triangle_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        sel = ids[ids % 3 == 0]
+        return pd.DataFrame({
+            "src": np.concatenate([ids, ids, sel]),
+            "dst": np.concatenate([(ids + 1) % n, (ids + 2) % n,
+                                   (sel * 131 + 7) % n]),
+        })
+
+    edges = docs.map_batches(_edges, batch_format="pandas")
+    return triangle_counts(edges, num_partitions=_nparts(sf_dir, "documents"))
+
+
 def q_session_stats(sf_dir: str):
     """Composition: sessionize -> per-user session count + max session
     length (windows feeding an aggregate), SQL-window oracle."""
@@ -2188,7 +2213,7 @@ QUERIES = {
     "lead": q_lead,
     "dense_rank": q_dense_rank,
     "hex_cells": q_hex_cells,
-    "window_first_last": q_window_first_last,
+    "triangle_count": q_triangle_count,
     "rolling_minmax": q_rolling_minmax,
     "range_join_copart": q_range_join_copart,
     "grouped_stats": q_grouped_stats,
@@ -2225,6 +2250,7 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "cume_dist": q_cume_dist,
+    "window_first_last": q_window_first_last,
     "dow_agg": q_dow_agg,
     "union_all": q_union_all,
     "ts_bucket": q_ts_bucket,
@@ -3408,6 +3434,25 @@ ORACLE_SQL = {
                round(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
         FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
         WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.6
+    """,
+    "triangle_count": """
+        WITH cnt AS (SELECT count(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM cnt) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % (SELECT n FROM cnt) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 131 + 7) % (SELECT n FROM cnt) FROM documents
+          WHERE doc_id % 3 = 0),
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM raw WHERE src <> dst),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node
     """,
     "jaccard_pairs_exact": """
         WITH tok AS (

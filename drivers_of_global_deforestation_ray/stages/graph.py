@@ -26,9 +26,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from .relational import copart_join, grouped_agg, hash_join
+from .relational import (copart_join, grouped_agg, grouped_transform, hash_join,
+                         union_all)
 
-__all__ = ["pagerank_fixed_point", "pagerank_pinned"]
+__all__ = ["pagerank_fixed_point", "pagerank_pinned", "triangle_counts"]
 
 
 def pagerank_fixed_point(
@@ -266,3 +267,162 @@ def pagerank_pinned(
     import ray.data as rd
 
     return rd.read_parquet(out_dir)
+
+
+def triangle_counts(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
+                    num_partitions: int = 32) -> Dataset:
+    """Per-node triangle counts over an undirected graph — degree-ordered
+    wedge closing (the node-iterator family: Schank & Wagner '05; the
+    MapReduce formulation of Suri & Vassilvitskii WWW'11).
+
+    Every stage is a co-partition ``grouped_transform`` — NO ``Dataset.join``
+    (aggregator pools would starve small-CPU runs) and NO broadcast (the
+    degree table is node-bounded, which on a web graph is billions):
+
+      1. canonicalize: (a < b), self-loops dropped, distinct via one pair
+         co-partition (per-block pre-dedup first).
+      2. degrees: endpoint explode -> grouped count (per-block partials).
+      3. orient each edge from its lower-(deg, id) endpoint to the higher —
+         the degree attaches ride the SAME union+co-partition pattern
+         (lookup rows and edge rows land in one partition by key; a
+         vectorized merge inside the partition replaces the join).  After
+         orientation every node's out-degree is O(sqrt(2m)), which bounds
+         the wedge phase on power-law graphs — THE reason this beats the
+         naive neighbor-pair explode whose hot node emits deg^2 wedges.
+      4. wedges: per center, rank-ordered out-neighbor pairs (x, y) — every
+         triangle {x < y < z in (deg, id) order} is generated exactly once,
+         as the wedge (y, z) centered at x.
+      5. close: wedge rows and oriented-edge rows co-partition by (x, y);
+         a wedge whose (x, y) is an edge is a triangle — credit all three
+         corners with per-partition partial counts.
+      6. grouped sum -> (node, n_tri), nodes in >= 1 triangle.
+
+    Shuffle payloads are int64 id/degree tuples only.  Determinism: counts
+    are integer sums — partitioning-invariant."""
+
+    def _canon_block(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(dtype=np.int64)
+        d = b[dst_col].to_numpy(dtype=np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        bb = np.maximum(s[keep], d[keep])
+        return pd.DataFrame({"a": a, "b": bb}).drop_duplicates(["a", "b"])
+
+    def _distinct(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["a", "b"])
+
+    canon = grouped_transform(edges.map_batches(_canon_block, batch_format="pandas"),
+                              ["a", "b"], _distinct, num_partitions)
+    canon = canon.materialize()  # consumed three times (degrees + 2 attaches)
+
+    def _endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = grouped_agg(canon.map_batches(_endpoints, batch_format="pandas"),
+                      ["node"], {"deg": ("deg", "sum")},
+                      num_partitions=num_partitions)
+
+    def _attach_deg(ds_edges: Dataset, key: str, out: str) -> Dataset:
+        """Union+co-partition degree attach: lookup rows and edge rows land
+        in one partition per key; a vectorized in-partition map replaces the
+        join.  ``__lk`` tags row kind so every block shares one int schema
+        (Arrow unions across blocks must agree on dtypes)."""
+
+        def _as_lookup(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"a": np.full(len(b), -1, dtype=np.int64),
+                                 "b": np.full(len(b), -1, dtype=np.int64),
+                                 "deg_a": (b["deg_a"].to_numpy(dtype=np.int64)
+                                           if "deg_a" in b else
+                                           np.full(len(b), -1, dtype=np.int64)),
+                                 "__k": b["node"].to_numpy(dtype=np.int64),
+                                 "__deg": b["deg"].to_numpy(dtype=np.int64),
+                                 "__lk": np.ones(len(b), dtype=np.int8)})
+
+        def _as_edge(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"a": b["a"].to_numpy(dtype=np.int64),
+                                 "b": b["b"].to_numpy(dtype=np.int64),
+                                 "deg_a": (b["deg_a"].to_numpy(dtype=np.int64)
+                                           if "deg_a" in b else
+                                           np.full(len(b), -1, dtype=np.int64)),
+                                 "__k": b[key].to_numpy(dtype=np.int64),
+                                 "__deg": np.full(len(b), -1, dtype=np.int64),
+                                 "__lk": np.zeros(len(b), dtype=np.int8)})
+
+        def _merge(part: pd.DataFrame) -> pd.DataFrame:
+            mask = part["__lk"].to_numpy() == 1
+            look, ed = part[mask], part[~mask]
+            m = pd.Series(look["__deg"].to_numpy(), index=look["__k"].to_numpy())
+            res = ed[["a", "b", "deg_a"]].copy(deep=False)
+            res[out] = m.reindex(ed["__k"].to_numpy()).to_numpy().astype(np.int64)
+            return res
+
+        unioned = union_all([
+            ds_edges.map_batches(_as_edge, batch_format="pandas"),
+            deg.map_batches(_as_lookup, batch_format="pandas"),
+        ])
+        return grouped_transform(unioned, ["__k"], _merge, num_partitions)
+
+    with_da = _attach_deg(canon, "a", "deg_a")
+    with_dab = _attach_deg(with_da, "b", "deg_b")
+
+    def _orient(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        da = b["deg_a"].to_numpy(dtype=np.int64)
+        db = b["deg_b"].to_numpy(dtype=np.int64)
+        a_first = (da < db) | ((da == db) & (a < bb))
+        return pd.DataFrame({
+            "src": np.where(a_first, a, bb),
+            "dst": np.where(a_first, bb, a),
+            "ddst": np.where(a_first, db, da),
+        })
+
+    oriented = with_dab.map_batches(_orient, batch_format="pandas").materialize()
+
+    def _wedges(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c, g in part.groupby("src", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["ddst", "dst"], kind="stable")
+            nb = g["dst"].to_numpy()
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"x": nb[i], "y": nb[j],
+                                      "c": np.int64(c)}))
+        if not outs:
+            return pd.DataFrame({"x": pd.Series(dtype=np.int64),
+                                 "y": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = grouped_transform(oriented, ["src"], _wedges, num_partitions)
+
+    def _edge_marker(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": b["src"].to_numpy(), "y": b["dst"].to_numpy(),
+                             "c": np.int64(-1)})
+
+    def _close(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                              "n_tri": pd.Series(dtype=np.int64)})
+        mark = part["c"].to_numpy() == -1
+        if not mark.any() or mark.all():
+            return empty
+        # vectorized close: inner-merge wedges against the (distinct)
+        # oriented edges sharing this partition's (x, y) keys
+        tri = part[~mark].merge(part.loc[mark, ["x", "y"]], on=["x", "y"],
+                                how="inner")
+        if not len(tri):
+            return empty
+        nodes = np.concatenate([tri["x"].to_numpy(), tri["y"].to_numpy(),
+                                tri["c"].to_numpy()])
+        u, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u.astype(np.int64),
+                             "n_tri": cnt.astype(np.int64)})
+
+    both = union_all([wedges,
+                      oriented.map_batches(_edge_marker, batch_format="pandas")])
+    partials = grouped_transform(both, ["x", "y"], _close, num_partitions)
+    return grouped_agg(partials, ["node"], {"n_tri": ("n_tri", "sum")},
+                       num_partitions=num_partitions)
