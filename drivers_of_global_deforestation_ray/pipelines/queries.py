@@ -1208,6 +1208,19 @@ def q_triangle_count(sf_dir: str):
     return triangle_counts(edges, num_partitions=_nparts(sf_dir, "documents"))
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 relevance top-50 for the query [hash, window, fast]
+    (``stages/search.bm25_topk``, ratio-idf variant): df/N/avgdl from one
+    distributed bounded-partial pass, scoring one stateless vectorized scan,
+    per-block top-k prune before the sort-limit merge.  Bit-deterministic:
+    the score is a fixed left-associated float64 expression tree mirrored
+    exactly by the SQL twin."""
+    from ..stages.search import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, ["hash", "window", "fast"], k=50)
+
+
 def q_session_stats(sf_dir: str):
     """Composition: sessionize -> per-user session count + max session
     length (windows feeding an aggregate), SQL-window oracle."""
@@ -2214,7 +2227,7 @@ QUERIES = {
     "dense_rank": q_dense_rank,
     "hex_cells": q_hex_cells,
     "triangle_count": q_triangle_count,
-    "rolling_minmax": q_rolling_minmax,
+    "bm25_topk": q_bm25_topk,
     "range_join_copart": q_range_join_copart,
     "grouped_stats": q_grouped_stats,
     "intersect": q_intersect,
@@ -2250,6 +2263,7 @@ QUERIES = {
     "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
     "cume_dist": q_cume_dist,
+    "rolling_minmax": q_rolling_minmax,
     "window_first_last": q_window_first_last,
     "dow_agg": q_dow_agg,
     "union_all": q_union_all,
@@ -3453,6 +3467,41 @@ ORACLE_SQL = {
         corners AS (
           SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node
+    """,
+    "bm25_topk": """
+        -- mirrors stages/search.bm25_topk's exact float64 expression tree:
+        -- all literals cast to DOUBLE (DuckDB decimals would differ),
+        -- term scores summed left-associated in query order
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+               FROM tok GROUP BY doc_id),
+        st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                      CAST((SELECT count(*) FROM tok) AS DOUBLE) AS total),
+        cons AS (SELECT n, total / n AS avgdl,
+                        CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b,
+                        ((n - (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'hash')) + 0.5)
+                          / ((SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'hash') + 0.5) AS idf1,
+                        ((n - (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window')) + 0.5)
+                          / ((SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'window') + 0.5) AS idf2,
+                        ((n - (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'fast')) + 0.5)
+                          / ((SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'fast') + 0.5) AS idf3
+                 FROM st),
+        tf AS (SELECT doc_id,
+                      CAST(count(*) FILTER (term = 'hash') AS DOUBLE) AS tf1,
+                      CAST(count(*) FILTER (term = 'window') AS DOUBLE) AS tf2,
+                      CAST(count(*) FILTER (term = 'fast') AS DOUBLE) AS tf3
+               FROM tok GROUP BY doc_id),
+        scored AS (
+          SELECT d.doc_id,
+                 ((c.idf1 * (t.tf1 * (c.k1 + 1.0))) / (t.tf1 + c.k1 * ((1.0 - c.b) + (c.b * l.dl) / c.avgdl))
+                  + (c.idf2 * (t.tf2 * (c.k1 + 1.0))) / (t.tf2 + c.k1 * ((1.0 - c.b) + (c.b * l.dl) / c.avgdl)))
+                  + (c.idf3 * (t.tf3 * (c.k1 + 1.0))) / (t.tf3 + c.k1 * ((1.0 - c.b) + (c.b * l.dl) / c.avgdl)) AS score
+          FROM documents d
+          JOIN dl l USING (doc_id) JOIN tf t USING (doc_id) CROSS JOIN cons c)
+        SELECT doc_id, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 50
     """,
     "jaccard_pairs_exact": """
         WITH tok AS (
