@@ -1221,6 +1221,17 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, ["hash", "window", "fast"], k=50)
 
 
+def q_grouped_sample(sf_dir: str):
+    """Deterministic per-key k-sample (``relational.grouped_sample_topk``):
+    25 customers per market segment by pure md5-hash order — identical at
+    any partitioning and in SQL (integer hash ranks; no RNG, no float
+    keys).  The per-source corpus subsampling primitive."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    return R.grouped_sample_topk(cust, ["c_mktsegment"], k=25,
+                                 id_col="c_custkey",
+                                 num_partitions=_nparts(sf_dir, "customer"))
+
+
 def q_session_stats(sf_dir: str):
     """Composition: sessionize -> per-user session count + max session
     length (windows feeding an aggregate), SQL-window oracle."""
@@ -2228,6 +2239,7 @@ QUERIES = {
     "hex_cells": q_hex_cells,
     "triangle_count": q_triangle_count,
     "bm25_topk": q_bm25_topk,
+    "grouped_sample": q_grouped_sample,
     "range_join_copart": q_range_join_copart,
     "grouped_stats": q_grouped_stats,
     "intersect": q_intersect,
@@ -2260,8 +2272,8 @@ QUERIES = {
     "s2_zonal": q_s2_zonal,
     "rollup": q_rollup,
     "pii_scrub": q_pii_scrub,
-    "nfc_norm": q_nfc_norm,
     # --- family-covered variants + re-verified queries (local checker) ---
+    "nfc_norm": q_nfc_norm,
     "cume_dist": q_cume_dist,
     "rolling_minmax": q_rolling_minmax,
     "window_first_last": q_window_first_last,
@@ -3502,6 +3514,13 @@ ORACLE_SQL = {
           JOIN dl l USING (doc_id) JOIN tf t USING (doc_id) CROSS JOIN cons c)
         SELECT doc_id, round(score, 6) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 50
+    """,
+    "grouped_sample": """
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        QUALIFY row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT,
+                     c_custkey) <= 25
     """,
     "jaccard_pairs_exact": """
         WITH tok AS (

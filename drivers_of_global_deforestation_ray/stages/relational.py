@@ -67,6 +67,8 @@ __all__ = [
     "argmax_vote",
     "dedup_exact",
     "topk",
+    "weighted_sample_topk",
+    "grouped_sample_topk",
     "grouped_topk",
     "stratified_sample",
     "stratified_sample_allocated",
@@ -1344,6 +1346,48 @@ def weighted_sample_topk(
     top = local.sort(["__wkey", id_col], descending=[True, False]).limit(k)
     return top.map_batches(lambda df: df.drop(columns=["__wkey"]),
                            batch_format="pandas")
+
+
+def grouped_sample_topk(
+    ds: Dataset,
+    keys: "list[str]",
+    k: int,
+    id_col: str,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Deterministic per-key k-sample WITHOUT replacement: within each key
+    group, keep the k rows with the smallest ``(md5_u32(id), id)`` — a pure
+    hash order, so the sample is identical at any partitioning, on resume,
+    and in the SQL twin (``QUALIFY row_number() OVER (PARTITION BY keys
+    ORDER BY md5_u32(id), id) <= k``; the integer hash ranks directly, no
+    float key to disagree on).  The uniform-weights sibling of
+    :func:`weighted_sample_topk`, per key: the primitive for per-source /
+    per-domain corpus subsampling.
+
+    Skew-proof two-phase (the :func:`grouped_topk` discipline): every block
+    keeps its LOCAL k smallest per key before the shuffle — a hot key ships
+    k rows per block, never its full group."""
+    import hashlib
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        u = np.empty(len(ids), dtype=np.int64)
+        for i, v in enumerate(ids):
+            u[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        df = df.copy(deep=False)
+        df["__skey"] = u
+        return (df.sort_values(["__skey", id_col], kind="stable")
+                .groupby(keys, sort=False, observed=True, dropna=False)
+                .head(k))
+
+    local = ds.map_batches(_key, batch_format="pandas")
+
+    def _final(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.sort_values(["__skey", id_col], kind="stable")
+                .groupby(keys, sort=False, observed=True, dropna=False)
+                .head(k).drop(columns="__skey"))
+
+    return grouped_transform(local, keys, _final, num_partitions)
 
 
 def stratified_sample(

@@ -621,3 +621,31 @@ def test_weighted_sample_topk(rd):
     heavy_rate = (sel["id"] % 10 == 0).mean()
     assert heavy_rate > 0.8        # 100x weights dominate the sample
     assert not set(sel["id"]) & set(range(5))  # zero-weight rows excluded
+
+
+def test_grouped_sample_topk_deterministic_and_exact(rd):
+    """Per-key md5-order sample: matches a direct numpy transcription,
+    identical at different partitionings, clamps to group size."""
+    import hashlib
+
+    from drivers_of_global_deforestation_ray.stages.relational import grouped_sample_topk
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "grp": rng.choice(["a", "b", "c", "tiny"], p=[0.45, 0.45, 0.09, 0.01], size=300),
+    })
+
+    def u32(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    want = (df.assign(u=[u32(v) for v in df["id"]])
+              .sort_values(["u", "id"]).groupby("grp").head(5))
+    want_set = set(zip(want["grp"], want["id"]))
+    for parts in (2, 8):
+        out = grouped_sample_topk(rd.from_pandas(df).repartition(parts),
+                                  ["grp"], k=5, id_col="id",
+                                  num_partitions=4).to_pandas()
+        assert set(zip(out["grp"], out["id"])) == want_set
+    sizes = out.groupby("grp").size()
+    assert sizes.max() == 5 and sizes["tiny"] == min(5, (df["grp"] == "tiny").sum())
