@@ -2204,6 +2204,105 @@ def q_decontam(sf_dir: str):
     return decontaminate(docs, grams)
 
 
+def q_explode_embed(sf_dir: str):
+    """List-column UNNEST WITH ORDINALITY (``relational.explode_list``):
+    embeddings explode to one row per (vec_id, position, float32 value) —
+    zero-copy ``list_flatten`` on the Arrow buffers, no shuffle, values
+    bit-identical to the SQL ``embedding[pos+1]`` twin (no math touches
+    them).  Bounded to vec_id < 200 so the oracle's CROSS JOIN range stays
+    small at every sf."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = emb.filter(expr="vec_id < 200")
+    return R.explode_list(emb, ["vec_id"], "embedding",
+                          pos_col="pos", value_col="value")
+
+
+def q_zscore(sf_dir: str):
+    """Global z-score standardization (the ML feature-scaling two-pass):
+    pass 1 = exact int64 power sums (n, sx, sxx) via one tiny grouped
+    aggregate; pass 2 = stateless vectorized ``(x - sx/n) / sqrt((sxx -
+    sx*sx/n)/n)`` with the identical IEEE expression tree as the SQL twin
+    (the ``grouped_stats`` discipline).  The broadcast is three scalars."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _pow(b: pa.Table) -> pd.DataFrame:
+        q = pc.cast(b["l_quantity"], pa.int64()).to_numpy()
+        return pd.DataFrame({"__g": [np.int8(0)], "n": [len(q)],
+                             "sx": [int(q.sum())], "sxx": [int((q * q).sum())]})
+
+    s = R.grouped_agg(li.map_batches(_pow, batch_format="pyarrow"), ["__g"],
+                      {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                       "sxx": ("sxx", "sum")}, num_partitions=1).to_pandas()
+    n = float(s["n"].iloc[0])
+    sx, sxx = float(s["sx"].iloc[0]), float(s["sxx"].iloc[0])
+
+    def _z(b: pa.Table) -> pd.DataFrame:
+        x = pc.cast(b["l_quantity"], pa.int64()).to_numpy().astype(np.float64)
+        z = (x - sx / n) / np.sqrt((sxx - sx * sx / n) / n)
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                             "l_linenumber": b["l_linenumber"].to_numpy(),
+                             "z": z})
+
+    return li.map_batches(_z, batch_format="pyarrow")
+
+
+def q_vocab_build(sf_dir: str):
+    """Tokenizer vocabulary build: corpus token counts -> contiguous ids
+    ranked by (count desc, term asc) — explode + two-phase grouped count,
+    then the range-partitioned-histogram ``add_rank`` (O(num_buckets)
+    driver) over a fixed-width composite sort key, so the global
+    row_number never materializes the vocabulary on the driver."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].str.split(" ").explode()
+        w = w[w.str.len() > 0]
+        g = w.groupby(w, sort=False).size()
+        return pd.DataFrame({"term": g.index.to_numpy(),
+                             "n": g.to_numpy(np.int64)})
+
+    counts = R.grouped_agg(docs.map_batches(_tok, batch_format="pandas"),
+                           ["term"], {"n": ("n", "sum")}, num_partitions=4)
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        # count desc, term asc as ONE ascending fixed-width ASCII key
+        df["__k"] = ((10 ** 12 - 1 - df["n"]).astype(np.int64)
+                     .astype(str).str.zfill(12) + "|" + df["term"])
+        return df
+
+    ranked = R.add_rank(counts.map_batches(_key, batch_format="pandas"),
+                        "__k", rank_col="vocab_id")
+    return ranked.drop_columns(["__k"])
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-Min sketch point estimates for quantities 1..50 over lineitem
+    (``sketch.cms_estimates``): per-block (depth x width) counter partials,
+    tiny grouped merge, md5-derived hash family — the SQL twin rebuilds the
+    identical sketch with the same ``md5(i || ':' || v)`` bucketing, so the
+    estimates (including collision overcounts) match bit-for-bit."""
+    from ..stages.sketch import cms_estimates
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+    qty = li.map_batches(
+        lambda b: pa.table({"qty": pc.cast(b["l_quantity"], pa.int64())}),
+        batch_format="pyarrow")
+    return cms_estimates(qty, "qty", list(range(1, 51)), width=256, depth=4)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (``functions/bpe.py``): corpus ->
+    word-frequency table (the one corpus-sized shuffle) -> 16 merge rounds,
+    each a vocabulary-bounded pair-count aggregate + top-1 + rewrite.
+    Iterative/stateful -> no SQL oracle (rows-only); the pytest checks the
+    full merge table against a sequential in-memory reference."""
+    from ..functions.bpe import bpe_train
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_train(docs, "text", num_merges=16)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2350,6 +2449,12 @@ QUERIES = {
     "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "frame_sample": q_frame_sample,
+    # --- r3g additions (past the driver window; local-checker verified) ---
+    "explode_embed": q_explode_embed,
+    "zscore": q_zscore,
+    "vocab_build": q_vocab_build,
+    "cms_counts": q_cms_counts,
+    "bpe_merges": q_bpe_merges,
 }
 
 
@@ -3603,5 +3708,43 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+    "explode_embed": """
+        SELECT vec_id, f.range AS pos, embedding[f.range + 1] AS value
+        FROM embeddings CROSS JOIN range(0, 4096) f
+        WHERE vec_id < 200 AND f.range < len(embedding)
+    """,
+    "zscore": """
+        WITH s AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               (CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) - sx / CAST(n AS DOUBLE))
+                 / sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS z
+        FROM lineitem, s
+    """,
+    "vocab_build": """
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term) AS vocab_id
+        FROM (SELECT w AS term, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              WHERE w <> '' GROUP BY w)
+    """,
+    "cms_counts": """
+        WITH vals AS (SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+                      FROM lineitem GROUP BY 1),
+        sk AS (SELECT f.range AS i,
+                      CAST(('0x' || substr(md5(f.range || ':' || v), 1, 8)) AS UBIGINT) % 256 AS b,
+                      CAST(sum(c) AS BIGINT) AS cnt
+               FROM vals CROSS JOIN range(0, 4) f GROUP BY 1, 2),
+        q AS (SELECT range + 1 AS key FROM range(0, 50))
+        SELECT q.key, CAST(min(sk.cnt) AS BIGINT) AS est
+        FROM q CROSS JOIN range(0, 4) f
+        JOIN sk ON sk.i = f.range
+               AND sk.b = CAST(('0x' || substr(md5(f.range || ':' || q.key), 1, 8)) AS UBIGINT) % 256
+        GROUP BY q.key
     """,
 }

@@ -1186,6 +1186,33 @@ def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
         _melt, batch_format="pandas")
 
 
+def explode_list(ds: Dataset, id_cols: list[str], list_col: str,
+                 pos_col: str = "pos", value_col: str = "value") -> Dataset:
+    """List-column -> rows (SQL ``UNNEST WITH ORDINALITY``): one output row
+    per (input row, list element), carrying the 0-based element position.
+
+    Stateless per-batch explode on the Arrow buffers — ``list_flatten`` is
+    zero-copy for the values, ids repeat by the offset deltas, positions are
+    one ``arange`` minus the repeated list starts.  No shuffle, no Python
+    loop; the multiplicative output size is the caller's contract (same rule
+    as :func:`cross_join`)."""
+
+    def _explode(b: pa.Table) -> pa.Table:
+        col = b[list_col].combine_chunks()  # ChunkedArray -> one ListArray
+        offs = np.asarray(col.offsets)
+        lens = np.diff(offs)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        pos = np.arange(int(offs[-1] - offs[0]), dtype=np.int64) - np.repeat(
+            (offs[:-1] - offs[0]).astype(np.int64), lens)
+        cols = {c: b[c].take(pa.array(idx)) for c in id_cols}
+        cols[pos_col] = pa.array(pos)
+        cols[value_col] = pc.list_flatten(col)
+        return pa.table(cols)
+
+    return ds.select_columns(id_cols + [list_col]).map_batches(
+        _explode, batch_format="pyarrow")
+
+
 def cross_join(left: Dataset, small: pa.Table) -> Dataset:
     """Broadcast cartesian product: every left row x every row of the small
     driver-resident side (``ray.put`` once).  Output size multiplies by

@@ -29,7 +29,7 @@ from ray.data import Dataset
 from .relational import grouped_transform
 
 __all__ = ["heavy_hitters", "quantile_sketch", "grouped_quantile_sketch",
-           "mg_merge", "kll_compact"]
+           "mg_merge", "kll_compact", "cms_estimates"]
 
 
 def _mg_compress(values: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -230,3 +230,70 @@ def quantile_sketch(ds: Dataset, col: str, qs: "list[float]", m: int = 256,
         return pd.DataFrame(out)
 
     return grouped_transform(partial, ["__g"], _merge, num_partitions=1)
+
+
+def _cms_buckets(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(len(keys), depth) bucket matrix: row i of hash family = md5 of
+    ``"{i}:{key}"`` first-8-hex as u32, mod width — the repo's standard
+    SQL-reproducible selection hash (``('0x' || substr(md5(i || ':' || k),
+    1, 8))::UBIGINT % width`` in DuckDB)."""
+    import hashlib
+
+    out = np.empty((len(keys), depth), dtype=np.int64)
+    for j, v in enumerate(keys):
+        sv = str(v)
+        for i in range(depth):
+            out[j, i] = int(
+                hashlib.md5(f"{i}:{sv}".encode()).hexdigest()[:8], 16) % width
+    return out
+
+
+def cms_estimates(ds: Dataset, col: str, query_keys: "list",
+                  width: int = 1024, depth: int = 4) -> Dataset:
+    """Count-Min sketch point-frequency estimates (Cormode & Muthukrishnan
+    2005): ``est(k) = min_i counter[i][h_i(k)]``, an overestimate by at most
+    ``e*n/width`` with probability ``1 - e^-depth``.
+
+    100-TB shape: each block ships at most ``depth*width`` counter rows
+    (the sketch, NOT the distinct keys — state is O(d*w) at any
+    cardinality); counters merge by a tiny grouped sum; only the bounded
+    ``query_keys`` buckets are looked up in the final one-partition pass.
+    Deterministic: the hash family is md5-derived (no seeds), so re-runs,
+    retries, and the SQL twin agree exactly.
+
+    Per-batch partial: exact value counts (pandas groupby) scattered into
+    the (depth, width) counter grid with ``np.add.at`` — one md5 per
+    DISTINCT value per batch, not per row.
+    """
+    from .relational import grouped_agg
+
+    qb = _cms_buckets(np.asarray(query_keys), depth, width)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col]
+        cnt = s.groupby(s, sort=False).size()
+        vals, n = cnt.index.to_numpy(), cnt.to_numpy(np.int64)
+        grid = np.zeros((depth, width), dtype=np.int64)
+        b = _cms_buckets(vals, depth, width)
+        for i in range(depth):
+            np.add.at(grid[i], b[:, i], n)
+        nz = np.nonzero(grid)
+        return pd.DataFrame({"__i": nz[0].astype(np.int64), "__b": nz[1],
+                             "__n": grid[nz]})
+
+    merged = grouped_agg(
+        ds.select_columns([col]).map_batches(_partial, batch_format="pandas"),
+        ["__i", "__b"], {"n": ("__n", "sum")}, num_partitions=4)
+
+    keys_arr = np.asarray(query_keys)
+
+    def _lookup(df: pd.DataFrame) -> pd.DataFrame:
+        # one partition holds the whole merged sketch (<= depth*width rows)
+        grid = np.zeros((depth, width), dtype=np.int64)
+        grid[df["__i"].to_numpy(), df["__b"].to_numpy()] = df["n"].to_numpy()
+        est = grid[np.arange(depth)[None, :], qb].min(axis=1)
+        return pd.DataFrame({"key": keys_arr, "est": est})
+
+    one = merged.map_batches(lambda d: d.assign(__g=np.int8(0)),
+                             batch_format="pandas")
+    return grouped_transform(one, ["__g"], _lookup, num_partitions=1)

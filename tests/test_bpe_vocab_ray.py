@@ -1,0 +1,66 @@
+"""Distributed BPE trainer vs the sequential reference; explode_list edges."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from drivers_of_global_deforestation_ray.functions.bpe import (
+    bpe_encode_counts, bpe_reference, bpe_train)
+from drivers_of_global_deforestation_ray.stages.relational import explode_list
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+TEXTS = [
+    "the lowest lower low newer new newest",
+    "wider wide widest the the the low lower",
+    "new newer newest wide wider the low",
+    "es es es es est est est lowest widest",
+] * 3  # repetition changes counts, not the tie rules
+
+
+def test_bpe_matches_sequential_reference(rd):
+    ds = rd.from_pandas(pd.DataFrame({"text": TEXTS})).repartition(5)
+    got = bpe_train(ds, "text", num_merges=12)
+    want = bpe_reference(TEXTS, num_merges=12)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_bpe_partitioning_invariant(rd):
+    ds1 = rd.from_pandas(pd.DataFrame({"text": TEXTS})).repartition(1)
+    ds8 = rd.from_pandas(pd.DataFrame({"text": TEXTS})).repartition(8)
+    a = bpe_train(ds1, "text", num_merges=8)
+    b = bpe_train(ds8, "text", num_merges=8)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_encode_counts(rd):
+    """After enough merges every training word collapses toward one token;
+    with zero merges the count is chars+1 (the </w> marker) per word."""
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["low low", "newest"]}))
+    merges = bpe_reference(TEXTS, num_merges=0)
+    got = (bpe_encode_counts(ds, "text", "doc_id", merges)
+           .to_pandas().set_index("doc_id")["n_tokens"])
+    assert got[0] == 2 * (3 + 1) and got[1] == 6 + 1
+    merges = bpe_reference(TEXTS, num_merges=40)
+    got = (bpe_encode_counts(ds, "text", "doc_id", merges)
+           .to_pandas().set_index("doc_id")["n_tokens"])
+    assert got[0] < 8 and got[1] < 7  # merged subwords shrink the counts
+
+
+def test_explode_list_positions_and_empties(rd):
+    t = pa.table({"vec_id": [1, 2, 3, 4],
+                  "embedding": [[1.0, 2.0], [], [3.0], [4.0, 5.0, 6.0]]})
+    ds = rd.from_arrow(t).repartition(3)
+    got = (explode_list(ds, ["vec_id"], "embedding").to_pandas()
+           .sort_values(["vec_id", "pos"]).reset_index(drop=True))
+    assert got["vec_id"].tolist() == [1, 1, 3, 4, 4, 4]
+    assert got["pos"].tolist() == [0, 1, 0, 0, 1, 2]
+    assert got["value"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]

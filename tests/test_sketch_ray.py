@@ -96,3 +96,56 @@ def test_grouped_quantile_sketch_skewed_key(rd):
                 est = row[f"q{int(q * 100)}"]
                 rank = np.searchsorted(sub, est) / len(sub)
                 assert abs(rank - q) < 0.025, (row["k"], q, rank)
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+def test_cms_exact_when_sparse(rd):
+    """Width far above cardinality -> (almost surely) no collisions: the
+    estimate equals the exact count for every queried key."""
+    from drivers_of_global_deforestation_ray.stages.sketch import cms_estimates
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(1, 21, 50_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    got = (cms_estimates(ds, "v", list(range(1, 21)), width=65536, depth=4)
+           .to_pandas().set_index("key")["est"])
+    true = pd.Series(vals).value_counts()
+    for k in range(1, 21):
+        assert got[k] == true[k]
+
+
+def test_cms_overestimate_and_bound(rd):
+    """Tiny width forces collisions: estimates never UNDERcount, and the
+    overcount respects the e*n/width expectation bound with slack."""
+    from drivers_of_global_deforestation_ray.stages.sketch import cms_estimates
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(1, 2001, 100_000)  # 2000 distinct over width 64
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    keys = list(range(1, 101))
+    got = (cms_estimates(ds, "v", keys, width=64, depth=4)
+           .to_pandas().set_index("key")["est"])
+    true = pd.Series(vals).value_counts()
+    n = len(vals)
+    for k in keys:
+        assert got[k] >= true.get(k, 0)          # CMS never undercounts
+        assert got[k] - true.get(k, 0) <= 10 * n / 64  # loose tail bound
+
+
+def test_cms_partitioning_invariant(rd):
+    """The merged sketch is associative: 2 blocks and 16 blocks give the
+    bit-identical estimate vector (determinism under re-sharding/retry)."""
+    from drivers_of_global_deforestation_ray.stages.sketch import cms_estimates
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(1, 301, 30_000)
+    df = pd.DataFrame({"v": vals})
+    keys = list(range(1, 51))
+    a = (cms_estimates(rd.from_pandas(df).repartition(2), "v", keys,
+                       width=128, depth=4).to_pandas()
+         .sort_values("key").reset_index(drop=True))
+    b = (cms_estimates(rd.from_pandas(df).repartition(16), "v", keys,
+                       width=128, depth=4).to_pandas()
+         .sort_values("key").reset_index(drop=True))
+    assert a.equals(b)
