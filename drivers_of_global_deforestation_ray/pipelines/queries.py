@@ -2291,6 +2291,104 @@ def q_cms_counts(sf_dir: str):
     return cms_estimates(qty, "qty", list(range(1, 51)), width=256, depth=4)
 
 
+def q_kmv_distinct(sf_dir: str):
+    """Bottom-k (KMV) approximate per-key COUNT DISTINCT
+    (``sketch.kmv_distinct``): k smallest md5-u32 hashes of the distinct
+    values, estimate ``(k-1)/(h_k/2^32)`` — deterministic hash family, so
+    the SQL twin rebuilds the identical sketch and even the *approximate*
+    estimates compare hash-exact."""
+    from ..stages.sketch import kmv_distinct
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_custkey"])
+    return kmv_distinct(cust, ["c_nationkey"], "c_custkey", k=32)
+
+
+_JL_DIM, _JL_OUT = 64, 4
+
+
+def _jl_weights() -> np.ndarray:
+    """Deterministic Johnson-Lindenstrauss weight matrix: uniform [-1, 1)
+    from the engine's md5-u32 selection hash of ``"{j}:{d}"`` — no RNG, so
+    engine and SQL literals agree to the bit."""
+    import hashlib
+
+    w = np.empty((_JL_OUT, _JL_DIM), dtype=np.float64)
+    for d in range(_JL_OUT):
+        for j in range(_JL_DIM):
+            w[d, j] = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8],
+                          16) / 4294967296.0 * 2.0 - 1.0
+    return w
+
+
+def q_jl_project(sf_dir: str):
+    """Random-projection (Johnson-Lindenstrauss) embedding reduction
+    64 -> 4 dims: stateless vectorized map, float64 accumulation in index
+    order; the SQL twin inlines the same weights as shortest-roundtrip
+    literals.  DuckDB reassociates long addition chains (few-ulp drift), so
+    both sides round to 6 decimals — the repo's embed_neardup cosine
+    discipline.  The preprocessing step ahead of ANN / LSH when raw
+    dimensionality is the cost driver."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    W = _jl_weights()
+
+    def _proj(b: pa.Table) -> pd.DataFrame:
+        flat = pc.list_flatten(b["embedding"].combine_chunks()).to_numpy()
+        x = flat.reshape(len(b), _JL_DIM).astype(np.float64)
+        cols = {"vec_id": b["vec_id"].to_numpy()}
+        for d in range(_JL_OUT):
+            acc = x[:, 0] * W[d, 0]
+            for j in range(1, _JL_DIM):
+                acc = acc + x[:, j] * W[d, j]
+            cols[f"p{d}"] = np.round(acc, 6)
+        return pd.DataFrame(cols)
+
+    return emb.map_batches(_proj, batch_format="pyarrow")
+
+
+def _jl_project_sql() -> str:
+    W = _jl_weights()
+    outs = []
+    for d in range(_JL_OUT):
+        expr = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({W[d, j]!r})"
+            for j in range(_JL_DIM))
+        outs.append(f"round({expr}, 6) AS p{d}")
+    return f"SELECT vec_id, {', '.join(outs)} FROM embeddings"
+
+
+def q_regex_extract(sf_dir: str):
+    """Extract-all-matches explode (log/doc field mining): leftmost
+    non-overlapping ``[a-z]{5,}`` runs per document with the match index —
+    ASCII-explicit pattern so Python re and DuckDB RE2 agree byte-for-byte
+    (the ``pii_scrub`` discipline)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ex(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["text"].str.findall(r"[a-z]{5,}")
+        e = df[["doc_id"]].assign(__m=m).explode("__m")
+        e = e[e["__m"].notna()]
+        return pd.DataFrame({
+            "doc_id": e["doc_id"].to_numpy(),
+            "match_idx": e.groupby("doc_id", sort=False).cumcount()
+                          .to_numpy(np.int64),
+            "match_str": e["__m"].to_numpy(dtype=object)})
+
+    return docs.map_batches(_ex, batch_format="pandas")
+
+
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicate n-gram SPAN removal (Lee et al. 2022 exact-substring
+    family at word granularity, ``dedup.dedup_spans``): corpus-global
+    3-gram occurrences keep only their first (doc, pos); every other
+    occurrence masks its 3 words; docs reassemble from unmasked words.
+    Gram occurrences shuffle as md5 fingerprints (32 bytes regardless of
+    n); reassembly is the union+marker co-partition, no Dataset join."""
+    from ..stages.dedup import dedup_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_spans(docs, "text", "doc_id", n=3, num_partitions=4)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (``functions/bpe.py``): corpus ->
     word-frequency table (the one corpus-sized shuffle) -> 16 merge rounds,
@@ -2455,6 +2553,10 @@ QUERIES = {
     "vocab_build": q_vocab_build,
     "cms_counts": q_cms_counts,
     "bpe_merges": q_bpe_merges,
+    "dedup_spans": q_dedup_spans,
+    "kmv_distinct": q_kmv_distinct,
+    "jl_project": q_jl_project,
+    "regex_extract": q_regex_extract,
 }
 
 
@@ -3746,5 +3848,49 @@ ORACLE_SQL = {
         JOIN sk ON sk.i = f.range
                AND sk.b = CAST(('0x' || substr(md5(f.range || ':' || q.key), 1, 8)) AS UBIGINT) % 256
         GROUP BY q.key
+    """,
+    "dedup_spans": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, f.range AS pos,
+                     md5(ws[f.range + 1] || ' ' || ws[f.range + 2] || ' '
+                         || ws[f.range + 3]) AS h
+              FROM w CROSS JOIN range(0, 2000) f
+              WHERE f.range + 3 <= len(ws)),
+        st AS (SELECT h, count(*) AS c, min(doc_id * 1048576 + pos) AS wk
+               FROM g GROUP BY h),
+        dup AS (SELECT g.doc_id, g.pos FROM g JOIN st USING (h)
+                WHERE st.c > 1 AND g.doc_id * 1048576 + g.pos <> st.wk),
+        mask AS (SELECT DISTINCT doc_id, pos + f.range AS idx
+                 FROM dup CROSS JOIN range(0, 3) f),
+        wi AS (SELECT doc_id, f.range AS idx, ws[f.range + 1] AS word
+               FROM w CROSS JOIN range(0, 2000) f WHERE f.range < len(ws))
+        SELECT wi.doc_id, string_agg(wi.word, ' ' ORDER BY wi.idx) AS text
+        FROM wi
+        WHERE NOT EXISTS (SELECT 1 FROM mask m
+                          WHERE m.doc_id = wi.doc_id AND m.idx = wi.idx)
+        GROUP BY wi.doc_id
+    """,
+    "kmv_distinct": """
+        WITH h AS (SELECT c_nationkey,
+                          CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                               AS UBIGINT) AS hv
+                   FROM customer GROUP BY 1, 2),
+        r AS (SELECT c_nationkey, hv,
+                     row_number() OVER (PARTITION BY c_nationkey ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY c_nationkey) AS nd
+              FROM h)
+        SELECT c_nationkey,
+               CASE WHEN nd >= 32
+                    THEN CAST(31 AS DOUBLE) / (CAST(hv AS DOUBLE) / 4294967296.0)
+                    ELSE CAST(nd AS DOUBLE) END AS est_distinct
+        FROM r WHERE rn = LEAST(nd, 32)
+    """,
+    "jl_project": _jl_project_sql(),
+    "regex_extract": """
+        WITH m AS (SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS ms
+                   FROM documents)
+        SELECT doc_id, f.range AS match_idx, ms[f.range + 1] AS match_str
+        FROM m CROSS JOIN range(0, 2000) f
+        WHERE f.range < len(ms)
     """,
 }

@@ -142,6 +142,88 @@ def dedup_lines(ds: Dataset, text_col: str, id_col: str, sep: str = "\n",
     return grouped_transform(kept, [id_col], _reassemble, num_partitions)
 
 
+def dedup_spans(ds: Dataset, text_col: str, id_col: str, n: int = 3,
+                num_partitions: int = 32) -> Dataset:
+    """Exact duplicate n-gram SPAN removal (the Lee et al. 2022 "Deduplicating
+    Training Data" / RefinedWeb exact-substring family, at word granularity):
+    every occurrence of an n-word gram that appears more than once across the
+    WHOLE corpus — except the globally first occurrence (lowest (doc id,
+    position)) — masks the n words it covers; documents are reassembled from
+    their unmasked words in order.  Docs left with zero words drop.
+
+    Scale shape: gram occurrences shuffle as (id, pos, md5-fingerprint) —
+    32 hex bytes per occurrence REGARDLESS of n (the gram text never leaves
+    its block); the winner/dup decision is a vectorized transform-min per
+    gram partition (``dedup_lines`` discipline); masks explode x n (ints
+    only) and co-partition with the word table by doc id for reassembly
+    (union + marker column, the ``triangle_counts`` pattern — no Dataset
+    join).  Positions bound to 2^20 per doc so the composite winner key
+    packs into one int64."""
+    import hashlib
+
+    def _grams(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[[id_col]].assign(__w=b[text_col].str.split(" ")).explode("__w")
+        ids = e[id_col].to_numpy()
+        words = e["__w"].to_numpy(dtype=object)
+        if len(ids) and int(pd.Series(ids).groupby(ids).size().max()) >= (1 << 20):
+            raise ValueError("dedup_spans: document exceeds 2^20 words")
+        pos = pd.Series(ids).groupby(ids, sort=False).cumcount().to_numpy()
+        keep = np.ones(len(ids), dtype=bool)
+        gram = words.copy()
+        for k in range(1, n):
+            nxt = np.roll(words, -k)
+            gram = np.array([a + " " + b for a, b in zip(gram, nxt)], dtype=object)
+            keep &= ids == np.roll(ids, -k)
+        if n > 1:
+            keep[-(n - 1):] = False
+        h = np.array([hashlib.md5(g.encode()).hexdigest()
+                      for g in gram[keep]], dtype=object)
+        return pd.DataFrame({id_col: ids[keep], "__pos": pos[keep].astype(np.int64),
+                             "__h": h})
+
+    def _dups(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[id_col].to_numpy(np.int64) * (1 << 20) + df["__pos"].to_numpy()
+        grp = df.assign(__k=key).groupby("__h", sort=False)["__k"]
+        win = grp.transform("min").to_numpy()
+        cnt = grp.transform("size").to_numpy()
+        d = df[(cnt > 1) & (key != win)]
+        return pd.DataFrame({id_col: d[id_col].to_numpy(),
+                             "__pos": d["__pos"].to_numpy()})
+
+    def _mask_idx(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.repeat(df[id_col].to_numpy(), n)
+        idx = np.repeat(df["__pos"].to_numpy(), n) + np.tile(
+            np.arange(n, dtype=np.int64), len(df))
+        return pd.DataFrame({id_col: ids, "__idx": idx,
+                             "__m": np.full(len(ids), 1, dtype=np.int8),
+                             "__word": np.full(len(ids), "", dtype=object)})
+
+    def _words(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[[id_col]].assign(__word=b[text_col].str.split(" ")).explode("__word")
+        m = len(e)
+        return pd.DataFrame({
+            id_col: e[id_col].to_numpy(),
+            "__idx": e.groupby(id_col, sort=False).cumcount().to_numpy(np.int64),
+            "__m": np.full(m, 0, dtype=np.int8),
+            "__word": e["__word"].to_numpy(dtype=object)})
+
+    def _reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        masked = df[df["__m"] == 1][[id_col, "__idx"]].drop_duplicates()
+        w = df[df["__m"] == 0]
+        keep = w.merge(masked, on=[id_col, "__idx"], how="left", indicator=True)
+        keep = keep[keep["_merge"] == "left_only"].sort_values("__idx", kind="stable")
+        g = keep.groupby(id_col, sort=False)["__word"].agg(" ".join)
+        return pd.DataFrame({id_col: g.index.to_numpy(),
+                             text_col: g.to_numpy(dtype=object)})
+
+    grams = ds.map_batches(_grams, batch_format="pandas")
+    dups = grouped_transform(grams, ["__h"], _dups, num_partitions)
+    masks = dups.map_batches(_mask_idx, batch_format="pandas")
+    words = ds.map_batches(_words, batch_format="pandas")
+    both = words.union(masks)
+    return grouped_transform(both, [id_col], _reassemble, num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from ray.data import Dataset
 from .relational import grouped_transform
 
 __all__ = ["heavy_hitters", "quantile_sketch", "grouped_quantile_sketch",
-           "mg_merge", "kll_compact", "cms_estimates"]
+           "mg_merge", "kll_compact", "cms_estimates", "kmv_distinct"]
 
 
 def _mg_compress(values: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -297,3 +297,47 @@ def cms_estimates(ds: Dataset, col: str, query_keys: "list",
     one = merged.map_batches(lambda d: d.assign(__g=np.int8(0)),
                              batch_format="pandas")
     return grouped_transform(one, ["__g"], _lookup, num_partitions=1)
+
+
+def kmv_distinct(ds: Dataset, keys: "list[str]", col: str, k: int = 32,
+                 out_col: str = "est_distinct",
+                 num_partitions: int = 8) -> Dataset:
+    """Per-key approximate COUNT(DISTINCT ``col``) via a bottom-k (KMV /
+    k-minimum-values) sketch (Bar-Yossef et al. 2002): keep the ``k``
+    smallest md5-u32 hashes of the distinct values; with ``nd >= k``
+    distinct hashes the estimate is ``(k-1) / (h_k / 2^32)``, else the
+    exact distinct count.  Relative error ~ 1/sqrt(k).
+
+    DETERMINISTIC (the engine's md5 selection-hash discipline): no seeds,
+    so re-runs, retries and the SQL twin agree bit-for-bit — the reason a
+    hash-exact oracle exists for an *approximate* operator.
+
+    Scale shape: per-block partials ship at most ``k`` int64 hashes per
+    key per block (state bounded at ANY cardinality — the same contract as
+    ``heavy_hitters``); the merge is a per-key sorted-unique head, a
+    vectorized transform per partition."""
+    import hashlib
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[keys + [col]].drop_duplicates()
+        hv = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in d[col]), dtype=np.int64, count=len(d))
+        out = d[keys].copy(deep=False)
+        out["__hv"] = hv
+        out = out.sort_values("__hv", kind="stable")
+        return out.groupby(keys, sort=False).head(k)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(keys + ["__hv"]).sort_values("__hv", kind="stable")
+        rows = []
+        for kv, g in d.groupby(keys, sort=False):
+            hv = g["__hv"].to_numpy()
+            nd = len(hv)
+            est = (float(k - 1) / (float(hv[k - 1]) / 4294967296.0)
+                   if nd >= k else float(nd))
+            rows.append((*(kv if isinstance(kv, tuple) else (kv,)), est))
+        return pd.DataFrame(rows, columns=keys + [out_col])
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return grouped_transform(partial, keys, _merge, num_partitions)

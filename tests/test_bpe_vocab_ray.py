@@ -64,3 +64,66 @@ def test_explode_list_positions_and_empties(rd):
     assert got["vec_id"].tolist() == [1, 1, 3, 4, 4, 4]
     assert got["pos"].tolist() == [0, 1, 0, 0, 1, 2]
     assert got["value"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+# --- duplicate n-gram span removal ------------------------------------------
+
+def _spans_reference(docs, n=3):
+    """Brute-force reference of the dedup_spans contract."""
+    grams = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(" ".join(ws[p:p + n]), []).append((doc_id, p))
+    masked = {}
+    for occ in grams.values():
+        if len(occ) > 1:
+            first = min(occ)
+            for o in occ:
+                if o != first:
+                    for i in range(n):
+                        masked.setdefault(o[0], set()).add(o[1] + i)
+    out = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        kept = [w for i, w in enumerate(ws) if i not in masked.get(doc_id, set())]
+        if kept:
+            out[doc_id] = " ".join(kept)
+    return out
+
+
+def test_dedup_spans_planted(rd):
+    from drivers_of_global_deforestation_ray.stages.dedup import dedup_spans
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "intro alpha beta gamma delta outro"),          # 4-word overlap
+        (3, "alpha beta gamma delta epsilon zeta"),          # full dup of 1
+        (4, "unique words only here none shared"),
+        (5, "tiny doc"),                                     # shorter than n
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = (dedup_spans(rd.from_pandas(df).repartition(3), "text", "doc_id",
+                       n=3, num_partitions=3)
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    assert got == _spans_reference(docs)
+    assert 3 not in got            # the full duplicate vanished
+    assert got[1] == docs[0][1]    # first occurrence untouched
+    assert got[4] == docs[3][1] and got[5] == docs[4][1]
+
+
+def test_dedup_spans_partitioning_invariant(rd):
+    from drivers_of_global_deforestation_ray.stages.dedup import dedup_spans
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab, 12))) for i in range(60)]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    a = (dedup_spans(rd.from_pandas(df).repartition(1), "text", "doc_id", n=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dedup_spans(rd.from_pandas(df).repartition(16), "text", "doc_id", n=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a.equals(pd.DataFrame(
+        [(k, v) for k, v in sorted(_spans_reference(docs).items())],
+        columns=["doc_id", "text"]))

@@ -149,3 +149,33 @@ def test_cms_partitioning_invariant(rd):
                        width=128, depth=4).to_pandas()
          .sort_values("key").reset_index(drop=True))
     assert a.equals(b)
+
+
+# --- bottom-k (KMV) distinct ------------------------------------------------
+
+def test_kmv_exact_below_k_and_estimate_above(rd):
+    from drivers_of_global_deforestation_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(12)
+    # group "small": 10 distinct (< k -> exact); "big": 5000 distinct (~5% err)
+    small = pd.DataFrame({"g": "small", "v": rng.integers(0, 10, 2000)})
+    big = pd.DataFrame({"g": "big", "v": rng.integers(0, 1_000_000, 20_000)})
+    nd_big = big["v"].nunique()
+    ds = rd.from_pandas(pd.concat([small, big], ignore_index=True)).repartition(8)
+    got = (kmv_distinct(ds, ["g"], "v", k=256).to_pandas()
+           .set_index("g")["est_distinct"])
+    assert got["small"] == 10.0
+    assert abs(got["big"] - nd_big) / nd_big < 0.2  # 1/sqrt(256) ~ 6% expected
+
+
+def test_kmv_partitioning_invariant(rd):
+    from drivers_of_global_deforestation_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 30_000),
+                       "v": rng.integers(0, 3000, 30_000)})
+    a = (kmv_distinct(rd.from_pandas(df).repartition(2), ["g"], "v", k=64)
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    b = (kmv_distinct(rd.from_pandas(df).repartition(16), ["g"], "v", k=64)
+         .to_pandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
