@@ -2291,6 +2291,42 @@ def q_cms_counts(sf_dir: str):
     return cms_estimates(qty, "qty", list(range(1, 51)), width=256, depth=4)
 
 
+def q_dedup_minhash_incremental(sf_dir: str):
+    """Cross-snapshot NEAR-dedup (``dedup.minhash_incremental_dedup``):
+    even-id docs are the seen corpus, odd-id docs the new crawl; new docs
+    near-duplicating any seen doc (signature agreement >= 0.8) drop.
+    Candidate phase shuffles only (id, band, side) rows; rows-only check
+    (LSH + RNG-free but signature-threshold semantics are not SQL)."""
+    from ..stages.dedup import minhash_incremental_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _parity(keep_even: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            return b.filter(pa.array((ids % 2 == 0) == keep_even))
+        return _f
+
+    seen = docs.map_batches(_parity(True), batch_format="pyarrow")
+    new = docs.map_batches(_parity(False), batch_format="pyarrow")
+    out = minhash_incremental_dedup(new, seen, threshold=0.8,
+                                    num_partitions=4)
+    return out.select_columns(["doc_id"])
+
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware hybrid join (``relational.skew_join``): Misra-Gries
+    nominates hot l_orderkeys, hot rows take a broadcast path, cold rows
+    the shuffle join, streams union — the oracle is a PLAIN SQL join, so
+    the hash check proves strategy invariance (hot/cold routing cannot
+    change the result)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    out = R.skew_join(li, ords, on="l_orderkey", right_on="o_orderkey",
+                      hot_k=32, num_partitions=_nparts(sf_dir, "lineitem", "orders"))
+    return out.select_columns(["l_orderkey", "l_linenumber", "o_orderpriority"])
+
+
 def q_kmv_distinct(sf_dir: str):
     """Bottom-k (KMV) approximate per-key COUNT DISTINCT
     (``sketch.kmv_distinct``): k smallest md5-u32 hashes of the distinct
@@ -2557,6 +2593,8 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "jl_project": q_jl_project,
     "regex_extract": q_regex_extract,
+    "skew_join": q_skew_join,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
 }
 
 
@@ -3892,5 +3930,9 @@ ORACLE_SQL = {
         SELECT doc_id, f.range AS match_idx, ms[f.range + 1] AS match_str
         FROM m CROSS JOIN range(0, 2000) f
         WHERE f.range < len(ms)
+    """,
+    "skew_join": """
+        SELECT l_orderkey, l_linenumber, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     """,
 }

@@ -476,8 +476,9 @@ def pair_text_verify(pairs: Dataset, ds: Dataset, id_col: str, text_col: str,
 
     if mode == "broadcast":
         cand = pairs.select_columns(["a", "b"]).to_pandas()
-        need = (np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-                if len(cand) else np.array([], dtype=np.int64))
+        if not len(cand):
+            return pairs  # no candidates: nothing to verify, nothing passes
+        need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
         need_ref = ray.put(need)
 
         def _fetch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -676,6 +677,8 @@ def drop_ids(pairs: Dataset, ds: Dataset, id_col: str,
     all-to-all of the full corpus)."""
     drops = pairs.select_columns(["b"]).materialize()  # ids only, bounded
     n_drops = drops.count()
+    if n_drops == 0:
+        return ds  # nothing to drop (also: empty ds.to_pandas() loses columns)
     if n_drops <= broadcast_limit:
         drop_arr = np.unique(drops.to_pandas()["b"].to_numpy().astype(np.int64))
         ref = ray.put(drop_arr)
@@ -714,6 +717,112 @@ def minhash_lsh_dedup(ds: Dataset, **kwargs) -> Dataset:
     kwargs.setdefault("unique_pairs", False)
     pairs = minhash_lsh_pairs(ds, **kwargs)
     return drop_ids(pairs, ds, id_col)
+
+
+def _make_minhash_sim_fn(num_perms: int, seed: int, shingle_k: int,
+                         exact_verify: bool):
+    """MinHash verify kernel shared by self-join and incremental dedup:
+    similarity vector for co-located text pairs, features cached per
+    distinct text within the batch."""
+
+    def _sim_fn(texts_a: "list[str]", texts_b: "list[str]") -> np.ndarray:
+        hasher = MinHasher(num_perms, seed) if not exact_verify else None
+        cache: dict = {}
+
+        def features_of(t: str):
+            f = cache.get(t)
+            if f is None:
+                sh = word_shingles(t or "", shingle_k)
+                f = cache[t] = (set(sh) if exact_verify
+                                else hasher.signature(hash_tokens64(sh)))
+            return f
+
+        sims = np.empty(len(texts_a), dtype=np.float64)
+        for pos, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+            fa, fb = features_of(ta), features_of(tb)
+            sims[pos] = jaccard(fa, fb) if exact_verify else float((fa == fb).mean())
+        return sims
+
+    return _sim_fn
+
+
+def minhash_incremental_dedup(
+    new_ds: Dataset,
+    seen_ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 128,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 7,
+    exact_verify: bool = False,
+    verify: str = "auto",
+    broadcast_limit: int = 100_000,
+    num_partitions: int = 32,
+    seen_bucket_cap: int = BUCKET_COMPLETE_CAP,
+) -> Dataset:
+    """Cross-snapshot NEAR-dedup: drop every NEW doc whose similarity to ANY
+    doc of the SEEN corpus reaches ``threshold`` — the near-dup analogue of
+    :func:`dedup_incremental`'s exact fingerprints (the recrawl case: new
+    snapshot vs an already-ingested corpus, where boilerplate drift defeats
+    exact hashing).
+
+    Shape: both corpora band-explode with the SAME hash family (compact
+    (id, band, side) rows are all that shuffle); candidate pairs form only
+    ACROSS sides inside a band bucket (never seen x seen — the seen corpus
+    is immutable); verification fetches texts from the two corpora's union
+    by id (ids must be disjoint across corpora — caller contract, same as
+    ``dedup_incremental``); survivors come back through the scale-adaptive
+    :func:`drop_ids` anti join.  Buckets cap the seen side at
+    ``seen_bucket_cap`` members (smallest ids, deterministic) — the drop
+    decision needs ONE matching seen doc, so the cap only matters for
+    adversarial mega-buckets, and :func:`bucket_truncation_stats` on the
+    exploded table reports them."""
+    bandfn = _minhash_band_fn(text_col, id_col, num_perms, num_bands,
+                              shingle_k, seed)
+
+    def _tag(side: int):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["__side"] = np.full(len(df), side, dtype=np.int8)
+            return df
+        return _f
+
+    new_b = new_ds.map_batches(bandfn, batch_format="pandas").map_batches(
+        _tag(1), batch_format="pandas")
+    seen_b = seen_ds.map_batches(bandfn, batch_format="pandas").map_batches(
+        _tag(0), batch_format="pandas")
+    both = new_b.union(seen_b)
+
+    def _xpairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, gb in g.groupby("band", sort=False):
+            gb = gb.drop_duplicates(["doc_id", "__side"])
+            nids = np.sort(gb.loc[gb["__side"] == 1, "doc_id"].to_numpy())
+            sids = np.sort(gb.loc[gb["__side"] == 0, "doc_id"].to_numpy())
+            sids = sids[:seen_bucket_cap]
+            if len(nids) and len(sids):
+                a = np.repeat(sids, len(nids))
+                b = np.tile(nids, len(sids))
+                out.append(pd.DataFrame({"a": a.astype(np.int64),
+                                         "b": b.astype(np.int64),
+                                         "sim": np.full(len(a), np.nan)}))
+        return (pd.concat(out, ignore_index=True) if out
+                else _empty_pairs("sim", np.float64))
+
+    # duplicate (a, b) from multi-band collisions verify to the same sim and
+    # the drop-set union absorbs them -> skip the uniqueness shuffle (the
+    # minhash_lsh_dedup discipline)
+    pairs = grouped_transform(both, ["band"], _xpairs, num_partitions)
+    union_docs = new_ds.select_columns([id_col, text_col]).union(
+        seen_ds.select_columns([id_col, text_col]))
+    sim_fn = _make_minhash_sim_fn(num_perms, seed, shingle_k, exact_verify)
+    verified = pair_text_verify(pairs, union_docs, id_col, text_col, sim_fn,
+                                threshold, verify=verify,
+                                broadcast_limit=broadcast_limit,
+                                num_partitions=num_partitions)
+    return drop_ids(verified, new_ds, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -410,6 +410,67 @@ def hash_join(
     return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on_t, right_on=r_t)
 
 
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    how: str = "inner",
+    right_on: str | None = None,
+    hot_k: int = 64,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Skew-aware hybrid equi-join (the north rule's salted-hot-key idea
+    applied to joins): a Misra-Gries pass (O(hot_k) state, no extra
+    shuffle) nominates the left side's hottest join keys; rows carrying a
+    hot key take a BROADCAST path (the right side's hot-key rows ship once
+    via ``ray.put`` — bounded by hot_k keys x the right side's per-key
+    row count, the dimension-like contract), everything else takes the
+    ordinary hash-shuffle join; the two streams union.
+
+    A hot key that would pin one shuffle reducer (the classic web-scale
+    failure: one viral URL / one mega-domain) never enters the shuffle at
+    all.  The hot set is ADVISORY — any detection error only moves rows
+    between two paths that produce identical results, which is exactly
+    what the SQL oracle checks (strategy invariance vs a plain JOIN).
+    ``inner`` joins only: splitting an outer join across paths would need
+    unmatched-row reconciliation between them."""
+    if how != "inner":
+        raise ValueError("skew_join supports how='inner' only")
+    from .sketch import heavy_hitters
+
+    r_on = right_on or on
+    hot = heavy_hitters(left, on, k=hot_k * 4, top=hot_k).to_pandas()
+    hot_keys = hot["value"].to_numpy()
+    href = ray.put(hot_keys)
+
+    def _split(key_col):
+        def _f(b: pa.Table, keep_hot: bool) -> pa.Table:
+            mask = np.isin(b[key_col].to_numpy(zero_copy_only=False),
+                           ray.get(href))
+            return b.filter(pa.array(mask if keep_hot else ~mask))
+        return _f
+
+    lsplit, rsplit = _split(on), _split(r_on)
+    left_hot = left.map_batches(lambda b: lsplit(b, True), batch_format="pyarrow")
+    left_cold = left.map_batches(lambda b: lsplit(b, False), batch_format="pyarrow")
+    right_hot_tbl = pa.Table.from_pandas(
+        right.map_batches(lambda b: rsplit(b, True),
+                          batch_format="pyarrow").to_pandas(),
+        preserve_index=False)
+    right_cold = right.map_batches(lambda b: rsplit(b, False),
+                                   batch_format="pyarrow")
+
+    hot_joined = broadcast_join(left_hot, right_hot_tbl, on=on, how="inner",
+                                right_on=r_on)
+    cold_joined = hash_join(left_cold, right_cold, on=on, how="inner",
+                            num_partitions=num_partitions, right_on=r_on)
+    # the two paths may order/type columns differently — align before union
+    cols = hot_joined.schema().names
+    order = [c for c in cols if c in set(cold_joined.schema().names)]
+    return hot_joined.select_columns(order).union(
+        cold_joined.select_columns(order))
+
+
 def grouped_median(ds: Dataset, keys: list[str], col: str, out_col: str = "median",
                    num_partitions: int = 32) -> Dataset:
     """Grouped exact median — a HOLISTIC aggregate (needs every value of a

@@ -472,3 +472,39 @@ def test_prefix_jaccard_join_short_docs_excluded(rd):
     assert 0 not in set(lo["a"]) | set(lo["b"]) and 5 not in set(lo["a"]) | set(lo["b"])
     assert (1, 2) in set(zip(hi["a"], hi["b"]))  # exact dup survives tau=0.99
     assert set(zip(hi["a"], hi["b"])) <= set(zip(lo["a"], lo["b"]))
+
+
+def test_minhash_incremental_dedup_cross_corpus(rd, corpus):
+    """Split the planted corpus: base docs (ids < 100) are SEEN; the exact
+    dups (100..109) and near-dups (200..209) are the NEW crawl.  All exact
+    dups must drop; near-dups (J~0.73, sig agreement ~0.73) drop at
+    threshold 0.6 with high LSH recall; cross-side only — no new doc drops
+    because of another NEW doc."""
+    seen = corpus[corpus["doc_id"] < 100]
+    new = corpus[corpus["doc_id"] >= 100]
+    out = D.minhash_incremental_dedup(
+        rd.from_pandas(new).repartition(3),
+        rd.from_pandas(seen).repartition(4),
+        threshold=0.6, num_bands=32, num_partitions=4,
+    ).to_pandas()
+    survivors = set(out["doc_id"]) if len(out) else set()
+    assert not survivors & set(range(100, 110))          # exact dups gone
+    assert len(survivors & set(range(200, 210))) <= 2    # near-dups mostly gone
+    # a brand-new unique doc always survives
+    uniq = pd.DataFrame({"doc_id": [900], "text": ["totally fresh content here"]})
+    out2 = D.minhash_incremental_dedup(
+        rd.from_pandas(uniq), rd.from_pandas(seen), threshold=0.6,
+        num_bands=32, num_partitions=2).to_pandas()
+    assert set(out2["doc_id"]) == {900}
+
+
+def test_minhash_incremental_no_seen_seen_pairs(rd, corpus):
+    """Two identical SEEN docs must not cause any NEW doc to drop (pairs
+    form across sides only)."""
+    seen = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["same seen text twice"] * 2})
+    new = pd.DataFrame({"doc_id": [11], "text": ["unrelated new words"]})
+    out = D.minhash_incremental_dedup(
+        rd.from_pandas(new), rd.from_pandas(seen), threshold=0.5,
+        num_partitions=2).to_pandas()
+    assert set(out["doc_id"]) == {11}

@@ -649,3 +649,40 @@ def test_grouped_sample_topk_deterministic_and_exact(rd):
         assert set(zip(out["grp"], out["id"])) == want_set
     sizes = out.groupby("grp").size()
     assert sizes.max() == 5 and sizes["tiny"] == min(5, (df["grp"] == "tiny").sum())
+
+
+# --- skew-aware hybrid join ---------------------------------------------
+
+def test_skew_join_hot_key_parity(rd):
+    """95%-hot-key fixture: skew_join must equal hash_join exactly — the
+    hot/cold routing is invisible in the result."""
+    from drivers_of_global_deforestation_ray.stages.relational import (
+        hash_join, skew_join)
+
+    rng = np.random.default_rng(21)
+    n = 40_000
+    keys = np.where(rng.random(n) < 0.95, 7,
+                    rng.integers(0, 500, n))  # one viral key
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 500, dtype=np.int64),
+                          "rv": np.arange(0, 500, dtype=np.int64) * 10})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(4)
+    got = (skew_join(lds, rds, on="k", right_on="rk", hot_k=8,
+                     num_partitions=4)
+           .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    want = (hash_join(rd.from_pandas(left).repartition(8),
+                      rd.from_pandas(right).repartition(4),
+                      on="k", right_on="rk", how="inner", num_partitions=4)
+            .to_pandas()[got.columns]
+            .sort_values(["k", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["k"] == 7).sum() > 0.9 * n  # the hot key really joined
+
+
+def test_skew_join_rejects_outer(rd):
+    from drivers_of_global_deforestation_ray.stages.relational import skew_join
+
+    ds = rd.range(10)
+    with pytest.raises(ValueError):
+        skew_join(ds, ds, on="id", how="left")
