@@ -2291,6 +2291,49 @@ def q_cms_counts(sf_dir: str):
     return cms_estimates(qty, "qty", list(range(1, 51)), width=256, depth=4)
 
 
+def q_kmv_overlap(sf_dir: str):
+    """KMV sketch set algebra (``sketch.kmv_overlap``): distinct-union and
+    distinct-intersection estimates for (customers-with-orders) vs (all
+    customers) from two bottom-256 sketches — 2x256 int64s on the driver,
+    no join; deterministic hash family -> hash-exact vs the SQL rebuild
+    from the full distinct sets (the k-bounded sketches provably agree)."""
+    from ..stages.sketch import kmv_overlap
+
+    ords = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return kmv_overlap(ords, cust, "o_custkey", "c_custkey", k=256)
+
+
+def q_table_profile(sf_dir: str):
+    """Column profiler (the data-quality sweep a pipeline runs before
+    training): one row per profiled column with count / nulls / min / max
+    (one algebraic partial pass over ALL columns at once) + exact distinct
+    count (distributed two-phase per column, ``distinct_keys``) — the
+    driver only ever sees per-column scalars."""
+    cols = ["l_quantity", "l_extendedprice", "l_orderkey"]
+    li = _read(sf_dir, "lineitem", cols)
+
+    def _p(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            arr = b[c]
+            v = pc.cast(arr, pa.float64())
+            rows.append((c, len(arr), arr.null_count,
+                         pc.min(v).as_py(), pc.max(v).as_py()))
+        return pd.DataFrame(rows,
+                            columns=["column", "n", "n_null", "vmin", "vmax"])
+
+    stats = R.grouped_agg(
+        li.map_batches(_p, batch_format="pyarrow"), ["column"],
+        {"n": ("n", "sum"), "n_null": ("n_null", "sum"),
+         "vmin": ("vmin", "min"), "vmax": ("vmax", "max")},
+        num_partitions=1).to_pandas()
+    nd = {c: R.distinct_keys(li.select_columns([c]), c, num_partitions=4).count()
+          for c in cols}
+    stats["n_distinct"] = stats["column"].map(nd).astype(np.int64)
+    return stats[["column", "n", "n_null", "vmin", "vmax", "n_distinct"]]
+
+
 def q_dedup_minhash_incremental(sf_dir: str):
     """Cross-snapshot NEAR-dedup (``dedup.minhash_incremental_dedup``):
     even-id docs are the seen corpus, odd-id docs the new crawl; new docs
@@ -2595,6 +2638,8 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "skew_join": q_skew_join,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "table_profile": q_table_profile,
+    "kmv_overlap": q_kmv_overlap,
 }
 
 
@@ -3934,5 +3979,52 @@ ORACLE_SQL = {
     "skew_join": """
         SELECT l_orderkey, l_linenumber, o_orderpriority
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "table_profile": """
+        SELECT 'l_quantity' AS "column", count(*) AS n,
+               CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+               CAST(min(l_quantity) AS DOUBLE) AS vmin,
+               CAST(max(l_quantity) AS DOUBLE) AS vmax,
+               count(DISTINCT l_quantity) AS n_distinct
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*),
+               CAST(count(*) - count(l_extendedprice) AS BIGINT),
+               CAST(min(l_extendedprice) AS DOUBLE),
+               CAST(max(l_extendedprice) AS DOUBLE),
+               count(DISTINCT l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_orderkey', count(*),
+               CAST(count(*) - count(l_orderkey) AS BIGINT),
+               CAST(min(l_orderkey) AS DOUBLE),
+               CAST(max(l_orderkey) AS DOUBLE),
+               count(DISTINCT l_orderkey)
+        FROM lineitem
+    """,
+    "kmv_overlap": """
+        WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                                         AS UBIGINT) AS hv FROM orders),
+        hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                                    AS UBIGINT) AS hv FROM customer),
+        u AS (SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b
+              FROM (SELECT hv, 1 AS in_a, 0 AS in_b FROM ha
+                    UNION ALL SELECT hv, 0 AS in_a, 1 AS in_b FROM hb)
+              GROUP BY hv),
+        r AS (SELECT hv, in_a, in_b, row_number() OVER (ORDER BY hv) AS rn,
+                     count(*) OVER () AS nd FROM u),
+        s AS (SELECT * FROM r WHERE rn <= LEAST(nd, 256)),
+        agg AS (SELECT count(*) AS keff,
+                       CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nboth,
+                       max(CASE WHEN rn = LEAST(nd, 256) THEN hv END) AS hk,
+                       max(nd) AS nd FROM s)
+        SELECT CASE WHEN nd >= 256
+                    THEN CAST(255 AS DOUBLE) / (CAST(hk AS DOUBLE) / 4294967296.0)
+                    ELSE CAST(nd AS DOUBLE) END AS est_union,
+               (CAST(nboth AS DOUBLE) / CAST(keff AS DOUBLE))
+                 * (CASE WHEN nd >= 256
+                         THEN CAST(255 AS DOUBLE) / (CAST(hk AS DOUBLE) / 4294967296.0)
+                         ELSE CAST(nd AS DOUBLE) END) AS est_intersect
+        FROM agg
     """,
 }

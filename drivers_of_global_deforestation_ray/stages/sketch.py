@@ -29,7 +29,8 @@ from ray.data import Dataset
 from .relational import grouped_transform
 
 __all__ = ["heavy_hitters", "quantile_sketch", "grouped_quantile_sketch",
-           "mg_merge", "kll_compact", "cms_estimates", "kmv_distinct"]
+           "mg_merge", "kll_compact", "cms_estimates", "kmv_distinct",
+           "kmv_overlap"]
 
 
 def _mg_compress(values: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -341,3 +342,59 @@ def kmv_distinct(ds: Dataset, keys: "list[str]", col: str, k: int = 32,
 
     partial = ds.map_batches(_partial, batch_format="pandas")
     return grouped_transform(partial, keys, _merge, num_partitions)
+
+
+def _kmv_bottom(ds: Dataset, col: str, k: int) -> np.ndarray:
+    """Sorted bottom-k md5-u32 hashes of the distinct values of ``col`` —
+    per-block k-bounded partials, one-partition merge, k ints to the
+    driver."""
+    import hashlib
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].drop_duplicates()
+        hv = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in vals), dtype=np.int64, count=len(vals))
+        hv = np.unique(hv)[:k]
+        return pd.DataFrame({"__hv": hv, "__g": np.full(len(hv), 0, np.int8)})
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__hv": np.unique(df["__hv"].to_numpy())[:k],
+                             "__g": np.int8(0)})
+
+    out = grouped_transform(ds.map_batches(_partial, batch_format="pandas"),
+                            ["__g"], _merge, num_partitions=1).to_pandas()
+    return out["__hv"].to_numpy() if len(out) else np.empty(0, np.int64)
+
+
+def kmv_overlap(ds_a: Dataset, ds_b: Dataset, col_a: str, col_b: str,
+                k: int = 256) -> pd.DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007): estimate the distinct
+    union and intersection cardinalities of two columns from their bottom-k
+    sketches alone — the corpus-overlap probe (shared urls / shared hosts
+    between two crawls) without ever joining the corpora.
+
+    The union's bottom-k is the bottom-k of the two sketches' union, and
+    any of those hashes that belongs to side A is necessarily inside A's
+    own bottom-k — so k-bounded sketches suffice and the result is
+    IDENTICAL to what the full distinct sets would give (the property the
+    SQL twin checks, rebuilding from the full sets).  Estimators:
+    ``est_union = (k-1)/(h_k/2^32)`` (exact count below k),
+    ``est_intersect = (both/k_eff) * est_union``.  Deterministic md5 hash
+    family -> hash-exact-checkable despite being approximate.
+
+    Driver footprint: 2k int64s."""
+    ha = _kmv_bottom(ds_a, col_a, k)
+    hb = _kmv_bottom(ds_b, col_b, k)
+    u = np.unique(np.concatenate([ha, hb]))
+    nd = len(u)
+    keff = min(nd, k)
+    s = u[:keff]
+    both = int((np.isin(s, ha) & np.isin(s, hb)).sum())
+    if nd >= k:
+        est_union = float(k - 1) / (float(u[k - 1]) / 4294967296.0)
+    else:
+        est_union = float(nd)
+    est_intersect = (float(both) / float(keff)) * est_union if keff else 0.0
+    return pd.DataFrame({"est_union": [est_union],
+                         "est_intersect": [est_intersect]})

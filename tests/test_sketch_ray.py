@@ -179,3 +179,23 @@ def test_kmv_partitioning_invariant(rd):
     b = (kmv_distinct(rd.from_pandas(df).repartition(16), ["g"], "v", k=64)
          .to_pandas().sort_values("g").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- KMV set algebra ----------------------------------------------------
+
+def test_kmv_overlap_estimates(rd):
+    from drivers_of_global_deforestation_ray.stages.sketch import kmv_overlap
+
+    # A = 0..5999, B = 3000..8999 -> union 9000, intersection 3000
+    a = pd.DataFrame({"v": np.arange(0, 6000, dtype=np.int64)})
+    b = pd.DataFrame({"v": np.arange(3000, 9000, dtype=np.int64)})
+    got = kmv_overlap(rd.from_pandas(a).repartition(5),
+                      rd.from_pandas(b).repartition(3), "v", "v", k=512)
+    eu, ei = float(got["est_union"][0]), float(got["est_intersect"][0])
+    assert abs(eu - 9000) / 9000 < 0.15   # 1/sqrt(512) ~ 4.4% expected
+    assert abs(ei - 3000) / 3000 < 0.25
+    # small sides (< k distinct): exact
+    small = kmv_overlap(rd.from_pandas(a.head(50)), rd.from_pandas(a.head(80)),
+                        "v", "v", k=512)
+    assert float(small["est_union"][0]) == 80.0
+    assert float(small["est_intersect"][0]) == 50.0
