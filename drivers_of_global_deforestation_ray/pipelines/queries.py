@@ -2291,6 +2291,20 @@ def q_cms_counts(sf_dir: str):
     return cms_estimates(qty, "qty", list(range(1, 51)), width=256, depth=4)
 
 
+def q_kmeans_embed(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings (the data-curation
+    clustering primitive): RNG-free md5-order init, int64 fixed-point
+    cluster sums (bit-identical at any partitioning — the pagerank
+    discipline), 4 iterations, final (vec_id, cluster) assignments.
+    Iterative -> rows-only; the pytest transcribes the exact algorithm in
+    numpy and demands equality."""
+    from ..stages.similarity import kmeans_assign
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign, _ = kmeans_assign(emb, "embedding", "vec_id", k=8, iters=4)
+    return assign
+
+
 def q_kmv_overlap(sf_dir: str):
     """KMV sketch set algebra (``sketch.kmv_overlap``): distinct-union and
     distinct-intersection estimates for (customers-with-orders) vs (all
@@ -2640,6 +2654,7 @@ QUERIES = {
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "table_profile": q_table_profile,
     "kmv_overlap": q_kmv_overlap,
+    "kmeans_embed": q_kmeans_embed,
 }
 
 

@@ -26,7 +26,8 @@ from ray.data import Dataset
 
 from .relational import grouped_agg, grouped_transform, hash_join
 
-__all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs", "embedding_neardup_lsh"]
+__all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs",
+           "embedding_neardup_lsh", "kmeans_assign"]
 
 
 def _quantize_int8(M: np.ndarray) -> np.ndarray:
@@ -363,3 +364,88 @@ def embedding_neardup_lsh(
         return out[cos >= threshold]
 
     return with_ab.map_batches(_exact, batch_format="pandas")
+
+
+def kmeans_assign(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+    fixed_bits: int = 20,
+) -> "tuple[Dataset, np.ndarray]":
+    """Distributed Lloyd k-means over an embedding column; returns
+    ``(assignments Dataset (id, cluster), final centroids (k, dim))``.
+
+    Determinism (the engine's pagerank discipline): per-cluster vector sums
+    ride as INT64 FIXED-POINT (``round(x * 2^fixed_bits)`` per element) —
+    integer addition is associative, so the merged sums (and therefore the
+    centroids, assignments, and every later iteration) are bit-identical at
+    any partitioning, on resume, and vs the in-memory numpy reference the
+    pytest transcribes.  Init is RNG-free: the k vectors with the smallest
+    ``(md5_u32(id), id)`` (the ``grouped_sample_topk`` hash order).
+
+    Scale shape per iteration: one stateless pass assigns each batch to the
+    broadcast centroids (one (B, k, dim) float64 reduction) and emits
+    k x (dim + 1) int64 partial rows per block; the merge is a tiny grouped
+    sum; the driver holds only k x dim. ``iters`` passes re-read the input
+    (read-rooted datasets re-execute pruned reads — far cheaper than
+    materializing the corpus).  Empty clusters keep their centroid.
+    """
+    import hashlib
+
+    scale = float(1 << fixed_bits)
+
+    def _init_sample(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = np.fromiter((int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                         for i in ids), dtype=np.int64, count=len(ids))
+        d = df.assign(__h=h).sort_values(["__h", id_col], kind="stable").head(k)
+        return d[[id_col, vec_col, "__h"]]
+
+    seed_rows = (ds.map_batches(_init_sample, batch_format="pandas")
+                 .sort(["__h", id_col]).limit(k).to_pandas())
+    cents = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(cref)
+            X = _batch_matrix(batch, vec_col)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            fx = np.round(X * scale).astype(np.int64)
+            rows = {"cluster": np.arange(len(C), dtype=np.int64),
+                    "n": np.bincount(a, minlength=len(C)).astype(np.int64)}
+            # vectorized per-dim fixed-point sums: one scatter-add pass
+            S = np.zeros((len(C), X.shape[1]), dtype=np.int64)
+            np.add.at(S, a, fx)
+            for j in range(X.shape[1]):
+                rows[f"s{j}"] = S[:, j]
+            return pd.DataFrame(rows)
+
+        specs = {"n": ("n", "sum")}
+        dim = cents.shape[1]
+        specs.update({f"s{j}": (f"s{j}", "sum") for j in range(dim)})
+        merged = grouped_agg(ds.map_batches(_partial, batch_format="pandas"),
+                             ["cluster"], specs, num_partitions=1).to_pandas()
+        merged = merged.sort_values("cluster")
+        n = merged["n"].to_numpy().astype(np.float64)
+        S = merged[[f"s{j}" for j in range(dim)]].to_numpy().astype(np.float64)
+        new = cents.copy()
+        nz = n > 0
+        new[merged["cluster"].to_numpy()[nz]] = (
+            S[nz] / n[nz, None]) / scale
+        cents = new
+
+    cref = ray.put(cents)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cref)
+        X = _batch_matrix(batch, vec_col)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "cluster": d2.argmin(axis=1).astype(np.int64)})
+
+    return ds.map_batches(_assign, batch_format="pandas"), cents

@@ -508,3 +508,47 @@ def test_minhash_incremental_no_seen_seen_pairs(rd, corpus):
         rd.from_pandas(new), rd.from_pandas(seen), threshold=0.5,
         num_partitions=2).to_pandas()
     assert set(out["doc_id"]) == {11}
+
+
+def _kmeans_reference(ids, X, k, iters, fixed_bits=20):
+    """Exact numpy transcription of similarity.kmeans_assign."""
+    import hashlib
+
+    scale = float(1 << fixed_bits)
+    h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                  for i in ids], dtype=np.int64)
+    order = np.lexsort((ids, h))[:k]
+    cents = X[order].astype(np.float64)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        fx = np.round(X * scale).astype(np.int64)
+        S = np.zeros((k, X.shape[1]), dtype=np.int64)
+        np.add.at(S, a, fx)
+        n = np.bincount(a, minlength=k).astype(np.float64)
+        nz = n > 0
+        new = cents.copy()
+        new[nz] = (S[nz].astype(np.float64) / n[nz, None]) / scale
+        cents = new
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1), cents
+
+
+def test_kmeans_matches_reference_and_partitioning(rd):
+    from drivers_of_global_deforestation_ray.stages.similarity import kmeans_assign
+
+    rng = np.random.default_rng(31)
+    # 3 well-separated blobs + noise, dim 8
+    X = np.concatenate([rng.normal(c, 0.05, size=(60, 8))
+                        for c in (0.0, 1.0, -1.0)]).astype(np.float32)
+    ids = np.arange(len(X), dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    want_a, want_c = _kmeans_reference(ids, X.astype(np.float64), 4, 3)
+
+    for parts in (1, 7):
+        assign, cents = kmeans_assign(
+            rd.from_pandas(df).repartition(parts), "embedding", "vec_id",
+            k=4, iters=3)
+        got = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+        np.testing.assert_array_equal(got, want_a)
+        np.testing.assert_allclose(cents, want_c, rtol=0, atol=0)
