@@ -2291,6 +2291,72 @@ def q_cms_counts(sf_dir: str):
     return cms_estimates(qty, "qty", list(range(1, 51)), width=256, depth=4)
 
 
+def q_grouped_ols(sf_dir: str):
+    """Per-key OLS trend fit (slope/intercept of y~x per returnflag) from
+    EXACT int64 power sums — the ``grouped_stats`` discipline: one
+    two-phase algebraic pass, one fixed-order float expression per key
+    that the SQL twin mirrors token-for-token."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_linenumber"])
+
+    def _pow(b: pa.Table) -> pd.DataFrame:
+        x = pc.cast(b["l_quantity"], pa.int64()).to_numpy()
+        y = pc.cast(b["l_linenumber"], pa.int64()).to_numpy()
+        key = b["l_returnflag"].to_pandas()
+        df = pd.DataFrame({"l_returnflag": key, "n": 1,
+                           "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+        return df.groupby("l_returnflag", sort=False, as_index=False).sum()
+
+    s = R.grouped_agg(li.map_batches(_pow, batch_format="pyarrow"),
+                      ["l_returnflag"],
+                      {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                       "sy": ("sy", "sum"), "sxx": ("sxx", "sum"),
+                       "sxy": ("sxy", "sum")}, num_partitions=1)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype(np.float64)
+        sx = df["sx"].to_numpy().astype(np.float64)
+        sy = df["sy"].to_numpy().astype(np.float64)
+        sxx = df["sxx"].to_numpy().astype(np.float64)
+        sxy = df["sxy"].to_numpy().astype(np.float64)
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        intercept = sy / n - slope * (sx / n)
+        return pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                             "n": df["n"].to_numpy(np.int64),
+                             "slope": slope, "intercept": intercept})
+
+    return s.map_batches(_fit, batch_format="pandas")
+
+
+def q_inverted_index(sf_dir: str):
+    """Search-index build (the BM25 companion): token explode with document
+    positions -> one co-partition by term -> ordered postings string
+    ``doc:pos,doc:pos`` + document frequency per term.  Postings are
+    term-bounded, never corpus-wide on the driver."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _post(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["doc_id"]].assign(__w=df["text"].str.split(" ")).explode("__w")
+        e["__p"] = e.groupby("doc_id", sort=False).cumcount()
+        e = e[e["__w"].str.len() > 0]
+        return pd.DataFrame({"term": e["__w"].to_numpy(dtype=object),
+                             "doc_id": e["doc_id"].to_numpy(),
+                             "pos": e["__p"].to_numpy(np.int64)})
+
+    posts = docs.map_batches(_post, batch_format="pandas")
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id", "pos"], kind="stable")
+        s = df["doc_id"].astype(str) + ":" + df["pos"].astype(str)
+        terms = df["term"].to_numpy()
+        g = s.groupby(terms, sort=False).agg(",".join)
+        nd = df.groupby("term", sort=False)["doc_id"].nunique()
+        return pd.DataFrame({"term": np.asarray(g.index, dtype=object),
+                             "postings": g.to_numpy(dtype=object),
+                             "df": nd.reindex(g.index).to_numpy(np.int64)})
+
+    return R.grouped_transform(posts, ["term"], _agg, num_partitions=4)
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings (the data-curation
     clustering primitive): RNG-free md5-order init, int64 fixed-point
@@ -2655,6 +2721,8 @@ QUERIES = {
     "table_profile": q_table_profile,
     "kmv_overlap": q_kmv_overlap,
     "kmeans_embed": q_kmeans_embed,
+    "grouped_ols": q_grouped_ols,
+    "inverted_index": q_inverted_index,
 }
 
 
@@ -4041,5 +4109,35 @@ ORACLE_SQL = {
                          THEN CAST(255 AS DOUBLE) / (CAST(hk AS DOUBLE) / 4294967296.0)
                          ELSE CAST(nd AS DOUBLE) END) AS est_intersect
         FROM agg
+    """,
+    "grouped_ols": """
+        WITH s AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (sxy - sx * sy / CAST(n AS DOUBLE))
+                 / (sxx - sx * sx / CAST(n AS DOUBLE)) AS slope,
+               sy / CAST(n AS DOUBLE)
+                 - ((sxy - sx * sy / CAST(n AS DOUBLE))
+                    / (sxx - sx * sx / CAST(n AS DOUBLE)))
+                   * (sx / CAST(n AS DOUBLE)) AS intercept
+        FROM s
+    """,
+    "inverted_index": """
+        WITH wi AS (SELECT doc_id, f.range AS pos, ws[f.range + 1] AS w
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents)
+                    CROSS JOIN range(0, 2000) f WHERE f.range < len(ws)),
+        t AS (SELECT * FROM wi WHERE w <> '')
+        SELECT w AS term,
+               string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS postings,
+               count(DISTINCT doc_id) AS df
+        FROM t GROUP BY w
     """,
 }
