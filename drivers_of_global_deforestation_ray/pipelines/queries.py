@@ -1833,6 +1833,44 @@ def q_jsonl_roundtrip(sf_dir: str):
     })
 
 
+def q_jsonl_gz_roundtrip(sf_dir: str):
+    """Gzip JSONL roundtrip (the wire format crawl dumps arrive in):
+    customer -> .jsonl.gz parts (stdlib zlib, pinned mtime) ->
+    schema-declared distributed read with arrow-layer decompression.
+    Oracle reads the ORIGINAL parquet — hash matches only on bit-perfect
+    text + compression survival."""
+    import shutil
+
+    from ..sources.jsonio import read_jsonl_typed, write_jsonl_dir
+
+    out = "/tmp/graft_jsonlgz_customer"
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    write_jsonl_dir(cust, out, compression="gzip")
+    return read_jsonl_typed(out, {
+        "c_custkey": pa.int64(), "c_name": pa.string(),
+        "c_acctbal": pa.float64(), "c_mktsegment": pa.string(),
+    })
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2 stream) source+sink roundtrip: customer ->
+    one .arrows stream per block -> distributed byte-shipping read
+    (``pa.ipc.open_stream`` per task).  Oracle reads the ORIGINAL parquet;
+    IPC carries the schema itself so nothing is inferred."""
+    import shutil
+
+    from ..sources.ipcio import read_ipc_dir, write_ipc_dir
+
+    out = "/tmp/graft_ipc_customer"
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    write_ipc_dir(cust, out)
+    return read_ipc_dir(out)
+
+
 def _s2_batch(b: pa.Table, level: int = 10, parent_level: "int | None" = None) -> pd.DataFrame:
     """Geocode a documents batch and encode S2 cells (vectorized numpy)."""
     from ..functions.s2 import cell_parent, cell_token, latlng_to_cell
@@ -2723,6 +2761,8 @@ QUERIES = {
     "kmeans_embed": q_kmeans_embed,
     "grouped_ols": q_grouped_ols,
     "inverted_index": q_inverted_index,
+    "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
+    "ipc_roundtrip": q_ipc_roundtrip,
 }
 
 
@@ -3605,6 +3645,12 @@ ORACLE_SQL = {
         SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
     """,
     "jsonl_roundtrip": """
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "jsonl_gz_roundtrip": """
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "ipc_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
     """,
     "csv_roundtrip": """

@@ -68,15 +68,29 @@ def jsonl_bytes(df: pd.DataFrame) -> bytes:
     return ("\n".join(line + "}") + "\n").encode("utf-8")
 
 
-def write_jsonl_dir(ds: Dataset, path: str, batch_size: int = 65536) -> int:
+def write_jsonl_dir(ds: Dataset, path: str, batch_size: int = 65536,
+                    compression: "str | None" = None) -> int:
     """JSONL sink: one part file per block under ``path``; returns rows
     written.  Part names are fresh uuids — clear the directory before a
-    re-run (the roundtrip query does)."""
+    re-run (the roundtrip query does).  ``compression="gzip"`` writes
+    ``.jsonl.gz`` parts (stdlib zlib, mtime pinned to 0 so re-runs are
+    byte-deterministic) — the wire format crawl dumps actually arrive in."""
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
     os.makedirs(path, exist_ok=True)
+    suffix = ".jsonl.gz" if compression == "gzip" else ".jsonl"
 
     def _write(b: pd.DataFrame) -> pd.DataFrame:
         blob = jsonl_bytes(b)
-        name = os.path.join(path, f"part-{uuid.uuid4().hex[:16]}.jsonl")
+        if compression == "gzip":
+            import gzip
+            import io
+
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(blob)
+            blob = buf.getvalue()
+        name = os.path.join(path, f"part-{uuid.uuid4().hex[:16]}{suffix}")
         with open(name, "wb") as f:
             f.write(blob)
         return pd.DataFrame({"rows": [len(b)]})
@@ -99,6 +113,14 @@ def read_jsonl_typed(
     # pyarrow's JSON reader is newline-delimited by construction; Ray's
     # `lines=True` switches to a different (pandas) impl that rejects
     # arrow args, so the arrow path + explicit_schema is the typed one.
+    # gzip parts (.jsonl.gz) decompress in the arrow open-stream layer.
+    first = paths if isinstance(paths, str) else paths[0]
+    if first.endswith(".gz") or (os.path.isdir(first) and any(
+            f.endswith(".gz") for f in os.listdir(first))):
+        read_json_kwargs.setdefault("arrow_open_stream_args",
+                                    {"compression": "gzip"})
+        read_json_kwargs.setdefault("file_extensions",
+                                    ["gz", "jsonl", "json"])
     return rd.read_json(
         paths,
         parse_options=pajson.ParseOptions(explicit_schema=schema),
