@@ -127,3 +127,21 @@ def test_dedup_spans_partitioning_invariant(rd):
     assert a.equals(pd.DataFrame(
         [(k, v) for k, v in sorted(_spans_reference(docs).items())],
         columns=["doc_id", "text"]))
+
+
+def test_dedup_spans_fast_hash_matches_md5(rd):
+    """The vectorized uint64-polynomial fingerprint path must produce the
+    SAME survivors/text as the md5 string path (collisions are 2^-64)."""
+    from drivers_of_global_deforestation_ray.stages.dedup import dedup_spans
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [(i, " ".join(rng.choice(vocab, 15))) for i in range(80)]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    a = (dedup_spans(rd.from_pandas(df).repartition(6), "text", "doc_id",
+                     n=3, hash="md5")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dedup_spans(rd.from_pandas(df).repartition(6), "text", "doc_id",
+                     n=3, hash="fast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
