@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "tile_zonal",
     "pip_region",
     "dedup_minhash",
+    "dedup_spans",
+    "skew_join",
     "doc_quality",
     "knn_brute",
     "sort_limit",

@@ -1570,6 +1570,35 @@ def q_media_png_real(sf_dir: str):
         batch_format="pandas")
 
 
+def q_media_jpeg_dims(sf_dir: str):
+    """JPEG metadata triage WITHOUT decode (``functions/jpegmeta.py``):
+    walk the real T.81 marker syntax to the SOF frame header and recover
+    width/height/components/progressive — the dimension-filter stage that
+    prunes crawl image bytes before any pixel decode.  Fixture shells are
+    structurally-valid JPEG headers with closed-form dims (the
+    media_png_real pattern)."""
+    from ..functions.jpegmeta import encode_jpeg_shell, jpeg_dims
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk_and_parse(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        w = np.empty(len(ids), dtype=np.int64)
+        h = np.empty(len(ids), dtype=np.int64)
+        nc = np.empty(len(ids), dtype=np.int64)
+        prog = np.empty(len(ids), dtype=np.int64)
+        for j, i in enumerate(ids):
+            shell = encode_jpeg_shell(16 + int(i) % 4000, 9 + int(i) % 3000,
+                                      ncomp=1 + int(i) % 4,
+                                      progressive=bool(i % 3 == 0))
+            w[j], h[j], nc[j], p = jpeg_dims(shell)
+            prog[j] = int(p)
+        return pd.DataFrame({"doc_id": ids, "width": w, "height": h,
+                             "ncomp": nc, "progressive": prog})
+
+    return docs.map_batches(_mk_and_parse, batch_format="pyarrow")
+
+
 def q_audio_wav_real(sf_dir: str):
     """REAL WAV decode end-to-end: deterministic doc_id-seeded PCM sine
     clips are encoded with the from-scratch RIFF codec (``functions/wav.py``)
@@ -2763,6 +2792,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
     "ipc_roundtrip": q_ipc_roundtrip,
+    "media_jpeg_dims": q_media_jpeg_dims,
 }
 
 
@@ -3652,6 +3682,14 @@ ORACLE_SQL = {
     """,
     "ipc_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "media_jpeg_dims": """
+        SELECT doc_id,
+               16 + doc_id % 4000 AS width,
+               9 + doc_id % 3000 AS height,
+               1 + doc_id % 4 AS ncomp,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS progressive
+        FROM documents
     """,
     "csv_roundtrip": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_ev,

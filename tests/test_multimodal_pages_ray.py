@@ -212,3 +212,34 @@ def test_frame_sample_real_y4m(ray_session):
     assert [x[0] for x in out["frame"]] == [10 * f for f in want_frame]
     assert all(len(x) == 64 for x in out["frame"])
     assert out["ts_ms"].tolist() == [0, 300, 600, 900, 1200, 1500]
+
+
+# --- JPEG marker-syntax metadata ---------------------------------------
+
+def test_jpeg_dims_shell_and_edge_cases():
+    from drivers_of_global_deforestation_ray.functions.jpegmeta import (
+        encode_jpeg_shell, jpeg_dims)
+
+    w, h, nc, prog = jpeg_dims(encode_jpeg_shell(640, 480, ncomp=3))
+    assert (w, h, nc, prog) == (640, 480, 3, False)
+    w, h, nc, prog = jpeg_dims(encode_jpeg_shell(65535, 1, ncomp=1,
+                                                 progressive=True))
+    assert (w, h, nc, prog) == (65535, 1, 1, True)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        jpeg_dims(b"\x89PNG\r\n\x1a\n")       # not a JPEG
+    with _pt.raises(ValueError):
+        jpeg_dims(b"\xff\xd8\xff\xd9")          # SOI+EOI, no SOF
+    shell = encode_jpeg_shell(10, 10)
+    with _pt.raises(ValueError):
+        jpeg_dims(shell[:8])                     # truncated segment
+
+
+def test_jpeg_dims_skips_fill_bytes_and_rst():
+    from drivers_of_global_deforestation_ray.functions.jpegmeta import (
+        encode_jpeg_shell, jpeg_dims)
+
+    shell = encode_jpeg_shell(33, 44, ncomp=2)
+    # inject fill FFs and a standalone RST marker between segments
+    padded = shell[:2] + b"\xff\xff" + b"\xff\xd0" + shell[2:]
+    assert jpeg_dims(padded)[:3] == (33, 44, 2)
