@@ -2438,6 +2438,66 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Crawl snapshot diff: docs keyed by url-identity (doc_id here), old
+    snapshot = even ids with texts, new = odd+even-recrawled simulation —
+    classify added / removed / changed / unchanged in ONE full-outer
+    co-partition (no driver state).  The fixture derives both snapshots
+    from the documents table deterministically."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _old(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        keep = ids % 4 != 1  # new-only ids (added) absent from old
+        return pd.DataFrame({"key": ids[keep],
+                             "old_text": np.asarray(b["text"].to_pylist(),
+                                                    dtype=object)[keep]})
+
+    def _new(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        keep = ids % 4 != 2  # old-only ids (removed) absent from new
+        t = np.asarray(b["text"].to_pylist(), dtype=object)[keep]
+        ids = ids[keep]
+        changed = ids % 4 == 3
+        t = np.where(changed, t + " v2", t).astype(object)
+        return pd.DataFrame({"key": ids, "new_text": t})
+
+    old = docs.map_batches(_old, batch_format="pyarrow")
+    new = docs.map_batches(_new, batch_format="pyarrow")
+    j = R.hash_join(old, new, on="key", how="full",
+                    num_partitions=4)
+
+    def _classify(b: pd.DataFrame) -> pd.DataFrame:
+        o, nw = b["old_text"], b["new_text"]
+        status = np.where(o.isna(), "added",
+                          np.where(nw.isna(), "removed",
+                                   np.where(o == nw, "unchanged", "changed")))
+        return pd.DataFrame({"key": b["key"].to_numpy(np.int64),
+                             "status": status.astype(object)})
+
+    return j.map_batches(_classify, batch_format="pandas")
+
+
+def q_upsert_latest(sf_dir: str):
+    """Lakehouse MERGE / last-writer-wins upsert: base ∪ updates -> one row
+    per key, the one with the greatest (ts, source-rank) — a single
+    co-partition with a vectorized per-partition tail-of-sorted, never a
+    driver collect.  events provide the (user_id, ts, value) stream;
+    event_id is the deterministic last-writer tie-break."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        last = df.groupby("user_id", sort=False).tail(1)
+        return pd.DataFrame({
+            "user_id": last["user_id"].to_numpy(),
+            "ts": last["ts"].to_numpy(),
+            "value_scaled": np.round(last["value"].to_numpy() * 100.0
+                                     ).astype(np.int64)})
+
+    return R.grouped_transform(ev, ["user_id"], _latest, num_partitions=4)
+
+
 def q_kmv_overlap(sf_dir: str):
     """KMV sketch set algebra (``sketch.kmv_overlap``): distinct-union and
     distinct-intersection estimates for (customers-with-orders) vs (all
@@ -2788,6 +2848,8 @@ QUERIES = {
     "table_profile": q_table_profile,
     "kmv_overlap": q_kmv_overlap,
     "kmeans_embed": q_kmeans_embed,
+    "snapshot_diff": q_snapshot_diff,
+    "upsert_latest": q_upsert_latest,
     "grouped_ols": q_grouped_ols,
     "inverted_index": q_inverted_index,
     "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
@@ -3682,6 +3744,22 @@ ORACLE_SQL = {
     """,
     "ipc_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "snapshot_diff": """
+        SELECT doc_id AS key,
+               CASE WHEN doc_id % 4 = 1 THEN 'added'
+                    WHEN doc_id % 4 = 2 THEN 'removed'
+                    WHEN doc_id % 4 = 3 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM documents
+    """,
+    "upsert_latest": """
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS value_scaled
+        FROM (SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
     """,
     "media_jpeg_dims": """
         SELECT doc_id,
