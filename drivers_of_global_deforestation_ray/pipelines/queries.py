@@ -1570,6 +1570,39 @@ def q_media_png_real(sf_dir: str):
         batch_format="pandas")
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC (ISO 28500) container roundtrip — the Common-Crawl wire format:
+    documents -> one gzip member per response record, one .warc.gz part per
+    block -> distributed member-walk read back.  The oracle rebuilds url /
+    date / text from the documents table in SQL, so the hash only matches
+    if headers, Content-Length slicing and per-member gzip survived
+    byte-for-byte."""
+    import shutil
+
+    from ..sources.warcio import read_warc_dir, write_warc_dir
+
+    out = "/tmp/graft_warc_docs"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        urls = ["https://example.com/doc/" + str(i) for i in ids]
+        dates = ["2024-01-01T00:00:" + f"{int(i) % 60:02d}Z" for i in ids]
+        payloads = [t.encode() for t in b["text"].to_pylist()]
+        return pd.DataFrame({"url": urls, "date": dates, "payload": payloads})
+
+    write_warc_dir(docs.map_batches(_mk, batch_format="pyarrow"), out)
+    back = read_warc_dir(out)
+
+    def _proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": b["url"].to_numpy(dtype=object),
+                             "date": b["date"].to_numpy(dtype=object),
+                             "text": [p.decode() for p in b["payload"]]})
+
+    return back.map_batches(_proj, batch_format="pandas")
+
+
 def q_media_jpeg_dims(sf_dir: str):
     """JPEG metadata triage WITHOUT decode (``functions/jpegmeta.py``):
     walk the real T.81 marker syntax to the SOF frame header and recover
@@ -2855,6 +2888,7 @@ QUERIES = {
     "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
     "ipc_roundtrip": q_ipc_roundtrip,
     "media_jpeg_dims": q_media_jpeg_dims,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 
@@ -3760,6 +3794,13 @@ ORACLE_SQL = {
                          ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
         WHERE rn = 1
+    """,
+    "warc_roundtrip": """
+        SELECT 'https://example.com/doc/' || doc_id AS url,
+               '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                 || 'Z' AS date,
+               text
+        FROM documents
     """,
     "media_jpeg_dims": """
         SELECT doc_id,
