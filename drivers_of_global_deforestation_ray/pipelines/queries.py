@@ -1570,6 +1570,42 @@ def q_media_png_real(sf_dir: str):
         batch_format="pandas")
 
 
+def q_embed_centroid(sf_dir: str):
+    """Per-label embedding centroid (cluster-summary vector aggregate):
+    zero-copy list explode -> fixed-point int64 element sums (2^20 scale,
+    associative -> partition-order-proof) -> one exact double division per
+    (label, pos).  The long (label, pos, mean) layout keeps the oracle a
+    plain GROUP BY."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    ex = R.explode_list(emb, ["label"], "embedding",
+                        pos_col="pos", value_col="value")
+
+    def _fx(b: pa.Table) -> pd.DataFrame:
+        v = pc.cast(b["value"], pa.float64()).to_numpy()
+        return pd.DataFrame({"label": b["label"].to_numpy(),
+                             "pos": b["pos"].to_numpy(),
+                             # floor(x+0.5) on BOTH sides: v*2^20 is EXACT in
+                             # float64 (power-of-two scale), so .5 ties are
+                             # reachable from float32 inputs and np.round's
+                             # half-to-even would diverge from SQL round()
+                             "fx": np.floor(v * 1048576.0 + 0.5).astype(np.int64),
+                             "one": np.ones(len(v), dtype=np.int64)})
+
+    s = R.grouped_agg(ex.map_batches(_fx, batch_format="pyarrow"),
+                      ["label", "pos"],
+                      {"sfx": ("fx", "sum"), "n": ("one", "sum")},
+                      num_partitions=4)
+
+    def _mean(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["sfx"].to_numpy().astype(np.float64)
+             / df["n"].to_numpy().astype(np.float64)) / 1048576.0
+        return pd.DataFrame({"label": df["label"].to_numpy(),
+                             "pos": df["pos"].to_numpy(),
+                             "mean_val": m})
+
+    return s.map_batches(_mean, batch_format="pandas")
+
+
 def q_warc_roundtrip(sf_dir: str):
     """WARC (ISO 28500) container roundtrip — the Common-Crawl wire format:
     documents -> one gzip member per response record, one .warc.gz part per
@@ -2889,6 +2925,7 @@ QUERIES = {
     "ipc_roundtrip": q_ipc_roundtrip,
     "media_jpeg_dims": q_media_jpeg_dims,
     "warc_roundtrip": q_warc_roundtrip,
+    "embed_centroid": q_embed_centroid,
 }
 
 
@@ -3794,6 +3831,15 @@ ORACLE_SQL = {
                          ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
         WHERE rn = 1
+    """,
+    "embed_centroid": """
+        SELECT label, f.range AS pos,
+               CAST(sum(CAST(floor(CAST(embedding[f.range + 1] AS DOUBLE)
+                                   * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1048576.0 AS mean_val
+        FROM embeddings CROSS JOIN range(0, 64) f
+        WHERE f.range < len(embedding)
+        GROUP BY label, f.range
     """,
     "warc_roundtrip": """
         SELECT 'https://example.com/doc/' || doc_id AS url,
