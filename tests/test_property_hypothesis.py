@@ -72,3 +72,25 @@ def test_geotiff_roundtrip_property(nr, nc):
         back, got_ref = read_geotiff(p)
         assert (back == g).all()
         assert (got_ref.nrows, got_ref.ncols) == (nr, nc)
+
+
+@settings(max_examples=200, deadline=None)
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535),
+       nc=st.integers(1, 4), prog=st.booleans())
+def test_jpeg_shell_dims_property(w, h, nc, prog):
+    from drivers_of_global_deforestation_ray.functions.jpegmeta import (
+        encode_jpeg_shell, jpeg_dims)
+
+    assert jpeg_dims(encode_jpeg_shell(w, h, nc, prog)) == (w, h, nc, prog)
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads=st.lists(st.binary(max_size=200), min_size=1, max_size=8))
+def test_warc_stream_roundtrip_property(payloads):
+    from drivers_of_global_deforestation_ray.sources.warcio import (
+        parse_warc_stream, warc_record_bytes)
+
+    recs = [(f"https://e.example/{i}", "2024-01-01T00:00:00Z", p)
+            for i, p in enumerate(payloads)]
+    stream = b"".join(warc_record_bytes(u, d, p) for u, d, p in recs)
+    assert parse_warc_stream(stream) == recs
