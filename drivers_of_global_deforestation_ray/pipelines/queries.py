@@ -1570,6 +1570,74 @@ def q_media_png_real(sf_dir: str):
         batch_format="pandas")
 
 
+_QL_DIM = 256
+
+
+def _ql_weights() -> np.ndarray:
+    """Deterministic hashed-classifier weight table: md5-u32 of ``w:{j}``
+    mapped to [-50, 50] ints — no RNG, inlineable as SQL literals."""
+    import hashlib
+
+    w = np.empty(_QL_DIM, dtype=np.int64)
+    for j in range(_QL_DIM):
+        w[j] = int(hashlib.md5(f"w:{j}".encode()).hexdigest()[:8], 16) % 101 - 50
+    return w
+
+
+def q_quality_linear(sf_dir: str):
+    """fastText-style linear quality scorer (model-scoring family): hashed
+    bag-of-words features (md5(token) % 256) dot an INTEGER weight vector —
+    the score is an exact int64 sum, so the 'model inference' is
+    hash-exact-checkable.  Per block: one md5 per DISTINCT token (cached),
+    vectorized gather + per-doc segment sum; weights broadcast once."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    W = _ql_weights()
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["doc_id"]].assign(__w=df["text"].str.split(" ")).explode("__w")
+        e = e[e["__w"].str.len() > 0]
+        toks = e["__w"].to_numpy(dtype=object)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        idx = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _QL_DIM
+             for t in uniq), dtype=np.int64, count=len(uniq))
+        contrib = W[idx[inv]]
+        s = pd.Series(contrib).groupby(e["doc_id"].to_numpy(), sort=False).sum()
+        out = pd.DataFrame({"doc_id": s.index.to_numpy(),
+                            "score": s.to_numpy(np.int64)})
+        missing = df[~df["doc_id"].isin(out["doc_id"])]
+        if len(missing):  # token-less docs score 0
+            out = pd.concat([out, pd.DataFrame(
+                {"doc_id": missing["doc_id"].to_numpy(),
+                 "score": np.zeros(len(missing), np.int64)})],
+                ignore_index=True)
+        return out
+
+    return docs.map_batches(_score, batch_format="pandas")
+
+
+def _quality_linear_sql() -> str:
+    W = _ql_weights()
+    rows = ", ".join(f"({j}, {int(W[j])})" for j in range(_QL_DIM))
+    return f"""
+        WITH w(idx, wt) AS (VALUES {rows}),
+        t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                       % {_QL_DIM} AS idx
+              FROM t WHERE tok <> '')
+        SELECT d.doc_id,
+               CAST(coalesce(sum(w.wt), 0) AS BIGINT) AS score
+        FROM documents d
+        LEFT JOIN s ON s.doc_id = d.doc_id
+        LEFT JOIN w ON w.idx = s.idx
+        GROUP BY d.doc_id
+    """
+
+
 def q_embed_centroid(sf_dir: str):
     """Per-label embedding centroid (cluster-summary vector aggregate):
     zero-copy list explode -> fixed-point int64 element sums (2^20 scale,
@@ -2926,6 +2994,7 @@ QUERIES = {
     "media_jpeg_dims": q_media_jpeg_dims,
     "warc_roundtrip": q_warc_roundtrip,
     "embed_centroid": q_embed_centroid,
+    "quality_linear": q_quality_linear,
 }
 
 
@@ -3832,6 +3901,7 @@ ORACLE_SQL = {
               FROM events)
         WHERE rn = 1
     """,
+    "quality_linear": _quality_linear_sql(),
     "embed_centroid": """
         SELECT label, f.range AS pos,
                CAST(sum(CAST(floor(CAST(embedding[f.range + 1] AS DOUBLE)
