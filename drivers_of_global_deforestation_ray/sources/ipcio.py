@@ -8,6 +8,12 @@ intermediate tables whose lifetime is one pipeline.  The sink writes one
 layout); the reader is distributed — Ray lists and ships the file BYTES
 (``read_binary_files``) and each task materializes its table with
 ``pa.ipc.open_stream`` over a zero-copy buffer.
+
+NOTE on retries: part names are fresh uuids, so a RETRIED write task would
+emit a second part (duplicate rows).  Use these sinks for terminal exports
+(the roundtrip queries clear the directory first); retry-safe resumable
+writes go through ``sources/checkpoint.py``'s manifest (fingerprint-keyed,
+skip-complete) or ``Dataset.write_parquet`` (Ray-managed filenames).
 """
 
 from __future__ import annotations

@@ -17,6 +17,12 @@ The writer is vectorized: per-column fragments via pandas str kernels
 chars), one C-level join per block, one part file per block under the
 directory — the resumable layout every sink in this engine uses.
 Non-finite floats (nan/inf) serialize as JSON ``null``.
+
+NOTE on retries: part names are fresh uuids, so a RETRIED write task would
+emit a second part (duplicate rows).  Use these sinks for terminal exports
+(the roundtrip queries clear the directory first); retry-safe resumable
+writes go through ``sources/checkpoint.py``'s manifest (fingerprint-keyed,
+skip-complete) or ``Dataset.write_parquet`` (Ray-managed filenames).
 """
 
 from __future__ import annotations

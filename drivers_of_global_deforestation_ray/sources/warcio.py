@@ -13,6 +13,12 @@ Content-Length — never splitting on payload bytes.
 
 Only ``response``-type records are emitted by the reader (metadata /
 request records skip), matching how CC-style pipelines consume WARCs.
+
+NOTE on retries: part names are fresh uuids, so a RETRIED write task would
+emit a second part (duplicate rows).  Use these sinks for terminal exports
+(the roundtrip queries clear the directory first); retry-safe resumable
+writes go through ``sources/checkpoint.py``'s manifest (fingerprint-keyed,
+skip-complete) or ``Dataset.write_parquet`` (Ray-managed filenames).
 """
 
 from __future__ import annotations
