@@ -2575,6 +2575,61 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_value_histogram(sf_dir: str):
+    """Equi-width histogram (profiling companion to table_profile): 32
+    fixed-bound bins over l_extendedprice, per-block ``np.bincount``
+    partials -> tiny grouped sum; only 32 rows ever reach the driver."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    lo, hi, nbins = 900.0, 105000.0, 32
+
+    def _bins(b: pa.Table) -> pd.DataFrame:
+        v = b["l_extendedprice"].to_numpy()
+        # explicit floor both sides (DuckDB CAST(double AS BIGINT) rounds)
+        idx = np.clip(np.floor((v - lo) / (hi - lo) * nbins).astype(np.int64),
+                      0, nbins - 1)
+        c = np.bincount(idx, minlength=nbins)
+        return pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64),
+                             "n": c.astype(np.int64)})
+
+    out = R.grouped_agg(li.map_batches(_bins, batch_format="pyarrow"),
+                        ["bin"], {"n": ("n", "sum")}, num_partitions=1)
+    return out.filter(expr="n > 0")
+
+
+def q_funnel_count(sf_dir: str):
+    """Ordered-funnel analytics: users whose FIRST 'click' strictly
+    precedes their LAST 'purchase' — per-key (min ts | type) partials per
+    block, one tiny grouped min/max combine, vectorized final compare.
+    Timestamps ride as exact epoch-micros int64."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def _p(b: pa.Table) -> pd.DataFrame:
+        t = pc.cast(b["ts"], pa.int64()).to_numpy()  # epoch micros
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        uid = b["user_id"].to_numpy()
+        big = np.int64(1 << 62)
+        a = np.where(et == "click", t, big)       # min -> first click
+        p = np.where(et == "purchase", t, -big)   # max -> last purchase
+        return pd.DataFrame({"user_id": uid, "a": a, "p": p})
+
+    s = R.grouped_agg(ev.map_batches(_p, batch_format="pyarrow"),
+                      ["user_id"], {"first_click": ("a", "min"),
+                                    "last_purchase": ("p", "max")},
+                      num_partitions=4)
+
+    def _sel(df: pd.DataFrame) -> pd.DataFrame:
+        big = np.int64(1 << 62)
+        fc = df["first_click"].to_numpy()
+        lp = df["last_purchase"].to_numpy()
+        ok = (fc != big) & (lp != -big) & (fc < lp)
+        d = df[ok]
+        return pd.DataFrame({"user_id": d["user_id"].to_numpy(np.int64),
+                             "first_click": d["first_click"].to_numpy(),
+                             "last_purchase": d["last_purchase"].to_numpy()})
+
+    return s.map_batches(_sel, batch_format="pandas")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Crawl snapshot diff: docs keyed by url-identity (doc_id here), old
     snapshot = even ids with texts, new = odd+even-recrawled simulation —
@@ -2995,6 +3050,8 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "embed_centroid": q_embed_centroid,
     "quality_linear": q_quality_linear,
+    "value_histogram": q_value_histogram,
+    "funnel_count": q_funnel_count,
 }
 
 
@@ -3902,6 +3959,24 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "value_histogram": """
+        SELECT bin, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT LEAST(GREATEST(CAST(floor((l_extendedprice - 900.0)
+                       / (105000.0 - 900.0) * 32) AS BIGINT), 0), 31) AS bin
+            FROM lineitem)
+        GROUP BY bin
+    """,
+    "funnel_count": """
+        SELECT user_id,
+               CAST(min(CASE WHEN event_type = 'click'
+                             THEN epoch_us(ts) END) AS BIGINT) AS first_click,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                             THEN epoch_us(ts) END) AS BIGINT) AS last_purchase
+        FROM events
+        GROUP BY user_id
+        HAVING min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                 < max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+    """,
     "embed_centroid": """
         SELECT label, f.range AS pos,
                CAST(sum(CAST(floor(CAST(embedding[f.range + 1] AS DOUBLE)

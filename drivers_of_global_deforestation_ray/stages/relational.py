@@ -432,10 +432,15 @@ def skew_join(
     all.  The hot set is ADVISORY — any detection error only moves rows
     between two paths that produce identical results, which is exactly
     what the SQL oracle checks (strategy invariance vs a plain JOIN).
-    ``inner`` joins only: splitting an outer join across paths would need
-    unmatched-row reconciliation between them."""
-    if how != "inner":
-        raise ValueError("skew_join supports how='inner' only")
+
+    ``inner`` and ``left`` joins: both sides split on the SAME key
+    predicate, so every row lands in exactly one path and matches can only
+    form within a path — the union is exact with no reconciliation.
+    ``full``/``right`` would need the same argument on the right side
+    (it holds) but broadcast_join's small side can't emit unmatched rows,
+    so they stay unsupported."""
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner'/'left' only")
     from .sketch import heavy_hitters
 
     r_on = right_on or on
@@ -460,9 +465,9 @@ def skew_join(
     right_cold = right.map_batches(lambda b: rsplit(b, False),
                                    batch_format="pyarrow")
 
-    hot_joined = broadcast_join(left_hot, right_hot_tbl, on=on, how="inner",
+    hot_joined = broadcast_join(left_hot, right_hot_tbl, on=on, how=how,
                                 right_on=r_on)
-    cold_joined = hash_join(left_cold, right_cold, on=on, how="inner",
+    cold_joined = hash_join(left_cold, right_cold, on=on, how=how,
                             num_partitions=num_partitions, right_on=r_on)
     # the two paths may order/type columns differently — align before union
     cols = hot_joined.schema().names

@@ -685,4 +685,30 @@ def test_skew_join_rejects_outer(rd):
 
     ds = rd.range(10)
     with pytest.raises(ValueError):
-        skew_join(ds, ds, on="id", how="left")
+        skew_join(ds, ds, on="id", how="full")
+
+
+def test_skew_join_left_keeps_unmatched(rd):
+    """LEFT skew join: rows whose key misses the right side survive with
+    nulls, on both the hot and cold paths."""
+    from drivers_of_global_deforestation_ray.stages.relational import (
+        hash_join, skew_join)
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, 3, rng.integers(0, 100, n))
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 50, dtype=np.int64),
+                          "rv": np.arange(0, 50, dtype=np.int64) * 10})
+    got = (skew_join(rd.from_pandas(left).repartition(6),
+                     rd.from_pandas(right).repartition(2),
+                     on="k", right_on="rk", how="left", hot_k=4,
+                     num_partitions=4)
+           .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    want = (hash_join(rd.from_pandas(left).repartition(6),
+                      rd.from_pandas(right).repartition(2),
+                      on="k", right_on="rk", how="left", num_partitions=4)
+            .to_pandas()[got.columns]
+            .sort_values(["k", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert got["rv"].isna().sum() > 0  # unmatched keys (>= 50) survived
