@@ -2575,6 +2575,64 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_lm_score(sf_dir: str):
+    """CCNet-style language-model quality filter: add-1-smoothed bigram LM
+    trained ON the corpus (distributed exact unigram/bigram counts), each
+    doc scored by sum of ln((c(w1,w2)+1)/(c(w1)+V)).  The count tables are
+    vocabulary-bounded broadcasts (the tfidf_top_terms contract; the
+    unbounded-web-vocab path is a hash join on the bigram key).  Scores
+    round to 6 decimals — the ln/summation drift is ~1e-13, the repo's
+    cosine discipline."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _grams(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["doc_id"]].assign(__w=df["text"].str.split(" ")).explode("__w")
+        ids = e["doc_id"].to_numpy()
+        w = e["__w"].to_numpy(dtype=object)
+        w2 = np.roll(w, -1)
+        ok = ids == np.roll(ids, -1)
+        if len(ok):
+            ok[-1] = False
+        g = pd.DataFrame({"w1": w[ok], "w2": w2[ok]})
+        c = g.groupby(["w1", "w2"], sort=False).size()
+        u = pd.Series(w).groupby(w, sort=False).size()
+        bi = c.reset_index().rename(columns={0: "n"})
+        bi["kind"] = np.int8(1)
+        un = pd.DataFrame({"w1": u.index.to_numpy(dtype=object),
+                           "w2": "", "n": u.to_numpy(np.int64),
+                           "kind": np.int8(0)})
+        return pd.concat([bi, un], ignore_index=True)
+
+    counts = R.grouped_agg(docs.map_batches(_grams, batch_format="pandas"),
+                           ["kind", "w1", "w2"], {"n": ("n", "sum")},
+                           num_partitions=4).to_pandas()
+    uni = counts[counts["kind"] == 0]
+    bi = counts[counts["kind"] == 1]
+    V = len(uni)
+    import ray as _ray
+
+    ud = _ray.put(dict(zip(uni["w1"], uni["n"].astype(np.int64))))
+    bd = _ray.put(dict(zip(zip(bi["w1"], bi["w2"]), bi["n"].astype(np.int64))))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        u, b = _ray.get(ud), _ray.get(bd)
+        ids_out, scores = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            ws = text.split(" ")
+            if len(ws) < 2:
+                continue
+            terms = np.empty(len(ws) - 1, dtype=np.float64)
+            for i in range(len(ws) - 1):
+                c2 = b.get((ws[i], ws[i + 1]), 0)
+                terms[i] = np.log((c2 + 1) / float(u[ws[i]] + V))
+            ids_out.append(did)
+            scores.append(round(float(terms.sum()), 6))
+        return pd.DataFrame({"doc_id": np.asarray(ids_out, dtype=np.int64),
+                             "lm_logprob": np.asarray(scores)})
+
+    return docs.map_batches(_score, batch_format="pandas")
+
+
 def q_value_histogram(sf_dir: str):
     """Equi-width histogram (profiling companion to table_profile): 32
     fixed-bound bins over l_extendedprice, per-block ``np.bincount``
@@ -3052,6 +3110,7 @@ QUERIES = {
     "quality_linear": q_quality_linear,
     "value_histogram": q_value_histogram,
     "funnel_count": q_funnel_count,
+    "lm_score": q_lm_score,
 }
 
 
@@ -3959,6 +4018,25 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "lm_score": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        uni AS (SELECT w, count(*) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY w),
+        vv AS (SELECT count(*) AS v FROM uni),
+        pairs AS (SELECT doc_id, ws[f.range + 1] AS w1, ws[f.range + 2] AS w2
+                  FROM t CROSS JOIN range(0, 2000) f
+                  WHERE f.range + 2 <= len(ws)),
+        bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2)
+        SELECT p.doc_id,
+               round(sum(ln((COALESCE(b.c, 0) + 1)
+                            / CAST(u.c + (SELECT v FROM vv) AS DOUBLE))), 6)
+                 AS lm_logprob
+        FROM pairs p
+        JOIN uni u ON u.w = p.w1
+        LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        GROUP BY p.doc_id
+    """,
     "value_histogram": """
         SELECT bin, CAST(count(*) AS BIGINT) AS n FROM (
             SELECT LEAST(GREATEST(CAST(floor((l_extendedprice - 900.0)
