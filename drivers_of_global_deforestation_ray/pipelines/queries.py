@@ -1932,6 +1932,25 @@ def q_rollup(sf_dir: str):
          "max_value_scaled": ("value_scaled", "max")})
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE (all 2^k grouping sets): per (event_type, day), per
+    event_type, per day, and grand total — raw input shuffled once, every
+    set re-aggregated from the one materialized finest level."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.strftime("%Y-%m-%d"),
+            "value_scaled": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return R.cube_agg(
+        ds.map_batches(_prep, batch_format="pandas"), ["event_type", "day"],
+        {"n": ("value_scaled", "size"), "sum_value_scaled": ("value_scaled", "sum"),
+         "max_value_scaled": ("value_scaled", "max")})
+
+
 # Deterministic PII suffix grafted onto each document so the redaction
 # operator has real matches at every scale; the SQL oracle builds the SAME
 # suffix with || so both sides scrub identical bytes.
@@ -3111,6 +3130,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "funnel_count": q_funnel_count,
     "lm_score": q_lm_score,
+    "cube": q_cube,
 }
 
 
@@ -3655,6 +3675,12 @@ ORACLE_SQL = {
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled,
                CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_scaled
         FROM events GROUP BY ROLLUP(event_type, day)
+    """,
+    "cube": """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_scaled,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_scaled
+        FROM events GROUP BY CUBE(event_type, day)
     """,
     "pii_scrub": f"""
         WITH t AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)

@@ -275,25 +275,30 @@ def salted_grouped_agg(
     return merged.map_batches(_fix, batch_format="pandas")
 
 
-def rollup_agg(
+def grouping_sets_agg(
     ds: Dataset,
     keys: list[str],
     specs: dict[str, tuple[str, str]],
+    sets: "list[list[str]]",
     batch_size: int = 65536,
     num_partitions: int = 32,
 ) -> Dataset:
-    """SQL ``GROUP BY ROLLUP(keys...)``: one aggregate per key prefix, from
-    the finest level down to the grand total, dropped keys emitted as typed
-    nulls.
+    """SQL ``GROUP BY GROUPING SETS``: one aggregate per key subset, dropped
+    keys emitted as typed nulls.  ``rollup_agg`` (prefixes) and ``cube_agg``
+    (all subsets) are the conveniences.
 
     Scale shape: the raw input is scanned and shuffled ONCE (the finest
-    :func:`grouped_agg`); that result — one row per fine group — is
-    materialized and every coarser level re-aggregates it (sum of sums, min
-    of mins, counts re-summed), so a 100-TB rollup costs one partial-agg
-    shuffle plus re-aggs of an already-tiny table.  ``mean`` is rejected:
-    it is not re-aggregable from finals (carry sum + count instead)."""
+    :func:`grouped_agg` over ALL keys); that result — one row per fine
+    group — is materialized and every requested set re-aggregates it (sum
+    of sums, min of mins, counts re-summed), so a 100-TB cube costs one
+    partial-agg shuffle plus re-aggs of an already-tiny table.  ``mean`` is
+    rejected: it is not re-aggregable from finals (carry sum + count)."""
     if any(how == "mean" for _, how in specs.values()):
-        raise ValueError("rollup_agg: mean is not re-aggregable; carry sum and count")
+        raise ValueError("grouping sets: mean is not re-aggregable; carry sum and count")
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} has non-key columns {unknown}")
     aliases = list(specs)
     fine = grouped_agg(ds, keys, specs, batch_size, num_partitions).materialize()
     reagg = {a: (a, "sum" if how in ("count", "size") else how)
@@ -305,9 +310,12 @@ def rollup_agg(
     def _order(df: pd.DataFrame) -> pd.DataFrame:
         return df[keys + aliases]
 
-    levels = [fine.map_batches(_order, batch_format="pandas")]
-    for cut in range(len(keys) - 1, -1, -1):
-        sub = keys[:cut]
+    levels = []
+    for s in sets:
+        if list(s) == list(keys):
+            levels.append(fine.map_batches(_order, batch_format="pandas"))
+            continue
+        sub = [k for k in keys if k in s]  # canonical key order
         if sub:
             coarse = grouped_agg(fine, sub, reagg,
                                  num_partitions=max(2, num_partitions // 4))
@@ -318,7 +326,8 @@ def rollup_agg(
                 ["__all"], reagg, num_partitions=2,
             ).map_batches(lambda b: b.drop(columns="__all"), batch_format="pandas")
 
-        def _fill(df: pd.DataFrame, _nulls=tuple(keys[cut:])) -> pd.DataFrame:
+        def _fill(df: pd.DataFrame,
+                  _nulls=tuple(k for k in keys if k not in s)) -> pd.DataFrame:
             for k in _nulls:
                 df[k] = _typed_null_series(key_dtype[k], len(df))
             for a in int_aliases:
@@ -330,6 +339,35 @@ def rollup_agg(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def rollup_agg(
+    ds: Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    batch_size: int = 65536,
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)``: the prefix grouping sets, from the
+    finest level down to the grand total (see :func:`grouping_sets_agg`)."""
+    sets = [keys[:cut] for cut in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, specs, sets, batch_size, num_partitions)
+
+
+def cube_agg(
+    ds: Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    batch_size: int = 65536,
+    num_partitions: int = 32,
+) -> Dataset:
+    """SQL ``GROUP BY CUBE(keys...)``: every key subset (2^k sets), each
+    re-aggregated from the ONE materialized finest level."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, specs, sets, batch_size, num_partitions)
 
 
 # ---------------------------------------------------------------------------
