@@ -2594,6 +2594,26 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_centered_window(sf_dir: str):
+    """Centered range window (RANGE BETWEEN 300s PRECEDING AND 300s
+    FOLLOWING): the trailing machinery with a lookahead bound — same
+    disjoint-axis searchsorted, one extra offset."""
+    from ..stages.window import rolling_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "value_scaled": R.scaled_int(b["value"], 100)})
+
+    return rolling_agg(ev.map_batches(_prep, batch_format="pyarrow"),
+                       key_col="user_id", ts_col="ts", id_col="event_id",
+                       value_col="value_scaled", window_s=300.0,
+                       following_s=300.0, out_col="centered_sum",
+                       num_partitions=4)
+
+
 def q_lm_score(sf_dir: str):
     """CCNet-style language-model quality filter: add-1-smoothed bigram LM
     trained ON the corpus (distributed exact unigram/bigram counts), each
@@ -3131,6 +3151,7 @@ QUERIES = {
     "funnel_count": q_funnel_count,
     "lm_score": q_lm_score,
     "cube": q_cube,
+    "centered_window": q_centered_window,
 }
 
 
@@ -4044,6 +4065,15 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "centered_window": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 300 SECOND PRECEDING
+                                    AND INTERVAL 300 SECOND FOLLOWING) AS BIGINT)
+                 AS centered_sum
+        FROM events
+    """,
     "lm_score": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         uni AS (SELECT w, count(*) AS c

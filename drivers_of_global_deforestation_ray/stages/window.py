@@ -329,11 +329,15 @@ def rolling_agg(
     out_col: "str | None" = None,
     num_partitions: int = 32,
     agg: str = "sum",
+    following_s: float = 0.0,
 ) -> Dataset:
-    """Trailing range-window aggregate per key: for each row, ``agg`` of
+    """Range-window aggregate per key: for each row, ``agg`` of
     ``value_col`` over that key's rows with ``row.ts - window_s <= ts <=
-    row.ts`` — *inclusive of equal-timestamp peers on both edges*, exactly
-    SQL ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``.
+    row.ts + following_s`` — *inclusive of equal-timestamp peers on both
+    edges*, exactly SQL ``RANGE BETWEEN <w> PRECEDING AND <f> FOLLOWING``
+    (``following_s=0``, the default, is the classic trailing
+    ``... AND CURRENT ROW`` frame; a positive value gives the centered /
+    lookahead frame).
 
     ``agg``: ``sum``/``count``/``mean`` via prefix sums (O(n)); ``min``/
     ``max`` via a sparse-table RMQ (O(n log n) build, O(1) per row) — the
@@ -349,6 +353,7 @@ def rolling_agg(
         keys = df[key_col].to_numpy()
         vals = df[value_col].to_numpy()
         w_us = np.int64(round(window_s * 1e6))
+        f_us = np.int64(round(following_s * 1e6))
         n = len(df)
         if n == 0:
             out = df[[id_col, key_col]].copy()
@@ -366,7 +371,7 @@ def rolling_agg(
         rel = ts - seg_min[seg_id]                        # >= 0 within segment
         seg_ends = np.concatenate((seg_starts[1:], [n])) - 1
         span = ts[seg_ends] - seg_min                     # per-segment ts span
-        stride = span + w_us + 1                          # gap defeats carryover
+        stride = span + w_us + f_us + 1                   # gap defeats carryover
         base = np.concatenate(([0], np.cumsum(stride)[:-1]))
         def _agg_windows(v: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
             if agg in ("sum", "count", "mean"):
@@ -379,10 +384,10 @@ def rolling_agg(
                 return s / (hi - lo)
             return _range_extreme(v, lo, hi, maximize=(agg == "max"))
 
-        if int(base[-1]) + int(span[-1]) + int(w_us) < (1 << 62):
+        if int(base[-1]) + int(span[-1]) + int(w_us) + int(f_us) < (1 << 62):
             adj = rel + base[seg_id]
             lo = np.searchsorted(adj, adj - w_us, side="left")
-            hi = np.searchsorted(adj, adj, side="right")  # includes ts peers
+            hi = np.searchsorted(adj, adj + f_us, side="right")  # incl. peers
             out = df[[id_col, key_col]].copy()
             out[out_col] = _agg_windows(vals, lo, hi)
             return out
@@ -392,7 +397,7 @@ def rolling_agg(
             gts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
             gv = g[value_col].to_numpy()
             lo = np.searchsorted(gts, gts - w_us, side="left")
-            hi = np.searchsorted(gts, gts, side="right")
+            hi = np.searchsorted(gts, gts + f_us, side="right")
             o = g[[id_col, key_col]].copy()
             o[out_col] = _agg_windows(gv, lo, hi)
             out_frames.append(o)
