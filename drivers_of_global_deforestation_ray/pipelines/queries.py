@@ -2594,6 +2594,48 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_gazetteer_match(sf_dir: str):
+    """Broadcast-dictionary entity tagging (topic/domain gazetteers): count
+    occurrences of a small term list per doc with ONE compiled alternation
+    regex (longest-first so re and RE2 agree on overlaps), word-boundary
+    anchored — the dictionary ships once, the scan is stateless and
+    vectorized (pandas str.count)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = ["forest", "river", "quick", "stone", "rain"]
+    pat = r"\b(" + "|".join(sorted(terms, key=len, reverse=True)) + r")\b"
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_hits": df["text"].str.count(pat).to_numpy(np.int64)})
+
+    return docs.map_batches(_match, batch_format="pandas")
+
+
+def q_winsorize(sf_dir: str):
+    """Per-key winsorization (outlier clipping at the p05/p95 quantiles):
+    ONE holistic co-partition computes each key's quantile_cont bounds AND
+    clips its rows in the same pass — no second scan, no driver state."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def _clip(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in df.groupby("l_returnflag", sort=False):
+            v = g["l_extendedprice"].to_numpy()
+            lo = np.quantile(v, 0.05)  # linear interpolation = quantile_cont
+            hi = np.quantile(v, 0.95)
+            out.append(pd.DataFrame({
+                "l_orderkey": g["l_orderkey"].to_numpy(),
+                "l_linenumber": g["l_linenumber"].to_numpy(),
+                # round-6 both sides: a 1-ulp interpolation diff in the
+                # bound must not flip the hash for rows clipped AT the bound
+                "clipped": np.round(np.minimum(np.maximum(v, lo), hi), 6)}))
+        return pd.concat(out, ignore_index=True)
+
+    return R.grouped_transform(li, ["l_returnflag"], _clip, num_partitions=4)
+
+
 def q_centered_window(sf_dir: str):
     """Centered range window (RANGE BETWEEN 300s PRECEDING AND 300s
     FOLLOWING): the trailing machinery with a lookahead bound — same
@@ -3152,6 +3194,8 @@ QUERIES = {
     "lm_score": q_lm_score,
     "cube": q_cube,
     "centered_window": q_centered_window,
+    "gazetteer_match": q_gazetteer_match,
+    "winsorize": q_winsorize,
 }
 
 
@@ -4065,6 +4109,21 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "gazetteer_match": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '\\b(forest|river|stone|quick|rain)\\b')) AS BIGINT) AS n_hits
+        FROM documents
+    """,
+    "winsorize": """
+        WITH q AS (SELECT l_returnflag,
+                          quantile_cont(l_extendedprice, 0.05) AS lo,
+                          quantile_cont(l_extendedprice, 0.95) AS hi
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_orderkey, l.l_linenumber,
+               round(LEAST(GREATEST(l.l_extendedprice, q.lo), q.hi), 6) AS clipped
+        FROM lineitem l JOIN q USING (l_returnflag)
+    """,
     "centered_window": """
         SELECT event_id, user_id,
                CAST(SUM(CAST(round(value * 100) AS BIGINT))
