@@ -2594,6 +2594,23 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_radius_join(sf_dir: str):
+    """Geodesic radius self-join (``stages/spatial.py``): all geocoded doc
+    pairs within 500 km — latitude-banded cell blocking with a
+    cos(lat)-widened longitude reach (provably complete candidates), pairs
+    formed once in the smaller id's home cell, exact haversine verify.
+    Oracle: brute-force all-pairs haversine with the identical IEEE
+    expression order, distances round-6."""
+    from ..stages.spatial import radius_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    pts = docs.map_batches(_doc_urls_batch, batch_format="pyarrow") \
+              .map_batches(lambda df: df[["doc_id", "lat", "lon"]],
+                           batch_format="pandas")
+    return radius_join(pts, "doc_id", "lat", "lon", radius_km=500.0,
+                       num_partitions=4)
+
+
 def q_gazetteer_match(sf_dir: str):
     """Broadcast-dictionary entity tagging (topic/domain gazetteers): count
     occurrences of a small term list per doc with ONE compiled alternation
@@ -3196,6 +3213,7 @@ QUERIES = {
     "centered_window": q_centered_window,
     "gazetteer_match": q_gazetteer_match,
     "winsorize": q_winsorize,
+    "radius_join": q_radius_join,
 }
 
 
@@ -4109,6 +4127,20 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "radius_join": f"""
+        WITH p AS (SELECT doc_id, lat, lon FROM ({_TILE_SQL})),
+        d AS (SELECT p1.doc_id AS a, p2.doc_id AS b,
+                     2.0 * 6371.0088 * asin(sqrt(
+                       sin((p2.lat - p1.lat) * 0.017453292519943295 / 2.0)
+                         * sin((p2.lat - p1.lat) * 0.017453292519943295 / 2.0)
+                       + (cos(p1.lat * 0.017453292519943295)
+                          * cos(p2.lat * 0.017453292519943295))
+                         * (sin((p2.lon - p1.lon) * 0.017453292519943295 / 2.0)
+                            * sin((p2.lon - p1.lon) * 0.017453292519943295 / 2.0))
+                     )) AS dist
+              FROM p p1 JOIN p p2 ON p1.doc_id < p2.doc_id)
+        SELECT a, b, round(dist, 6) AS dist_km FROM d WHERE dist <= 500.0
+    """,
     "gazetteer_match": """
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,

@@ -145,3 +145,41 @@ def test_dedup_spans_fast_hash_matches_md5(rd):
                      n=3, hash="fast")
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- geodesic radius join ------------------------------------------------
+
+def test_radius_join_matches_bruteforce_incl_poles(rd):
+    """Candidate completeness at the hard spots: polar clusters (lon cells
+    shrink), dateline wraparound, and an equator control — every pair the
+    brute force finds must surface, at two partitionings."""
+    from drivers_of_global_deforestation_ray.stages.spatial import (
+        haversine_km, radius_join)
+
+    rng = np.random.default_rng(41)
+    pts = [
+        # polar cluster: lats 87..89.9, random lons (all mutually close)
+        *[(i, 87.0 + rng.random() * 2.9, rng.random() * 360 - 180)
+          for i in range(20)],
+        # dateline pair
+        (100, 10.0, 179.9), (101, 10.0, -179.9),
+        # equator cluster + far-away controls
+        (200, 0.0, 0.0), (201, 0.5, 0.5), (202, 40.0, 40.0),
+        *[(300 + i, rng.random() * 120 - 60, rng.random() * 360 - 180)
+          for i in range(40)],
+    ]
+    df = pd.DataFrame(pts, columns=["doc_id", "lat", "lon"])
+    la = df["lat"].to_numpy(); lo = df["lon"].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    ai, bi = np.triu_indices(len(df), k=1)
+    d = haversine_km(la[ai], lo[ai], la[bi], lo[bi])
+    want = {(int(ids[ai[k]]), int(ids[bi[k]])): round(float(d[k]), 6)
+            for k in range(len(ai)) if d[k] <= 700.0}
+    for parts in (1, 8):
+        got = (radius_join(rd.from_pandas(df).repartition(parts),
+                           "doc_id", "lat", "lon", radius_km=700.0,
+                           num_partitions=4).to_pandas())
+        got_map = {(int(r.a), int(r.b)): float(r.dist_km)
+                   for r in got.itertuples()}
+        assert got_map == want
+    assert (100, 101) in want  # the dateline pair really is in range
