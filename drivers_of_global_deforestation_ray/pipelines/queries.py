@@ -2594,6 +2594,25 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_running_total(sf_dir: str):
+    """Distributed prefix sum (``relational.running_total``): cumulative
+    scaled-value sum over global (ts, event_id) order — range-histogram
+    bucket offsets, O(num_buckets) driver, no single-node pass."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def _prep(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "ts_us": pc.cast(b["ts"], pa.int64()).to_numpy(),
+            "value_scaled": R.scaled_int(b["value"], 100).to_numpy()})
+
+    prep = ev.map_batches(_prep, batch_format="pyarrow")
+    out = R.running_total(prep, "ts_us", "event_id", "value_scaled",
+                          out_col="running_sum")
+    return out.map_batches(
+        lambda df: df[["event_id", "running_sum"]], batch_format="pandas")
+
+
 def q_radius_join(sf_dir: str):
     """Geodesic radius self-join (``stages/spatial.py``): all geocoded doc
     pairs within 500 km — latitude-banded cell blocking with a
@@ -3214,6 +3233,7 @@ QUERIES = {
     "gazetteer_match": q_gazetteer_match,
     "winsorize": q_winsorize,
     "radius_join": q_radius_join,
+    "running_total": q_running_total,
 }
 
 
@@ -4127,6 +4147,12 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "running_total": """
+        SELECT event_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    OVER (ORDER BY ts, event_id) AS BIGINT) AS running_sum
+        FROM events
+    """,
     "radius_join": f"""
         WITH p AS (SELECT doc_id, lat, lon FROM ({_TILE_SQL})),
         d AS (SELECT p1.doc_id AS a, p2.doc_id AS b,

@@ -1661,6 +1661,77 @@ def add_rank(ds: Dataset, key: str, rank_col: str = "rank",
     return grouped_transform(tagged, ["__bucket"], _rank)
 
 
+def running_total(ds: Dataset, key_col: str, tiebreak_col: str,
+                  value_col: str, out_col: str = "running_sum",
+                  num_buckets: int = 64,
+                  sample_per_block: int = 64) -> Dataset:
+    """Distributed PREFIX SUM: cumulative sum of ``value_col`` over the
+    global ``(key_col, tiebreak_col)`` order — SQL ``SUM(v) OVER (ORDER BY
+    key, tiebreak)`` — without any single-node pass over the data.
+
+    The :func:`add_rank` range-histogram pattern generalized from counts to
+    value sums: sampled split points bucket the key range; one distributed
+    pass computes per-bucket VALUE SUMS (per-batch ``np.add.at`` partials ->
+    tiny combine -> O(num_buckets) rows on the driver); cumulative bucket
+    offsets broadcast; a key-range co-partition sorts each bucket by
+    ``(key, tiebreak)`` and emits ``offset + local cumsum``.  ``value_col``
+    must be integer/scaled-int (associative exact sums — the engine's
+    float-determinism contract); ``(key, tiebreak)`` must be unique.
+
+    Equal keys always share a bucket (``searchsorted side='right'``), so
+    intra-bucket sorting sees every tie and the result is deterministic at
+    any partitioning."""
+    proj = ds.select_columns([key_col])
+    samp = proj.map_batches(
+        lambda df: df.iloc[:: max(1, len(df) // sample_per_block)],
+        batch_format="pandas").to_pandas()
+    vals = np.sort(samp[key_col].to_numpy())
+    if len(vals):
+        cuts = vals[np.linspace(0, len(vals) - 1,
+                                num_buckets + 1).astype(np.int64)[1:-1]]
+        bounds = np.unique(cuts)
+    else:
+        bounds = vals
+    b_ref = ray.put(bounds)
+
+    def _bucket_of(keys_arr: np.ndarray) -> np.ndarray:
+        return np.searchsorted(ray.get(b_ref), keys_arr, side="right")
+
+    def _sums(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket_of(df[key_col].to_numpy())
+        s = np.zeros(len(bounds) + 1, dtype=np.int64)
+        np.add.at(s, b, df[value_col].to_numpy().astype(np.int64))
+        return pd.DataFrame({"__bucket": np.arange(len(s), dtype=np.int64),
+                             "__s": s})
+
+    sums = (grouped_agg(ds.select_columns([key_col, value_col])
+                        .map_batches(_sums, batch_format="pandas"),
+                        ["__bucket"], {"s": ("__s", "sum")})
+            .to_pandas().sort_values("__bucket"))
+    offsets = np.zeros(len(bounds) + 1, dtype=np.int64)
+    cum = np.concatenate(([0], sums["s"].to_numpy().cumsum()[:-1]))
+    offsets[sums["__bucket"].to_numpy()] = cum
+    o_ref = ray.put(offsets)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__bucket"] = _bucket_of(df[key_col].to_numpy()).astype(np.int64)
+        return df
+
+    def _cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(o_ref)
+        out = []
+        for b, g in df.groupby("__bucket", sort=False):
+            g = g.sort_values([key_col, tiebreak_col], kind="stable")
+            g[out_col] = off[int(b)] + g[value_col].to_numpy().astype(
+                np.int64).cumsum()
+            out.append(g)
+        return pd.concat(out, ignore_index=True).drop(columns="__bucket")
+
+    tagged = ds.map_batches(_tag, batch_format="pandas")
+    return grouped_transform(tagged, ["__bucket"], _cumsum)
+
+
 def union_all(datasets: list[Dataset]) -> Dataset:
     """``bind_rows`` (``Supplemental_Data_1.R:319,348``)."""
     first, *rest = datasets

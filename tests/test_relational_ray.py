@@ -712,3 +712,26 @@ def test_skew_join_left_keeps_unmatched(rd):
             .sort_values(["k", "lv"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert got["rv"].isna().sum() > 0  # unmatched keys (>= 50) survived
+
+
+def test_running_total_partitioning_invariant(rd):
+    """Distributed prefix sum == numpy cumsum over the sorted order, at two
+    partitionings, including heavy key ties (all ties share a bucket)."""
+    from drivers_of_global_deforestation_ray.stages.relational import running_total
+
+    rng = np.random.default_rng(29)
+    n = 30_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 500, n),       # heavy ties
+        "tie": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-100, 100, n),
+    })
+    want = df.sort_values(["k", "tie"], kind="stable")
+    want_cs = want["v"].to_numpy().cumsum()
+    want_map = dict(zip(want["tie"].to_numpy(), want_cs))
+    for parts in (2, 16):
+        got = (running_total(rd.from_pandas(df).repartition(parts),
+                             "k", "tie", "v").to_pandas())
+        got_map = dict(zip(got["tie"].to_numpy(),
+                           got["running_sum"].to_numpy()))
+        assert got_map == want_map
