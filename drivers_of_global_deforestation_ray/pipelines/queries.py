@@ -2613,6 +2613,34 @@ def q_running_total(sf_dir: str):
         lambda df: df[["event_id", "running_sum"]], batch_format="pandas")
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Sweep-line max concurrency (capacity planning): each event opens a
+    600 s session; +1/-1 deltas explode, the distributed prefix sum orders
+    them globally, one tiny max-aggregate reads the peak — the
+    ``running_total`` primitive composed, no driver-side pass.
+
+    Tie rule (both sides): at equal timestamps ENDS apply before STARTS
+    (delta sorts ascending as the tiebreak), so touching sessions never
+    double-count."""
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def _deltas(b: pa.Table) -> pd.DataFrame:
+        t = pc.cast(b["ts"], pa.int64()).to_numpy()
+        return pd.DataFrame({
+            "t_us": np.concatenate([t, t + 600_000_000]),
+            "delta": np.concatenate([np.ones(len(t), np.int64),
+                                     -np.ones(len(t), np.int64)])})
+
+    deltas = ev.map_batches(_deltas, batch_format="pyarrow")
+    rt = R.running_total(deltas, "t_us", "delta", "delta",
+                         out_col="concurrency")
+    return R.grouped_agg(
+        rt.map_batches(lambda df: df.assign(__g=np.int8(0)),
+                       batch_format="pandas"),
+        ["__g"], {"peak": ("concurrency", "max")},
+        num_partitions=1).select_columns(["peak"])
+
+
 def q_radius_join(sf_dir: str):
     """Geodesic radius self-join (``stages/spatial.py``): all geocoded doc
     pairs within 500 km — latitude-banded cell blocking with a
@@ -3234,6 +3262,7 @@ QUERIES = {
     "winsorize": q_winsorize,
     "radius_join": q_radius_join,
     "running_total": q_running_total,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 
@@ -4147,6 +4176,14 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "peak_concurrency": """
+        WITH d AS (
+          SELECT epoch_us(ts) AS t_us, 1 AS delta FROM events
+          UNION ALL
+          SELECT epoch_us(ts) + 600000000, -1 FROM events),
+        r AS (SELECT SUM(delta) OVER (ORDER BY t_us, delta) AS c FROM d)
+        SELECT CAST(max(c) AS BIGINT) AS peak FROM r
+    """,
     "running_total": """
         SELECT event_id,
                CAST(SUM(CAST(round(value * 100) AS BIGINT))
