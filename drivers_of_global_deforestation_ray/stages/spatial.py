@@ -95,6 +95,13 @@ def radius_join(
             out_id.append(ids[idx]); out_lat.append(lat[idx])
             out_lon.append(lon[idx]); out_cell.append(cell)
             out_home.append(home)
+        if not out_id:  # empty input block
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                lat_col: pd.Series(dtype=np.float64),
+                lon_col: pd.Series(dtype=np.float64),
+                "__cell": pd.Series(dtype=np.int64),
+                "__home": pd.Series(dtype=np.int64)})
         return pd.DataFrame({
             id_col: np.concatenate(out_id),
             lat_col: np.concatenate(out_lat),
