@@ -751,6 +751,18 @@ def q_semi_join(sf_dir: str):
     return R.semi_join(cust, ords, on="c_custkey", right_on="o_custkey")
 
 
+def q_semi_join_bloom(sf_dir: str):
+    """The SAME semi join forced through the distributed Bloom-prefilter +
+    marker-join path (broadcast=False, 2^18 bits): the plain-SQL oracle
+    proves the no-false-negative exactness contract end-to-end (strategy
+    invariance, like skew_join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ords = _read(sf_dir, "orders", ["o_custkey"])
+    return R.semi_join(cust, ords, on="c_custkey", right_on="o_custkey",
+                       broadcast=False, bloom_bits=1 << 18,
+                       num_partitions=4)
+
+
 def q_anti_join(sf_dir: str):
     """Broadcast anti join: customers who never triggered an event (J2
     anti; events.user_id covers only a prefix of the customer keys, so the
@@ -3263,6 +3275,7 @@ QUERIES = {
     "radius_join": q_radius_join,
     "running_total": q_running_total,
     "peak_concurrency": q_peak_concurrency,
+    "semi_join_bloom": q_semi_join_bloom,
 }
 
 
@@ -4176,6 +4189,10 @@ ORACLE_SQL = {
         WHERE rn = 1
     """,
     "quality_linear": _quality_linear_sql(),
+    "semi_join_bloom": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
     "peak_concurrency": """
         WITH d AS (
           SELECT epoch_us(ts) AS t_us, 1 AS delta FROM events
