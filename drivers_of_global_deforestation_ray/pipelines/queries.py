@@ -1195,6 +1195,29 @@ def q_jaccard_join(sf_dir: str):
                                num_partitions=_nparts(sf_dir, "documents"))
 
 
+def q_kcore(sf_dir: str):
+    """k-core decomposition (k=3) over the derived web-link graph
+    (``graph.kcore_nodes``, Seidman peeling): iterative prune-to-fixpoint —
+    no SQL form (deletion fixpoints are not recursive-CTE-monotone), so the
+    driver records rows-only; the pytest checks a pure-python peeler."""
+    from ..stages.graph import kcore_nodes
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        sel = ids[ids % 3 == 0]
+        return pd.DataFrame({
+            "src": np.concatenate([ids, ids, sel]),
+            "dst": np.concatenate([(ids + 1) % n, (ids + 2) % n,
+                                   (sel * 131 + 7) % n]),
+        })
+
+    edges = docs.map_batches(_edges, batch_format="pandas")
+    return kcore_nodes(edges, k=3, num_partitions=4)
+
+
 def q_triangle_count(sf_dir: str):
     """Per-node triangle counts (``stages/graph.triangle_counts``:
     degree-ordered wedge closing, every stage a co-partition — no joins, no
@@ -3276,6 +3299,7 @@ QUERIES = {
     "running_total": q_running_total,
     "peak_concurrency": q_peak_concurrency,
     "semi_join_bloom": q_semi_join_bloom,
+    "kcore": q_kcore,
 }
 
 

@@ -29,7 +29,8 @@ from ray.data import Dataset
 from .relational import (copart_join, grouped_agg, grouped_transform, hash_join,
                          union_all)
 
-__all__ = ["pagerank_fixed_point", "pagerank_pinned", "triangle_counts"]
+__all__ = ["pagerank_fixed_point", "pagerank_pinned", "triangle_counts",
+           "kcore_nodes"]
 
 
 def pagerank_fixed_point(
@@ -426,3 +427,81 @@ def triangle_counts(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
     partials = grouped_transform(both, ["x", "y"], _close, num_partitions)
     return grouped_agg(partials, ["node"], {"n_tri": ("n_tri", "sum")},
                        num_partitions=num_partitions)
+
+
+def kcore_nodes(
+    edges: Dataset,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+    num_partitions: int = 8,
+    batch_size: int = 65536,
+) -> Dataset:
+    """k-core decomposition (Seidman peeling): the maximal subgraph in which
+    every surviving node has degree >= k in the SUBGRAPH — the standard
+    dense-community / spam-cluster detector on link graphs.
+
+    Iterative fixpoint like :func:`pagerank_fixed_point`: each round
+    canonicalizes + dedups the surviving undirected edge set, computes
+    degrees by one two-phase grouped count (per-block partials — skew-proof
+    for hub nodes), collects ONLY the count of sub-k nodes (one scalar) to
+    test the fixpoint, and prunes edges touching sub-k nodes through the
+    scale-adaptive broadcast / marker anti-join machinery of
+    :func:`~.dedup.drop_ids`-style filtering (here: sub-k node ids are
+    degree-bounded, far fewer than nodes each round; they broadcast).  Each
+    round materializes the pruned edge set so the plan stays bounded; the
+    peel converges in at most the degeneracy-ordering depth (``max_rounds``
+    caps adversarial chains, with an explicit error — no silent cap).
+
+    Returns the surviving nodes ``(node_id, degree)`` — empty when no
+    k-core exists.  Deterministic: set semantics only, no ordering
+    dependence."""
+    import ray
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].to_numpy(np.int64)
+        c = b[dst_col].to_numpy(np.int64)
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        keep = lo != hi  # self-loops add no core degree
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    cur = grouped_transform(
+        edges.map_batches(_canon, batch_format="pandas"),
+        ["a", "b"], _dedup, num_partitions).materialize()
+
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
+        s = pd.Series(ids).groupby(ids, sort=False).size()
+        return pd.DataFrame({"node_id": s.index.to_numpy(),
+                             "n": s.to_numpy(np.int64)})
+
+    for _ in range(max_rounds):
+        deg = grouped_agg(cur.map_batches(_deg_partial, batch_format="pandas"),
+                          ["node_id"], {"degree": ("n", "sum")},
+                          num_partitions=num_partitions).materialize()
+        weak = deg.filter(expr=f"degree < {k}")
+        n_weak = weak.count()
+        if n_weak == 0:
+            return deg
+        weak_ids = np.sort(weak.select_columns(["node_id"])
+                           .to_pandas()["node_id"].to_numpy(np.int64))
+        ref = ray.put(weak_ids)
+
+        def _prune(b: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(ref)
+            keep = (~np.isin(b["a"].to_numpy(), w)
+                    & ~np.isin(b["b"].to_numpy(), w))
+            return b[keep]
+
+        cur = cur.map_batches(_prune, batch_format="pandas").materialize()
+        if cur.count() == 0:
+            import pandas as _pd
+            empty = _pd.DataFrame({"node_id": _pd.Series(dtype=np.int64),
+                                   "degree": _pd.Series(dtype=np.int64)})
+            import ray.data as rd
+            return rd.from_pandas(empty)
+    raise RuntimeError(f"kcore_nodes: no fixpoint after {max_rounds} rounds")

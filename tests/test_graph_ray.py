@@ -170,3 +170,50 @@ def test_triangle_counts_random_graph_matches_bruteforce(rd):
         got = dict(zip(out["node"].astype(int), out["n_tri"].astype(int)))
         assert got == want
     assert sum(want.values()) > 100  # dense enough to be a real exercise
+
+
+# --- k-core decomposition -------------------------------------------------
+
+def _kcore_reference(edges, k):
+    """Pure-python Seidman peel on an undirected simple graph."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            lo, hi = min(a, b), max(a, b)
+            adj[lo].add(hi)
+            adj[hi].add(lo)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(s) for n, s in adj.items() if s}
+
+
+def test_kcore_matches_reference(rd):
+    from drivers_of_global_deforestation_ray.stages.graph import kcore_nodes
+
+    rng = np.random.default_rng(43)
+    # a K6 clique (5-core) + a chain (peels away) + random sparse edges
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    chain = [(10 + i, 11 + i) for i in range(20)]
+    rand = [(int(rng.integers(40, 90)), int(rng.integers(40, 90)))
+            for _ in range(60)]
+    edges = clique + chain + rand
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    for k in (2, 3, 5):
+        want = _kcore_reference(edges, k)
+        got = (kcore_nodes(rd.from_pandas(df).repartition(4), k=k,
+                           num_partitions=4).to_pandas())
+        got_map = (dict(zip(got["node_id"], got["degree"]))
+                   if len(got) else {})
+        assert got_map == want, f"k={k}"
+    # k high enough that nothing survives
+    got = kcore_nodes(rd.from_pandas(df).repartition(4), k=6,
+                      num_partitions=4).to_pandas()
+    assert len(got) == 0
