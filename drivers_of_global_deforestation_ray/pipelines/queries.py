@@ -1195,6 +1195,19 @@ def q_jaccard_join(sf_dir: str):
                                num_partitions=_nparts(sf_dir, "documents"))
 
 
+def q_pretrain_pipeline(sf_dir: str):
+    """END-TO-END pretraining-data pipeline (``pipelines/pretrain.py``):
+    pages -> extract -> exact dedup -> quality+language gate -> MinHash
+    near-dedup -> PII scrub -> chunking, every stage a first-class engine
+    operator.  Deterministic (md5 identities, no RNG) but LSH-based ->
+    rows-only; the pytest asserts chunk-set equality at two partitionings
+    and monotone stage counts."""
+    from .pretrain import PretrainConfig, run_pretrain
+
+    pages_dir = _pages_dir_for(sf_dir)
+    return run_pretrain(pages_dir, PretrainConfig(num_partitions=4))
+
+
 def q_kcore(sf_dir: str):
     """k-core decomposition (k=3) over the derived web-link graph
     (``graph.kcore_nodes``, Seidman peeling): iterative prune-to-fixpoint —
@@ -3300,6 +3313,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "semi_join_bloom": q_semi_join_bloom,
     "kcore": q_kcore,
+    "pretrain_pipeline": q_pretrain_pipeline,
 }
 
 
