@@ -18,8 +18,9 @@ exchanges; no stage materializes the corpus on the driver.  The pipeline is
 deterministic end-to-end (md5 identities, no RNG), so reruns and different
 partitionings produce identical chunk sets — asserted by the pytest.
 
-Returns the chunk Dataset plus a per-stage row-count report (each count
-forces the shared lineage once; fine at report granularity).
+Returns the chunk Dataset; the optional per-stage row-count report
+RE-EXECUTES each stage's un-materialized lineage prefix (measured ~25%
+slower e2e) — use it for auditing a corpus, not for benchmarking.
 """
 
 from __future__ import annotations
