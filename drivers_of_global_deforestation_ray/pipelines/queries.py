@@ -1195,6 +1195,65 @@ def q_jaccard_join(sf_dir: str):
                                num_partitions=_nparts(sf_dir, "documents"))
 
 
+def q_dedup_canonical(sf_dir: str):
+    """Dedup-by-canonical-url (the crawl-frontier dedup that runs BEFORE
+    any content fetch): messy url variants (www-case, fragments) synthesize
+    per doc, the ENGINE canonicalizes them with the vectorized regex chain
+    and keeps the min doc per canonical form via the distributed exact
+    dedup; the oracle knows the closed form of the canonical key."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        host = np.where(ids % 2 == 0, "WWW.Example.COM", "example.com")
+        frag = np.where(ids % 3 == 0, "#x", "")
+        url = ("https://" + pd.Series(host) + "/p"
+               + pd.Series((ids % 97).astype(str)) + pd.Series(frag))
+        return pd.DataFrame({"doc_id": ids, "url": url})
+
+    def _canon(b: pd.DataFrame) -> pd.DataFrame:
+        u = (b["url"].str.replace(r"#.*$", "", regex=True)
+             .str.replace(r"^https://WWW\.Example\.COM", "https://example.com",
+                          regex=True))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "canon_url": u.to_numpy(dtype=object)})
+
+    canon = docs.map_batches(_mk, batch_format="pyarrow").map_batches(
+        _canon, batch_format="pandas")
+    from ..stages.dedup import dedup_exact_text
+
+    out = dedup_exact_text(canon, "canon_url", "doc_id", num_partitions=4)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"first_doc": df["doc_id"].to_numpy(),
+                                 "canon_url": df["canon_url"].to_numpy(dtype=object)}),
+        batch_format="pandas")
+
+
+def q_minmax_scale(sf_dir: str):
+    """Per-key min-max normalization (the z-score sibling): one algebraic
+    two-phase min/max pass (exact — no float arithmetic), then a stateless
+    ``(x - min) / (max - min)`` whose operands are raw parquet doubles, so
+    the result is bit-exact with NO rounding discipline needed."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+    mm = R.grouped_agg(li, ["l_returnflag"],
+                       {"vmin": ("l_extendedprice", "min"),
+                        "vmax": ("l_extendedprice", "max")},
+                       num_partitions=1).to_pandas()
+    lo = dict(zip(mm["l_returnflag"], mm["vmin"]))
+    hi = dict(zip(mm["l_returnflag"], mm["vmax"]))
+
+    def _scale(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["l_extendedprice"].to_numpy()
+        mn = b["l_returnflag"].map(lo).to_numpy(np.float64)
+        mx = b["l_returnflag"].map(hi).to_numpy(np.float64)
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                             "l_linenumber": b["l_linenumber"].to_numpy(),
+                             "scaled": (v - mn) / (mx - mn)})
+
+    return li.map_batches(_scale, batch_format="pandas")
+
+
 def q_pretrain_pipeline(sf_dir: str):
     """END-TO-END pretraining-data pipeline (``pipelines/pretrain.py``):
     pages -> extract -> exact dedup -> quality+language gate -> MinHash
@@ -3314,6 +3373,8 @@ QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
     "kcore": q_kcore,
     "pretrain_pipeline": q_pretrain_pipeline,
+    "dedup_canonical": q_dedup_canonical,
+    "minmax_scale": q_minmax_scale,
 }
 
 
@@ -4230,6 +4291,19 @@ ORACLE_SQL = {
     "semi_join_bloom": """
         SELECT c_custkey, c_acctbal FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "dedup_canonical": """
+        SELECT CAST(min(doc_id) AS BIGINT) AS first_doc,
+               'https://example.com/p' || CAST(doc_id % 97 AS VARCHAR) AS canon_url
+        FROM documents GROUP BY doc_id % 97
+    """,
+    "minmax_scale": """
+        WITH mm AS (SELECT l_returnflag, min(l_extendedprice) AS lo,
+                           max(l_extendedprice) AS hi
+                    FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_orderkey, l.l_linenumber,
+               (l.l_extendedprice - mm.lo) / (mm.hi - mm.lo) AS scaled
+        FROM lineitem l JOIN mm USING (l_returnflag)
     """,
     "peak_concurrency": """
         WITH d AS (
