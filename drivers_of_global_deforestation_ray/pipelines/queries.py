@@ -1195,6 +1195,45 @@ def q_jaccard_join(sf_dir: str):
                                num_partitions=_nparts(sf_dir, "documents"))
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (98/1/1 by md5-u32 of the doc id
+    — the ``deterministic_mix`` hash-threshold discipline): identical
+    assignment at any partitioning, on resume, and in SQL; no RNG state
+    anywhere.  The ML-pipeline standard that reservoir/random splits get
+    wrong under re-sharding."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    t_val, t_test = 0.98, 0.99
+
+    def _split(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        u = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids), dtype=np.float64, count=len(ids)) / 4294967296.0
+        split = np.where(u < t_val, "train",
+                         np.where(u < t_test, "val", "test"))
+        return pd.DataFrame({"doc_id": ids, "split": split.astype(object)})
+
+    return docs.map_batches(_split, batch_format="pandas")
+
+
+def q_month_agg(sf_dir: str):
+    """Calendar-month rollup (the ts_bucket day twin at coarser grain):
+    per-block partials -> tiny grouped combine; exact scaled-int sums."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def _prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": b["ts"].dt.strftime("%Y-%m"),
+            "value_scaled": np.round(b["value"].to_numpy() * 100).astype(np.int64)})
+
+    return R.grouped_agg(ev.map_batches(_prep, batch_format="pandas"),
+                         ["month"], {"n_events": ("value_scaled", "size"),
+                                     "sum_value_scaled": ("value_scaled", "sum")},
+                         num_partitions=1)
+
+
 def q_dedup_canonical(sf_dir: str):
     """Dedup-by-canonical-url (the crawl-frontier dedup that runs BEFORE
     any content fetch): messy url variants (www-case, fragments) synthesize
@@ -3375,6 +3414,8 @@ QUERIES = {
     "pretrain_pipeline": q_pretrain_pipeline,
     "dedup_canonical": q_dedup_canonical,
     "minmax_scale": q_minmax_scale,
+    "dataset_split": q_dataset_split,
+    "month_agg": q_month_agg,
 }
 
 
@@ -4291,6 +4332,21 @@ ORACLE_SQL = {
     "semi_join_bloom": """
         SELECT c_custkey, c_acctbal FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "dataset_split": """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                         / 4294967296.0 < 0.98 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                         / 4294967296.0 < 0.99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "month_agg": """
+        SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_scaled
+        FROM events GROUP BY month
     """,
     "dedup_canonical": """
         SELECT CAST(min(doc_id) AS BIGINT) AS first_doc,
