@@ -1195,6 +1195,17 @@ def q_jaccard_join(sf_dir: str):
                                num_partitions=_nparts(sf_dir, "documents"))
 
 
+def q_right_join(sf_dir: str):
+    """RIGHT OUTER join (the one Dataset.join type no other query
+    exercises): orders RIGHT JOIN customer keeps customers with zero
+    orders (null order keys), count(o_orderkey) = 0 for them."""
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = R.hash_join(ords, cust, on="o_custkey", right_on="c_custkey",
+                    how="right", num_partitions=_nparts(sf_dir, "orders", "customer"))
+    return R.grouped_agg(j, ["c_custkey"], {"n_orders": ("o_orderkey", "count")})
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val/test split (98/1/1 by md5-u32 of the doc id
     — the ``deterministic_mix`` hash-threshold discipline): identical
@@ -3416,6 +3427,7 @@ QUERIES = {
     "minmax_scale": q_minmax_scale,
     "dataset_split": q_dataset_split,
     "month_agg": q_month_agg,
+    "right_join": q_right_join,
 }
 
 
@@ -4332,6 +4344,11 @@ ORACLE_SQL = {
     "semi_join_bloom": """
         SELECT c_custkey, c_acctbal FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "right_join": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
     """,
     "dataset_split": """
         SELECT doc_id,
