@@ -3244,19 +3244,73 @@ def q_bpe_merges(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 # Registry ORDER is deliberate: the driver records CORRECTNESS rows for
-# exactly the first 50 entries (observed r01+r02).  Rounds 1-2 certified the
-# 50 operator-family representatives; this round ROTATES the head so queries
-# that never had a driver row come first (VERDICT r02 next-round #2): the
-# r2b additions plus every round-3 operator (S2 codec, PNG/WAV codecs,
-# incremental dedup, repetition stats, hopping window, URL canonicalization,
-# n-grams, line dedup, pretrain filter, rollup, PII scrub, NFC normalize).
-# Seven family-covered VARIANTS (each a rows-only or compositional twin of a
-# head/certified query) yield their slots and stay local-checker-verified;
-# everything past 50 keeps full local verification via
-# tools/check_oracles.py (complete output committed as
-# CORRECTNESS_local_r03.txt).
+# exactly the first 50 entries.  Round-4 rotation (VERDICT r03 next-round
+# #1): the head is now the 54 queries that never appeared in an official
+# r1/r2/r3 driver window — 45 SQL-oracle hash-exact + 5 rows-only pipelines
+# (pretrain_pipeline, kcore, kmeans_embed, flagship_igh,
+# dedup_minhash_incremental).  Four rows-only sketch/codec variants
+# (quantile_sketch, grouped_quantile_sketch, media_resize, bpe_merges) sit
+# at positions 51-54 for the round-5 window.  Everything past 50 keeps full
+# local verification via tools/check_oracles.py (complete artifact
+# committed as CORRECTNESS_local_r04.txt).
 QUERIES = {
-    # --- never-driver-recorded queries (r2b additions + r3 operators) ---
+    # --- round-4 driver window: never-certified in r1/r2/r3 ---
+    "nfc_norm": q_nfc_norm,
+    "cume_dist": q_cume_dist,
+    "rolling_minmax": q_rolling_minmax,
+    "window_first_last": q_window_first_last,
+    "dow_agg": q_dow_agg,
+    "except": q_except,
+    "session_stats": q_session_stats,
+    "grouped_quantiles_disc": q_grouped_quantiles_disc,
+    "flagship_igh": q_flagship_igh,
+    "explode_embed": q_explode_embed,
+    "zscore": q_zscore,
+    "vocab_build": q_vocab_build,
+    "cms_counts": q_cms_counts,
+    "dedup_spans": q_dedup_spans,
+    "kmv_distinct": q_kmv_distinct,
+    "jl_project": q_jl_project,
+    "regex_extract": q_regex_extract,
+    "skew_join": q_skew_join,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "table_profile": q_table_profile,
+    "kmv_overlap": q_kmv_overlap,
+    "kmeans_embed": q_kmeans_embed,
+    "snapshot_diff": q_snapshot_diff,
+    "upsert_latest": q_upsert_latest,
+    "grouped_ols": q_grouped_ols,
+    "inverted_index": q_inverted_index,
+    "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
+    "ipc_roundtrip": q_ipc_roundtrip,
+    "media_jpeg_dims": q_media_jpeg_dims,
+    "warc_roundtrip": q_warc_roundtrip,
+    "embed_centroid": q_embed_centroid,
+    "quality_linear": q_quality_linear,
+    "value_histogram": q_value_histogram,
+    "funnel_count": q_funnel_count,
+    "lm_score": q_lm_score,
+    "cube": q_cube,
+    "centered_window": q_centered_window,
+    "gazetteer_match": q_gazetteer_match,
+    "winsorize": q_winsorize,
+    "radius_join": q_radius_join,
+    "running_total": q_running_total,
+    "peak_concurrency": q_peak_concurrency,
+    "semi_join_bloom": q_semi_join_bloom,
+    "kcore": q_kcore,
+    "pretrain_pipeline": q_pretrain_pipeline,
+    "dedup_canonical": q_dedup_canonical,
+    "minmax_scale": q_minmax_scale,
+    "dataset_split": q_dataset_split,
+    "month_agg": q_month_agg,
+    "right_join": q_right_join,
+    # --- positions 51-54: rows-only variants queued for the r5 window ---
+    "quantile_sketch": q_quantile_sketch,
+    "grouped_quantile_sketch": q_grouped_quantile_sketch,
+    "media_resize": q_media_resize,
+    "bpe_merges": q_bpe_merges,
+    # --- driver-certified in r1/r2/r3 windows (local-checker re-verified) ---
     "weighted_sample": q_weighted_sample,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "jaccard_join": q_jaccard_join,
@@ -3307,12 +3361,6 @@ QUERIES = {
     "s2_zonal": q_s2_zonal,
     "rollup": q_rollup,
     "pii_scrub": q_pii_scrub,
-    # --- family-covered variants + re-verified queries (local checker) ---
-    "nfc_norm": q_nfc_norm,
-    "cume_dist": q_cume_dist,
-    "rolling_minmax": q_rolling_minmax,
-    "window_first_last": q_window_first_last,
-    "dow_agg": q_dow_agg,
     "union_all": q_union_all,
     "ts_bucket": q_ts_bucket,
     "strata_key": q_strata_key,
@@ -3324,16 +3372,9 @@ QUERIES = {
     "range_ids": q_range_ids,
     "url_host": q_url_host,
     "approx_count_distinct": q_approx_count_distinct,
-    "quantile_sketch": q_quantile_sketch,
     "dedup_simhash": q_dedup_simhash,
-    "except": q_except,
     "stratified_sample": q_stratified_sample,
-    "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "session_stats": q_session_stats,
-    "grouped_quantiles_disc": q_grouped_quantiles_disc,
-    "flagship_igh": q_flagship_igh,
-    "media_resize": q_media_resize,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "goode_tiles": q_goode_tiles,
@@ -3341,7 +3382,6 @@ QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "media_features": q_media_features,
     "flagship": q_flagship,
-    # --- driver-certified in r01/r02 (past the driver 50-row cap) ---
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
     "groupby_mean": q_groupby_mean,
@@ -3385,49 +3425,6 @@ QUERIES = {
     "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "frame_sample": q_frame_sample,
-    # --- r3g additions (past the driver window; local-checker verified) ---
-    "explode_embed": q_explode_embed,
-    "zscore": q_zscore,
-    "vocab_build": q_vocab_build,
-    "cms_counts": q_cms_counts,
-    "bpe_merges": q_bpe_merges,
-    "dedup_spans": q_dedup_spans,
-    "kmv_distinct": q_kmv_distinct,
-    "jl_project": q_jl_project,
-    "regex_extract": q_regex_extract,
-    "skew_join": q_skew_join,
-    "dedup_minhash_incremental": q_dedup_minhash_incremental,
-    "table_profile": q_table_profile,
-    "kmv_overlap": q_kmv_overlap,
-    "kmeans_embed": q_kmeans_embed,
-    "snapshot_diff": q_snapshot_diff,
-    "upsert_latest": q_upsert_latest,
-    "grouped_ols": q_grouped_ols,
-    "inverted_index": q_inverted_index,
-    "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
-    "ipc_roundtrip": q_ipc_roundtrip,
-    "media_jpeg_dims": q_media_jpeg_dims,
-    "warc_roundtrip": q_warc_roundtrip,
-    "embed_centroid": q_embed_centroid,
-    "quality_linear": q_quality_linear,
-    "value_histogram": q_value_histogram,
-    "funnel_count": q_funnel_count,
-    "lm_score": q_lm_score,
-    "cube": q_cube,
-    "centered_window": q_centered_window,
-    "gazetteer_match": q_gazetteer_match,
-    "winsorize": q_winsorize,
-    "radius_join": q_radius_join,
-    "running_total": q_running_total,
-    "peak_concurrency": q_peak_concurrency,
-    "semi_join_bloom": q_semi_join_bloom,
-    "kcore": q_kcore,
-    "pretrain_pipeline": q_pretrain_pipeline,
-    "dedup_canonical": q_dedup_canonical,
-    "minmax_scale": q_minmax_scale,
-    "dataset_split": q_dataset_split,
-    "month_agg": q_month_agg,
-    "right_join": q_right_join,
 }
 
 
