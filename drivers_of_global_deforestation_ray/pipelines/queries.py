@@ -2778,7 +2778,14 @@ def q_peak_concurrency(sf_dir: str):
 
     Tie rule (both sides): at equal timestamps ENDS apply before STARTS
     (delta sorts ascending as the tiebreak), so touching sessions never
-    double-count."""
+    double-count.
+
+    Simultaneous events are common, so raw deltas would violate
+    ``running_total``'s unique-``(key, tiebreak)`` contract; deltas are
+    AGGREGATED per ``(t_us, delta)`` first (two-phase grouped sum), after
+    which each running sum is exactly the SQL RANGE-frame value at its
+    peer-group boundary — the per-row sums match peer semantics, not just
+    the final max."""
     ev = _read(sf_dir, "events", ["event_id", "ts"])
 
     def _deltas(b: pa.Table) -> pd.DataFrame:
@@ -2789,7 +2796,10 @@ def q_peak_concurrency(sf_dir: str):
                                      -np.ones(len(t), np.int64)])})
 
     deltas = ev.map_batches(_deltas, batch_format="pyarrow")
-    rt = R.running_total(deltas, "t_us", "delta", "delta",
+    deltas = R.grouped_agg(deltas, ["t_us", "delta"],
+                           {"delta_sum": ("delta", "sum")},
+                           num_partitions=_nparts(sf_dir, "events"))
+    rt = R.running_total(deltas, "t_us", "delta", "delta_sum",
                          out_col="concurrency")
     return R.grouped_agg(
         rt.map_batches(lambda df: df.assign(__g=np.int8(0)),

@@ -120,13 +120,29 @@ def read_jsonl_typed(
     # `lines=True` switches to a different (pandas) impl that rejects
     # arrow args, so the arrow path + explicit_schema is the typed one.
     # gzip parts (.jsonl.gz) decompress in the arrow open-stream layer.
-    first = paths if isinstance(paths, str) else paths[0]
-    if first.endswith(".gz") or (os.path.isdir(first) and any(
-            f.endswith(".gz") for f in os.listdir(first))):
+    # Compression is ALL-OR-NOTHING per call (arrow_open_stream_args apply
+    # to every file): a source mixing .gz and plain parts must be read as
+    # two calls + union.  When gzip is inferred, file_extensions is
+    # restricted to ["gz"] so a stray plain part fails loudly at listing
+    # time instead of being mis-decompressed.
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    leaves: "list[str]" = []
+    for p in plist:
+        if os.path.isdir(p):
+            leaves.extend(os.path.join(p, f) for f in os.listdir(p))
+        else:
+            leaves.append(p)
+    gz = [f for f in leaves if f.endswith(".gz")]
+    if gz and len(gz) != len(leaves):
+        plain = sorted(os.path.basename(f) for f in leaves if not f.endswith(".gz"))
+        raise ValueError(
+            "read_jsonl_typed: mixed compressed (.gz) and plain JSONL parts "
+            f"in one call are unsupported (plain: {plain[:5]}...); read the "
+            "two sets separately and union the Datasets")
+    if gz:
         read_json_kwargs.setdefault("arrow_open_stream_args",
                                     {"compression": "gzip"})
-        read_json_kwargs.setdefault("file_extensions",
-                                    ["gz", "jsonl", "json"])
+        read_json_kwargs.setdefault("file_extensions", ["gz"])
     return rd.read_json(
         paths,
         parse_options=pajson.ParseOptions(explicit_schema=schema),

@@ -502,10 +502,19 @@ def skew_join(
     lsplit, rsplit = _split(on), _split(r_on)
     left_hot = left.map_batches(lambda b: lsplit(b, True), batch_format="pyarrow")
     left_cold = left.map_batches(lambda b: lsplit(b, False), batch_format="pyarrow")
-    right_hot_tbl = pa.Table.from_pandas(
-        right.map_batches(lambda b: rsplit(b, True),
-                          batch_format="pyarrow").to_pandas(),
-        preserve_index=False)
+    # Collect the hot-right rows as ARROW blocks (never via pandas: an
+    # empty to_pandas() round-trip loses the schema, and hot keys absent
+    # from the right side are ordinary for left joins / non-covering
+    # dimension tables).  Empty or all-empty -> a typed empty table built
+    # from the right side's own schema.
+    right_hot_ds = right.map_batches(lambda b: rsplit(b, True),
+                                     batch_format="pyarrow")
+    hot_blocks = [t for t in ray.get(right_hot_ds.to_arrow_refs())
+                  if t.num_rows > 0]
+    if hot_blocks:
+        right_hot_tbl = pa.concat_tables(hot_blocks).combine_chunks()
+    else:
+        right_hot_tbl = right.schema().base_schema.empty_table()
     right_cold = right.map_batches(lambda b: rsplit(b, False),
                                    batch_format="pyarrow")
 
@@ -513,11 +522,18 @@ def skew_join(
                                 right_on=r_on)
     cold_joined = hash_join(left_cold, right_cold, on=on, how=how,
                             num_partitions=num_partitions, right_on=r_on)
-    # the two paths may order/type columns differently — align before union
-    cols = hot_joined.schema().names
-    order = [c for c in cols if c in set(cold_joined.schema().names)]
-    return hot_joined.select_columns(order).union(
-        cold_joined.select_columns(order))
+    # The two paths may ORDER columns differently, but a column present in
+    # only one path would mean silent data loss in the union — fail loudly
+    # instead of intersecting (pa.Table.join vs Dataset.join differ in key
+    # retention/suffixing when right_on != on or names collide).
+    hot_cols, cold_cols = hot_joined.schema().names, cold_joined.schema().names
+    if set(hot_cols) != set(cold_cols):
+        raise ValueError(
+            f"skew_join path schemas diverged: broadcast-only "
+            f"{sorted(set(hot_cols) - set(cold_cols))}, shuffle-only "
+            f"{sorted(set(cold_cols) - set(hot_cols))}")
+    return hot_joined.select_columns(hot_cols).union(
+        cold_joined.select_columns(hot_cols))
 
 
 def grouped_median(ds: Dataset, keys: list[str], col: str, out_col: str = "median",

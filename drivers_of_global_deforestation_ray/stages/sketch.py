@@ -300,6 +300,18 @@ def cms_estimates(ds: Dataset, col: str, query_keys: "list",
     return grouped_transform(one, ["__g"], _lookup, num_partitions=1)
 
 
+def kmv_estimate(hv: np.ndarray, k: int) -> float:
+    """Bottom-k estimator on a SORTED unique-hash array: ``(k-1)/(h_k/2^32)``
+    once ``k`` hashes exist, else the exact distinct count.  ``k >= 2``
+    required — for ``k=1`` the numerator is 0 on any non-empty input."""
+    if k < 2:
+        raise ValueError(f"kmv requires k >= 2 (got {k}): (k-1)/h_k is 0 for k=1")
+    nd = len(hv)
+    if nd >= k:
+        return float(k - 1) / (float(hv[k - 1]) / 4294967296.0)
+    return float(nd)
+
+
 def kmv_distinct(ds: Dataset, keys: "list[str]", col: str, k: int = 32,
                  out_col: str = "est_distinct",
                  num_partitions: int = 8) -> Dataset:
@@ -316,8 +328,14 @@ def kmv_distinct(ds: Dataset, keys: "list[str]", col: str, k: int = 32,
     Scale shape: per-block partials ship at most ``k`` int64 hashes per
     key per block (state bounded at ANY cardinality — the same contract as
     ``heavy_hitters``); the merge is a per-key sorted-unique head, a
-    vectorized transform per partition."""
+    vectorized transform per partition.
+
+    ``k >= 2`` is required: the ``(k-1)/h_k`` estimator degenerates to 0
+    for ``k=1`` on any non-empty input (h_1 > 0, numerator 0)."""
     import hashlib
+
+    if k < 2:
+        raise ValueError(f"kmv requires k >= 2 (got {k}): (k-1)/h_k is 0 for k=1")
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df[keys + [col]].drop_duplicates()
@@ -333,10 +351,7 @@ def kmv_distinct(ds: Dataset, keys: "list[str]", col: str, k: int = 32,
         d = df.drop_duplicates(keys + ["__hv"]).sort_values("__hv", kind="stable")
         rows = []
         for kv, g in d.groupby(keys, sort=False):
-            hv = g["__hv"].to_numpy()
-            nd = len(hv)
-            est = (float(k - 1) / (float(hv[k - 1]) / 4294967296.0)
-                   if nd >= k else float(nd))
+            est = kmv_estimate(g["__hv"].to_numpy(), k)
             rows.append((*(kv if isinstance(kv, tuple) else (kv,)), est))
         return pd.DataFrame(rows, columns=keys + [out_col])
 
@@ -347,8 +362,11 @@ def kmv_distinct(ds: Dataset, keys: "list[str]", col: str, k: int = 32,
 def _kmv_bottom(ds: Dataset, col: str, k: int) -> np.ndarray:
     """Sorted bottom-k md5-u32 hashes of the distinct values of ``col`` —
     per-block k-bounded partials, one-partition merge, k ints to the
-    driver."""
+    driver.  ``k >= 2`` required (see :func:`kmv_distinct`)."""
     import hashlib
+
+    if k < 2:
+        raise ValueError(f"kmv requires k >= 2 (got {k}): (k-1)/h_k is 0 for k=1")
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[col].drop_duplicates()
@@ -391,10 +409,7 @@ def kmv_overlap(ds_a: Dataset, ds_b: Dataset, col_a: str, col_b: str,
     keff = min(nd, k)
     s = u[:keff]
     both = int((np.isin(s, ha) & np.isin(s, hb)).sum())
-    if nd >= k:
-        est_union = float(k - 1) / (float(u[k - 1]) / 4294967296.0)
-    else:
-        est_union = float(nd)
+    est_union = kmv_estimate(u, k)
     est_intersect = (float(both) / float(keff)) * est_union if keff else 0.0
     return pd.DataFrame({"est_union": [est_union],
                          "est_intersect": [est_intersect]})

@@ -83,3 +83,34 @@ def test_jsonl_typed_read_no_inference_drift(ray_session, tmp_path):
 
 def test_jsonl_empty_block():
     assert jsonl_bytes(pd.DataFrame({"a": []})) == b""
+
+
+def test_jsonl_gz_dir_all_compressed(ray_session, tmp_path):
+    """An all-.gz directory reads with inferred gzip + gz-only extensions."""
+    import gzip
+
+    import ray.data as rd  # noqa: F401
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    (d / "a.jsonl.gz").write_bytes(gzip.compress(b'{"x":1}\n{"x":2}\n'))
+    (d / "b.jsonl.gz").write_bytes(gzip.compress(b'{"x":3}\n'))
+    got = sorted(read_jsonl_typed(str(d), {"x": pa.int64()}).to_pandas()["x"])
+    assert got == [1, 2, 3]
+
+
+def test_jsonl_mixed_gz_plain_dir_rejected(ray_session, tmp_path):
+    """Mixed .gz/plain parts in one call must fail LOUDLY (gzip
+    open-stream args would otherwise apply to the plain file too)."""
+    import gzip
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "a.jsonl.gz").write_bytes(gzip.compress(b'{"x":1}\n'))
+    (d / "b.jsonl").write_text('{"x":2}\n')
+    with pytest.raises(ValueError, match="mixed compressed"):
+        read_jsonl_typed(str(d), {"x": pa.int64()})
+    # and a list whose FIRST path is plain but carries a .gz later
+    with pytest.raises(ValueError, match="mixed compressed"):
+        read_jsonl_typed([str(d / "b.jsonl"), str(d / "a.jsonl.gz")],
+                         {"x": pa.int64()})

@@ -2,6 +2,7 @@
 projection, sketches, TIFF roundtrip."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -94,3 +95,26 @@ def test_warc_stream_roundtrip_property(payloads):
             for i, p in enumerate(payloads)]
     stream = b"".join(warc_record_bytes(u, d, p) for u, d, p in recs)
     assert parse_warc_stream(stream) == recs
+
+
+@settings(max_examples=100, deadline=None)
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=0, max_size=400),
+       k=st.integers(2, 64))
+def test_kmv_exact_below_k_property(vals, k):
+    """Pure sketch math: below k distinct hashes the estimate is the exact
+    distinct-hash count (collision-free for these small domains); k=1 is
+    rejected loudly (the (k-1)/h_k estimator degenerates to 0)."""
+    import hashlib
+
+    from drivers_of_global_deforestation_ray.stages.sketch import kmv_estimate
+
+    hv = np.unique(np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+         for v in set(vals)), dtype=np.int64, count=len(set(vals))))
+    est = kmv_estimate(hv, k)
+    if len(hv) < k:
+        assert est == float(len(hv))
+    else:
+        assert est > 0.0
+    with pytest.raises(ValueError):
+        kmv_estimate(hv, 1)

@@ -714,6 +714,41 @@ def test_skew_join_left_keeps_unmatched(rd):
     assert got["rv"].isna().sum() > 0  # unmatched keys (>= 50) survived
 
 
+def test_skew_join_hot_keys_absent_from_right(rd):
+    """Hot keys with ZERO matching right rows (ordinary for left joins /
+    non-covering dimension tables): the hot-right collection must keep a
+    typed schema even when empty, and the left join must keep the hot rows
+    with nulls.  Regression: empty to_pandas() lost the schema and the
+    broadcast path raised on the missing right key column."""
+    from drivers_of_global_deforestation_ray.stages.relational import (
+        hash_join, skew_join)
+
+    rng = np.random.default_rng(31)
+    n = 10_000
+    # the viral key is 999 — NOT present in right (right covers 0..49)
+    keys = np.where(rng.random(n) < 0.9, 999, rng.integers(0, 100, n))
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 50, dtype=np.int64),
+                          "rv": np.arange(0, 50, dtype=np.int64) * 10})
+    for how in ("left", "inner"):
+        got = (skew_join(rd.from_pandas(left).repartition(6),
+                         rd.from_pandas(right).repartition(2),
+                         on="k", right_on="rk", how=how, hot_k=4,
+                         num_partitions=4)
+               .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+        want = (hash_join(rd.from_pandas(left).repartition(6),
+                          rd.from_pandas(right).repartition(2),
+                          on="k", right_on="rk", how=how, num_partitions=4)
+                .to_pandas()[got.columns]
+                .sort_values(["k", "lv"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        hot_rows = (got["k"] == 999).sum()
+        if how == "left":
+            assert hot_rows > 0.8 * n and got.loc[got["k"] == 999, "rv"].isna().all()
+        else:
+            assert hot_rows == 0  # inner drops the orphan hot key
+
+
 def test_running_total_partitioning_invariant(rd):
     """Distributed prefix sum == numpy cumsum over the sorted order, at two
     partitionings, including heavy key ties (all ties share a bucket)."""
