@@ -99,6 +99,9 @@ class StageCheckpoint:
         ds = stage_fn(input_files)
         ds.write_parquet(tmp_dir)
         wall = time.perf_counter() - t0
+        # an all-filtered partition writes NO directory at all — still a
+        # completed partition (0 rows), so record it rather than crash
+        os.makedirs(tmp_dir, exist_ok=True)
         os.replace(tmp_dir, out_dir)
         rows = sum(
             _parquet_rows(os.path.join(out_dir, f)) for f in os.listdir(out_dir) if f.endswith(".parquet")

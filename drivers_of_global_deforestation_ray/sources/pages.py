@@ -148,8 +148,14 @@ def generate_pages_parquet(
 
     (
         rd.range(n, override_num_blocks=num_blocks)
-        .map_batches(_gen, batch_format="pyarrow", batch_size=8192)
-        .write_parquet(out_dir)
+        .map_batches(_gen, batch_format="pyarrow",
+                     # batch <= block: a batch_size above the block size
+                     # would coalesce small blocks and the writer would
+                     # emit ONE file; shard-level resume tests (and honest
+                     # multi-file reads) need a multi-file layout.  Capped
+                     # at 8192 rows to bound per-task html payload memory.
+                     batch_size=min(8192, max(1, -(-n // num_blocks))))
+        .write_parquet(out_dir, min_rows_per_file=1)
     )
     with open(marker, "w") as f:
         f.write("ok")
