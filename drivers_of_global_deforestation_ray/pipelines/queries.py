@@ -2382,8 +2382,11 @@ def q_flagship_hex(sf_dir: str):
     hex tile assignment -> zonal page stats -> STRtree PIP + raster gather
     at cell centers -> CART driver classifier -> vote/gates -> hex k-ring
     majority smoothing -> final gate (``pipelines/flagship.run_flagship_hex``).
-    Rows-only (CART scoring is non-SQL); the smoothing lattice is separately
-    hash-exact via ``hex_smooth`` and the codec via ``hex_cells``."""
+    Rows-only (CART scoring is non-SQL); correctness is carried by the
+    WHOLE-MODEL numpy golden (``pipelines/golden.run_flagship_hex_golden``,
+    bit-exact parity pytest incl. every float column) plus the hash-exact
+    component oracles: smoothing lattice via ``hex_smooth``/``hex_kring``,
+    codec via ``hex_cells``, zonal agg via ``hex_zonal_salted``."""
     from ..sources.miniworld import build_miniworld
     from .flagship import FlagshipConfig, run_flagship_hex
 

@@ -487,7 +487,8 @@ def pair_text_verify(pairs: Dataset, ds: Dataset, id_col: str, text_col: str,
                      sim_fn, threshold: float, verify: str = "auto",
                      broadcast_limit: int = 100_000,
                      num_partitions: int = 32,
-                     out_col: str = "sim") -> Dataset:
+                     out_col: str = "sim",
+                     broadcast_bytes_limit: int = 1 << 30) -> Dataset:
     """Shared candidate-pair verification plumbing: route each (a, b) pair's
     two texts to one batch, score them with ``sim_fn(texts_a, texts_b) ->
     float array``, keep pairs ``>= threshold``.
@@ -501,11 +502,26 @@ def pair_text_verify(pairs: Dataset, ds: Dataset, id_col: str, text_col: str,
       ``Dataset.join``s reserve aggregator CPU pools — below ~16 CPUs
       prefer broadcast (the auto guard picks it for small candidate sets
       anyway).
-    - ``"auto"``: count candidates, ``<= broadcast_limit`` -> broadcast,
-      else join."""
+    - ``"auto"``: switches on estimated candidate-text BYTES, not pair
+      count alone: 100k pairs of 100 KB web documents would pass a
+      pair-count guard while the driver dict dies.  Estimate = distinct
+      candidate ids (<= 2 x pairs) x mean text length from a bounded
+      corpus sample; broadcast only when both ``pairs <= broadcast_limit``
+      and the estimate fits ``broadcast_bytes_limit`` (default 1 GiB)."""
     mode = verify
     if mode == "auto":
-        mode = "broadcast" if pairs.count() <= broadcast_limit else "join"
+        n_pairs = pairs.count()
+        if n_pairs > broadcast_limit:
+            mode = "join"
+        elif n_pairs == 0:
+            mode = "broadcast"  # trivially empty either way
+        else:
+            samp = ds.select_columns([text_col]).limit(2048).take_batch(
+                2048, batch_format="pandas")
+            mean_len = (float(samp[text_col].str.len().mean())
+                        if len(samp) else 0.0)
+            est_bytes = 2.0 * n_pairs * mean_len
+            mode = "broadcast" if est_bytes <= broadcast_bytes_limit else "join"
 
     if mode == "broadcast":
         cand = pairs.select_columns(["a", "b"]).to_pandas()

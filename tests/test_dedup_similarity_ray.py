@@ -204,6 +204,42 @@ def test_minhash_verify_join_path_matches_broadcast(rd):
     assert len(bc) >= 50  # the planted near-dups actually verified
 
 
+def test_pair_verify_auto_switches_on_bytes_not_pairs(rd):
+    """ADVICE r03: FEW pairs of HUGE texts must route auto-verify to the
+    join path (the old guard counted pairs only — 100k pairs of 100 KB
+    docs would pass while the driver dict dies) — and the output is
+    identical on both paths."""
+    from drivers_of_global_deforestation_ray.stages.dedup import (
+        pair_text_verify)
+
+    big = "tok " * 5000  # ~20 KB per doc
+    suffix = {0: "A", 2: "A", 4: "A", 6: "B"}
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [big + suffix.get(i, f"u{i}") for i in range(8)],
+    })
+    pairs = pd.DataFrame({"a": np.asarray([0, 2, 4], np.int64),
+                          "b": np.asarray([2, 4, 6], np.int64)})
+
+    def _sim(ta, tb):
+        return np.asarray([float(x == y) for x, y in zip(ta, tb)])
+
+    dds = rd.from_pandas(docs).repartition(2)
+    pds = rd.from_pandas(pairs).repartition(2)
+    # byte budget far below the candidate text volume: auto must pick join
+    got_auto = pair_text_verify(pds, dds, "doc_id", "text", _sim, 0.5,
+                                verify="auto", broadcast_bytes_limit=1024,
+                                num_partitions=2).to_pandas()
+    got_join = pair_text_verify(pds, dds, "doc_id", "text", _sim, 0.5,
+                                verify="join",
+                                num_partitions=2).to_pandas()
+    got_bc = pair_text_verify(pds, dds, "doc_id", "text", _sim, 0.5,
+                              verify="broadcast").to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["sim"]))
+    assert key(got_auto) == key(got_join) == key(got_bc)
+    assert key(got_auto) == [(0, 2, 1.0), (2, 4, 1.0)]  # 4-6 differ
+
+
 def test_jaccard_pairs_exact_empty_doc_matches_oracle(rd, tmp_path):
     """ADVICE r02: a pair containing an empty/whitespace-only doc must be
     DROPPED (the SQL oracle's HAVING count(DISTINCT doc_id)=2 over non-empty

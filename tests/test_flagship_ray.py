@@ -88,6 +88,31 @@ def test_flagship_sinks(pages_dir, miniworld, tmp_path):
     assert np.isnan(grid).sum() == 64 * 64 - len(df)
 
 
+HEX_COLS = ["hex_id", "region", "n_pages", "sum_tokens", "class",
+            "class_smoothed", "class_final"]
+
+
+def test_flagship_hex_matches_golden_exactly(pages_dir, miniworld):
+    """VERDICT r03 #3: the hex-keyed flagship gets the same golden
+    treatment as the grid flagship — whole-model numpy reference
+    (R:293-342,370-382,496-498 on the hex key), compared bit-exactly."""
+    from drivers_of_global_deforestation_ray.pipelines.flagship import (
+        run_flagship_hex)
+    from drivers_of_global_deforestation_ray.pipelines.golden import (
+        run_flagship_hex_golden)
+
+    cfg = FlagshipConfig(world_dir=miniworld["root"])
+    eng = (run_flagship_hex(pages_dir, cfg).to_pandas()
+           .sort_values("hex_id").reset_index(drop=True))
+    gold = (run_flagship_hex_golden(pages_table(3000, seed=42), cfg)
+            .sort_values("hex_id").reset_index(drop=True))
+    assert len(eng) == len(gold) and len(eng) > 50
+    for c in HEX_COLS:
+        assert (eng[c].to_numpy() == gold[c].to_numpy()).all(), c
+    for c in FLOAT_COLS:
+        assert (eng[c].to_numpy() == gold[c].to_numpy()).all(), c  # bit-exact
+
+
 def test_flagship_hot_tile_skew_parity(miniworld, tmp_path):
     """E2E skew: 30% of pages share ONE url (re-crawls) -> one hot tile.
     The two-phase zonal agg must still match the golden bit-exactly, at any
