@@ -71,6 +71,17 @@ def _unfilter(raw: np.ndarray, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def png_dims(data: bytes) -> "tuple[int, int]":
+    """(width, height) from the IHDR header WITHOUT decoding pixels — the
+    triage counterpart of :func:`..jpegmeta.jpeg_dims` (IHDR is required
+    to be the first chunk, so the dims sit at fixed offsets 16..24)."""
+    if data[:8] != _SIGNATURE or len(data) < 24 or data[12:16] != b"IHDR":
+        raise ValueError(f"not a PNG (header {data[:16]!r})")
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    return w, h
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte payload to a (H, W, C) uint8 array (C = 1/2/3/4;
     palette images expand to RGB)."""

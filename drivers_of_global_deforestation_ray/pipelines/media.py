@@ -1,0 +1,194 @@
+"""End-to-end multimodal curation pipeline: raw media payloads ->
+near-dup-free survivor set — the :mod:`.pretrain` analog for media
+(VERDICT r03 #5), every stage a first-class engine operator:
+
+    (doc_id, payload:binary)
+      -> format triage: sniff magic bytes, read dims from HEADER SYNTAX
+         only (PNG IHDR / JPEG SOF marker walk — no pixel decode), drop
+         payloads outside the configured dimension window and unknown
+         formats (one stateless vectorized pass)
+      -> real pixel decode -> feature vector (PNG via the from-scratch
+         codec; actor-pool ``media_features`` stage, small batches —
+         binary payloads are big; JPEG pixel decode is out of scope for a
+         stdlib sandbox, so JPEGs are triaged by dimensions and routed
+         AROUND the decode — documented, not silent: the triage stage
+         reports them under ``fmt="jpeg"``)
+      -> embedding: seeded Johnson-Lindenstrauss projection of the
+         feature vector (stateless, float64 index-order accumulation)
+      -> ``embedding_neardup_lsh`` (bucketed hyperplane LSH, quantized
+         shuffle, exact float re-check) -> near-dup pairs
+      -> survivors: distributed anti join drops every pair's HIGHER id
+         (min-id-wins, the engine-wide dedup rule)
+
+Deterministic end-to-end (seeded planes/projection, no RNG state), so two
+partitionings produce the identical survivor set — asserted by the pytest.
+Payloads are dropped at the decode stage boundary; nothing payload-sized
+rides any shuffle (ids + 16-dim features only).
+
+At the 100-TB configuration each stage keeps its scale shape: triage and
+decode are per-row maps (actor pool for the decoder), the LSH shuffle ships
+(id, bucket, int8 vec) for multi-member buckets only, and the final anti
+join builds its distinct drop-key set distributed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.jpegmeta import jpeg_dims
+from ..functions.png import png_dims
+from ..stages.multimodal import FEATURE_DIM, media_features
+from ..stages.relational import semi_join
+from ..stages.similarity import embedding_neardup_lsh
+
+__all__ = ["MediaCurationConfig", "run_media_curation", "media_triage"]
+
+
+@dataclass
+class MediaCurationConfig:
+    min_dim: int = 8
+    max_dim: int = 4096
+    lsh_threshold: float = 0.98
+    num_planes: int = 8
+    num_tables: int = 16
+    jl_dim: int = 8
+    jl_seed: int = 23
+    batch_size: int = 256
+    num_partitions: int = 8
+
+
+def media_triage(ds: Dataset, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> Dataset:
+    """Header-syntax format/dimension triage — NO pixel decode: PNG dims
+    from the fixed IHDR offsets, JPEG dims from the T.81 marker walk.
+    Output: (id, payload, fmt, width, height); unknown formats get
+    ``fmt="other"`` and width/height -1 (callers filter)."""
+
+    def _triage(b: pd.DataFrame) -> pd.DataFrame:
+        fmts, ws, hs = [], [], []
+        for p in b[payload_col]:
+            p = bytes(p or b"")
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                try:
+                    w, h = png_dims(p)
+                    fmts.append("png")
+                except ValueError:
+                    fmts.append("other")
+                    w = h = -1
+            elif p[:2] == b"\xff\xd8":
+                try:
+                    w, h, _, _ = jpeg_dims(p)
+                    fmts.append("jpeg")
+                except ValueError:
+                    fmts.append("other")
+                    w = h = -1
+            else:
+                fmts.append("other")
+                w = h = -1
+            ws.append(w)
+            hs.append(h)
+        out = b[[id_col, payload_col]].copy(deep=False)
+        out["fmt"] = np.asarray(fmts, dtype=object)
+        out["width"] = np.asarray(ws, dtype=np.int64)
+        out["height"] = np.asarray(hs, dtype=np.int64)
+        return out
+
+    return ds.map_batches(_triage, batch_format="pandas")
+
+
+def _jl_matrix(cfg: MediaCurationConfig) -> np.ndarray:
+    rng = np.random.default_rng(cfg.jl_seed)
+    return rng.standard_normal((cfg.jl_dim, FEATURE_DIM)) / np.sqrt(cfg.jl_dim)
+
+
+def run_media_curation(ds: Dataset, cfg: "MediaCurationConfig | None" = None,
+                       payload_col: str = "payload", id_col: str = "doc_id",
+                       report: "dict | None" = None,
+                       work_dir: "str | None" = None) -> Dataset:
+    """(id, payload) -> deduplicated survivors (id, fmt, width, height).
+
+    ``work_dir`` holds the compact post-embed parquet spill (fresh tmpdir
+    per call when None).
+
+    ``report`` (optional dict) receives per-stage row counts — note the
+    counts re-execute stage prefixes (audit mode, not benchmark mode)."""
+    cfg = cfg or MediaCurationConfig()
+
+    triaged = media_triage(ds, payload_col, id_col)
+    in_window = triaged.filter(
+        expr=f"width >= {cfg.min_dim} and height >= {cfg.min_dim} "
+             f"and width <= {cfg.max_dim} and height <= {cfg.max_dim}")
+    # only PNGs have a pixel decoder in-sandbox; JPEGs pass triage on
+    # dimensions alone and rejoin the survivor set undeduplicated
+    pngs = in_window.filter(expr="fmt == 'png'")
+    passthrough = in_window.filter(expr="fmt != 'png'").select_columns(
+        [id_col, "fmt", "width", "height"])
+
+    feats = media_features(pngs, media_col=payload_col, backend="real",
+                           batch_size=cfg.batch_size)
+
+    W = _jl_matrix(cfg)
+
+    def _embed(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(b["media_features"].to_numpy()).astype(np.float64)
+        # index-order accumulation (the engine's float-determinism rule)
+        E = np.zeros((len(b), cfg.jl_dim), np.float64)
+        for j in range(FEATURE_DIM):
+            E += M[:, j:j + 1] * W[:, j][None, :]
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "fmt": b["fmt"].to_numpy(dtype=object),
+            "width": b["width"].to_numpy(),
+            "height": b["height"].to_numpy(),
+            # plain Python lists -> parquet list<double> (an ndarray object
+            # column would round-trip as a tensor-extension type that the
+            # pandas batch converter rejects)
+            "embedding": [v.tolist() for v in E],
+        })
+
+    embedded = feats.map_batches(_embed, batch_format="pandas")
+
+    # The LSH stage consumes its input three times (bucket-count pass,
+    # bucket shuffle, exact-recheck joins); leaving that on the live
+    # lineage would re-run the actor-pool DECODE once per consumer (and
+    # deadlock small CPU budgets on competing actor pools).  The embedded
+    # table is payload-FREE — ids + dims + jl_dim floats, ~100 B/row vs
+    # ~100 KB payloads — so one streaming parquet spill makes every
+    # re-consumption a cheap pruned re-read and runs the decode exactly
+    # once.  Callers pass ``work_dir`` to keep/inspect it.
+    if work_dir is None:
+        import tempfile
+
+        work_dir = tempfile.mkdtemp(prefix="graft_media_embed_",
+                                    dir="/tmp")
+    import ray.data as rd
+
+    embed_dir = os.path.join(work_dir, "embedded")
+    embedded.write_parquet(embed_dir)
+    embedded = rd.read_parquet(embed_dir)
+
+    pairs = embedding_neardup_lsh(
+        embedded, threshold=cfg.lsh_threshold, num_planes=cfg.num_planes,
+        num_tables=cfg.num_tables, vec_col="embedding", id_col=id_col,
+        num_partitions=cfg.num_partitions)
+    losers = pairs.select_columns(["b"])
+
+    kept_png = semi_join(
+        embedded.select_columns([id_col, "fmt", "width", "height"]),
+        losers, on=id_col, right_on="b", anti=True,
+        num_partitions=cfg.num_partitions)
+    survivors = kept_png.union(passthrough)
+
+    if report is not None:
+        report["input"] = ds.count()
+        report["in_window"] = in_window.count()
+        report["png_decoded"] = embedded.count()
+        report["neardup_pairs"] = pairs.count()
+        report["survivors"] = survivors.count()
+    return survivors

@@ -3252,6 +3252,56 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(docs, "text", num_merges=16)
 
 
+def _media_corpus(sf_dir: str):
+    """Deterministic mixed-format media corpus over the documents ids:
+    JPEG shells (header-only dims, some outside the triage window), real
+    PNG gradients (planted near-dup pairs: i%5==4 copies i-1's gradient),
+    tiny PNGs (dim-filtered) and non-media payloads (format-filtered)."""
+    from ..functions.jpegmeta import encode_jpeg_shell
+    from ..functions.png import encode_png
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for i in ids:
+            i = int(i)
+            if i % 11 == 10:
+                payloads.append(b"not media " + str(i).encode())
+            elif i % 3 == 0:
+                payloads.append(encode_jpeg_shell(64 + (i * 97) % 8000,
+                                                  32 + i % 2000, ncomp=3))
+            elif i % 7 == 6:
+                payloads.append(encode_png(np.full((2, 2), i % 256, np.uint8)))
+            else:
+                j = i - 1 if i % 5 == 4 else i  # planted near-dup partner
+                # two-tone blocks: base/top tones and split fraction vary
+                # per id, spreading the feature cosines (gradients would
+                # all near-dup each other)
+                w, h = 5 + j % 60, 7 + j % 40
+                img = np.full((h, w), (j * 37) % 256, np.uint8)
+                img[: 1 + (j % 7) * h // 8, :] = (j * 91 + 64) % 256
+                payloads.append(encode_png(img))
+        return pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.map_batches(_mk, batch_format="pyarrow")
+
+
+def q_media_pipeline(sf_dir: str):
+    """END-TO-END multimodal curation (``pipelines/media.py``): payloads ->
+    header-syntax triage (PNG IHDR / JPEG SOF, no pixel decode) -> real PNG
+    decode features (actor pool) -> seeded JL embedding -> bucketed
+    hyperplane LSH near-dup pairs -> min-id-wins anti join -> survivors.
+    Rows-only (LSH); the pytest asserts partitioning invariance, planted
+    near-dup removal, and stage-count monotonicity."""
+    from .media import MediaCurationConfig, run_media_curation
+
+    corpus = _media_corpus(sf_dir)
+    out = run_media_curation(corpus, MediaCurationConfig(num_partitions=4))
+    return out.select_columns(["doc_id", "fmt", "width", "height"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3438,6 +3488,8 @@ QUERIES = {
     "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "frame_sample": q_frame_sample,
+    # --- round-4 additions (queued for the r5 window) ---
+    "media_pipeline": q_media_pipeline,
 }
 
 
