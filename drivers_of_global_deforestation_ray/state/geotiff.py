@@ -10,15 +10,17 @@ float samples, georeferencing via ModelPixelScale + ModelTiepoint.
 
 Scope (documented, deliberate):
 
-- read: little/big endian classic TIFF; compression 1 (none), 5 (LZW,
+- read: little/big endian classic TIFF AND BigTIFF (version 43: u64
+  offsets, 20-byte IFD entries, LONG8/SLONG8/IFD8 types — the first
+  format real-world >4 GB rasters hit); compression 1 (none), 5 (LZW,
   TIFF6 early-change variant — the most common real-world GeoTIFF
   compression), 8/32946 (zlib DEFLATE); horizontal-differencing predictor
   2; strips or tiles; multi-band via ``band=`` — chunky (PlanarConfig 1)
-  and planar (PlanarConfig 2) strip layouts.  JPEG/BigTIFF are out of
-  scope — raise with a clear message.
-- write: strip layout, optional DEFLATE or LZW, float32/float64/int32/
-  uint8 samples, ModelPixelScale/Tiepoint + GDAL_NODATA; multi-band
-  chunky via a (H, W, S) grid.
+  and planar (PlanarConfig 2) strip layouts.  JPEG compression is out of
+  scope — raises with a clear message.
+- write: strip layout (classic or ``bigtiff=True``), optional DEFLATE or
+  LZW, float32/float64/int32/uint8 samples, ModelPixelScale/Tiepoint +
+  GDAL_NODATA; multi-band chunky via a (H, W, S) grid.
 
 Interop with the engine's raster model: :func:`read_geotiff` returns the
 (grid, GeoRef) pair ``state/raster.py`` uses everywhere, so a GeoTIFF can
@@ -152,20 +154,33 @@ _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _GDAL_NODATA = 42113
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+# types 16/17/18 are the BigTIFF additions (LONG8/SLONG8/IFD8)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _read_ifd_entries(buf: bytes, off: int, en: str) -> dict[int, tuple]:
-    (n,) = struct.unpack_from(en + "H", buf, off)
+def _read_ifd_entries(buf: bytes, off: int, en: str,
+                      big: bool = False) -> dict[int, tuple]:
+    """IFD walk, classic (12-byte entries, u16 count, 4-byte value slot)
+    or BigTIFF (20-byte entries, u64 count, 8-byte value slot)."""
+    if big:
+        (n,) = struct.unpack_from(en + "Q", buf, off)
+        base, stride, inline = off + 8, 20, 8
+    else:
+        (n,) = struct.unpack_from(en + "H", buf, off)
+        base, stride, inline = off + 2, 12, 4
     entries: dict[int, tuple] = {}
-    for i in range(n):
-        tag, typ, cnt = struct.unpack_from(en + "HHI", buf, off + 2 + i * 12)
+    for i in range(int(n)):
+        e = base + i * stride
+        tag, typ = struct.unpack_from(en + "HH", buf, e)
+        (cnt,) = struct.unpack_from(en + ("Q" if big else "I"), buf, e + 4)
         size = _TYPE_SIZES.get(typ, 1) * cnt
-        voff = off + 2 + i * 12 + 8
-        if size > 4:
-            (voff,) = struct.unpack_from(en + "I", buf, voff)
-        entries[tag] = (typ, cnt, voff)
+        voff = e + (12 if big else 8)
+        if size > inline:
+            (voff,) = struct.unpack_from(en + ("Q" if big else "I"), buf, voff)
+        entries[tag] = (typ, int(cnt), int(voff))
     return entries
 
 
@@ -216,12 +231,18 @@ def read_geotiff(path: str, band: "int | None" = None) -> tuple[np.ndarray, GeoR
     else:
         raise ValueError(f"{path}: not a TIFF (magic {magic!r})")
     (version,) = struct.unpack_from(en + "H", buf, 2)
-    if version == 43:
-        raise NotImplementedError("BigTIFF not supported")
-    if version != 42:
+    if version == 43:  # BigTIFF: u64 offsets, 20-byte IFD entries
+        osize, zero = struct.unpack_from(en + "HH", buf, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"{path}: bad BigTIFF header ({osize}, {zero})")
+        (ifd_off,) = struct.unpack_from(en + "Q", buf, 8)
+        big = True
+    elif version == 42:
+        (ifd_off,) = struct.unpack_from(en + "I", buf, 4)
+        big = False
+    else:
         raise ValueError(f"{path}: bad TIFF version {version}")
-    (ifd_off,) = struct.unpack_from(en + "I", buf, 4)
-    tags = _read_ifd_entries(buf, ifd_off, en)
+    tags = _read_ifd_entries(buf, ifd_off, en, big)
 
     def tagv(tag: int, default=None):
         if tag not in tags:
@@ -324,13 +345,16 @@ def write_geotiff(
     dtype: str = "f4",
     nodata: "float | None" = None,
     compress: "bool | str" = False,
+    bigtiff: bool = False,
 ) -> None:
     """Write a GeoTIFF (strip layout, little-endian; ``compress`` is False,
     True/"deflate", or "lzw").  A 2-D grid writes single-band; a
     (H, W, S) grid writes S bands chunky-interleaved (PlanarConfig 1).
     NaN cells become ``nodata`` (required if the grid has NaNs).
-    Round-trips through :func:`read_geotiff` bit-exactly at the written
-    dtype's precision."""
+    ``bigtiff=True`` writes the version-43 layout (u64 offsets/counts,
+    20-byte IFD entries, LONG8 strip tags) — same pixel bytes, so the two
+    containers round-trip identically.  Round-trips through
+    :func:`read_geotiff` bit-exactly at the written dtype's precision."""
     grid = np.asarray(grid)
     spp = 1 if grid.ndim == 2 else int(grid.shape[2])
     if grid.shape[:2] != (georef.nrows, georef.ncols):
@@ -366,8 +390,8 @@ def write_geotiff(
     tie = struct.pack("<6d", 0.0, 0.0, 0.0, georef.lon_min, georef.lat_max, 0.0)
     nod_ascii = (f"{nodata}".encode("ascii") + b"\0") if nodata is not None else b""
 
-    # layout: header(8) | strip data | external values | IFD
-    data_off = 8
+    # layout: header(8 classic / 16 bigtiff) | strip data | external | IFD
+    data_off = 16 if bigtiff else 8
     ext_off = data_off + len(data)
     ext: list[bytes] = []
 
@@ -381,23 +405,26 @@ def write_geotiff(
     scale_off = ext_push(scale)
     tie_off = ext_push(tie)
     nod_off = ext_push(nod_ascii) if nod_ascii else 0
-    if spp == 2:  # two SHORTs fit the 4-byte value slot (spec: must inline)
-        bits_off, fmt_off = bits | (bits << 16), fmt_code | (fmt_code << 16)
-    elif spp > 2:  # longer per-sample SHORT arrays go external
+    inline_shorts = 4 if bigtiff else 2  # value-slot width / sizeof(SHORT)
+    if 1 < spp <= inline_shorts:  # SHORT arrays fitting the slot must inline
+        bits_off = sum(bits << (16 * k) for k in range(spp))
+        fmt_off = sum(fmt_code << (16 * k) for k in range(spp))
+    elif spp > inline_shorts:  # longer per-sample SHORT arrays go external
         bits_off = ext_push(struct.pack(f"<{spp}H", *([bits] * spp)))
         fmt_off = ext_push(struct.pack(f"<{spp}H", *([fmt_code] * spp)))
     ifd_off = ext_off
 
+    strip_typ = 16 if bigtiff else 4  # LONG8 exercises the BigTIFF types
     entries = [
         (_IMAGE_WIDTH, 4, 1, width),
         (_IMAGE_LENGTH, 4, 1, height),
         (_BITS_PER_SAMPLE, 3, spp, bits if spp == 1 else bits_off),
         (_COMPRESSION, 3, 1, comp_code),
         (_PHOTOMETRIC, 3, 1, 1),
-        (_STRIP_OFFSETS, 4, 1, data_off),
+        (_STRIP_OFFSETS, strip_typ, 1, data_off),
         (_SAMPLES_PER_PIXEL, 3, 1, spp),
         (_ROWS_PER_STRIP, 4, 1, height),
-        (_STRIP_BYTE_COUNTS, 4, 1, len(data)),
+        (_STRIP_BYTE_COUNTS, strip_typ, 1, len(data)),
         (_PLANAR_CONFIG, 3, 1, 1),
         (_SAMPLE_FORMAT, 3, spp, fmt_code if spp == 1 else fmt_off),
         (_MODEL_PIXEL_SCALE, 12, 3, scale_off),
@@ -407,15 +434,23 @@ def write_geotiff(
         entries.append((_GDAL_NODATA, 2, len(nod_ascii), nod_off))
     entries.sort(key=lambda e: e[0])
 
-    ifd = struct.pack("<H", len(entries))
-    for tag, typ, cnt, val in entries:
-        ifd += struct.pack("<HHI", tag, typ, cnt)
-        ifd += struct.pack("<I", val)
-    ifd += struct.pack("<I", 0)  # no next IFD
+    if bigtiff:
+        ifd = struct.pack("<Q", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack("<HHQQ", tag, typ, cnt, val)
+        ifd += struct.pack("<Q", 0)  # no next IFD
+        header = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+    else:
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack("<HHI", tag, typ, cnt)
+            ifd += struct.pack("<I", val)
+        ifd += struct.pack("<I", 0)  # no next IFD
+        header = b"II" + struct.pack("<HI", 42, ifd_off)
 
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
+        f.write(header)
         f.write(data)
         for b in ext:
             f.write(b)
