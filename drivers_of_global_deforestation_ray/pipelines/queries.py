@@ -1533,8 +1533,12 @@ def q_knn_brute(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF ANN with the DISTRIBUTED centroid trainer (fixed-point Lloyd,
+    ``kmeans_centroids``) — the 100-TB path: every vector contributes to
+    training, nothing corpus-sized reaches the driver."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return S.knn_ivf(emb, _load_queries(sf_dir), k=10, nlist=8, nprobe=3)
+    return S.knn_ivf(emb, _load_queries(sf_dir), k=10, nlist=8, nprobe=3,
+                     trainer="distributed")
 
 
 def q_embed_neardup(sf_dir: str):

@@ -116,20 +116,36 @@ def knn_ivf(
     sample_size: int = 2048,
     seed: int = 13,
     round_to: int = 6,
+    trainer: str = "sample",
 ) -> Dataset:
     """IVF-style approximate top-k: probe only the ``nprobe`` closest centroid
-    buckets per query.  Centroids fit on a SCATTERED bounded sample — a
-    per-block stride keeps every (n/sample_size)-th row across the whole
-    dataset, so sorted/clustered layouts don't bias the centroids the way a
-    ``limit()`` prefix would (VERDICT r01 minor #7)."""
-    n_total = ds.count()
-    stride = max(1, n_total // sample_size)
-    sample = np.stack(
-        ds.select_columns([vec_col])
-        .map_batches(lambda df: df.iloc[::stride], batch_format="pandas")
-        .limit(sample_size).to_pandas()[vec_col].to_numpy()
-    ).astype(np.float64)
-    C = _kmeans_lite(sample, nlist, seed)
+    buckets per query.
+
+    Centroid training (``trainer=``):
+
+    - ``"sample"``: fit on a SCATTERED bounded sample — a per-block stride
+      keeps every (n/sample_size)-th row across the whole dataset, so
+      sorted/clustered layouts don't bias the centroids the way a
+      ``limit()`` prefix would (VERDICT r01 minor #7).  Driver holds
+      ``sample_size x dim`` floats; fine for any corpus, but the centroids
+      see only the sample.
+    - ``"distributed"``: the full-corpus trainer (:func:`kmeans_centroids`,
+      int64 fixed-point Lloyd — VERDICT r03 #9): every vector contributes,
+      centroids are partitioning-invariant bit-for-bit, driver holds only
+      ``nlist x dim``.  Costs ``iters`` pruned re-reads of the corpus."""
+    if trainer == "distributed":
+        C = kmeans_centroids(ds, vec_col, id_col, k=nlist, iters=5)
+    elif trainer == "sample":
+        n_total = ds.count()
+        stride = max(1, n_total // sample_size)
+        sample = np.stack(
+            ds.select_columns([vec_col])
+            .map_batches(lambda df: df.iloc[::stride], batch_format="pandas")
+            .limit(sample_size).to_pandas()[vec_col].to_numpy()
+        ).astype(np.float64)
+        C = _kmeans_lite(sample, nlist, seed)
+    else:
+        raise ValueError(f"trainer must be 'sample' or 'distributed', got {trainer!r}")
     Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     # per query: which clusters to probe
     qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -366,16 +382,17 @@ def embedding_neardup_lsh(
     return with_ab.map_batches(_exact, batch_format="pandas")
 
 
-def kmeans_assign(
+def kmeans_centroids(
     ds: Dataset,
     vec_col: str,
     id_col: str,
     k: int = 8,
     iters: int = 5,
     fixed_bits: int = 20,
-) -> "tuple[Dataset, np.ndarray]":
-    """Distributed Lloyd k-means over an embedding column; returns
-    ``(assignments Dataset (id, cluster), final centroids (k, dim))``.
+) -> np.ndarray:
+    """Distributed Lloyd centroid training — the shared trainer behind
+    :func:`kmeans_assign` and :func:`knn_ivf`'s ``trainer="distributed"``
+    path (VERDICT r03 #9).  Returns the final (k, dim) centroids.
 
     Determinism (the engine's pagerank discipline): per-cluster vector sums
     ride as INT64 FIXED-POINT (``round(x * 2^fixed_bits)`` per element) —
@@ -438,7 +455,23 @@ def kmeans_assign(
         new[merged["cluster"].to_numpy()[nz]] = (
             S[nz] / n[nz, None]) / scale
         cents = new
+    return cents
 
+
+def kmeans_assign(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+    fixed_bits: int = 20,
+) -> "tuple[Dataset, np.ndarray]":
+    """Distributed Lloyd k-means over an embedding column; returns
+    ``(assignments Dataset (id, cluster), final centroids (k, dim))``.
+    Training lives in :func:`kmeans_centroids` (see there for the
+    fixed-point determinism and per-iteration scale shape); this adds the
+    final stateless assignment pass."""
+    cents = kmeans_centroids(ds, vec_col, id_col, k, iters, fixed_bits)
     cref = ray.put(cents)
 
     def _assign(batch: pd.DataFrame) -> pd.DataFrame:

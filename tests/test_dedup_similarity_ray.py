@@ -570,6 +570,33 @@ def _kmeans_reference(ids, X, k, iters, fixed_bits=20):
     return d2.argmin(axis=1), cents
 
 
+def test_knn_ivf_distributed_trainer(rd, vectors):
+    """VERDICT r03 #9: IVF centroids from the distributed fixed-point
+    trainer — same output shape as the sample trainer, recall holds, and
+    the result is PARTITIONING-INVARIANT (the sample trainer can't promise
+    that; the fixed-point trainer does)."""
+    V = np.stack(vectors["embedding"].to_numpy()).astype(np.float64)
+    q = V[:3]
+    exact = S.knn_brute(rd.from_pandas(vectors).repartition(5), q, k=10).to_pandas()
+    outs = []
+    for parts in (3, 7):
+        got = S.knn_ivf(rd.from_pandas(vectors).repartition(parts), q, k=10,
+                        nlist=8, nprobe=4, trainer="distributed").to_pandas()
+        outs.append(got.sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert set(got.columns) == {"query_id", "vec_id", "cosine"}
+    assert (got.groupby("query_id").size() <= 10).all()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(got[got["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5
+    with pytest.raises(ValueError, match="trainer"):
+        S.knn_ivf(rd.from_pandas(vectors), q, k=5, trainer="bogus")
+
+
 def test_kmeans_matches_reference_and_partitioning(rd):
     from drivers_of_global_deforestation_ray.stages.similarity import kmeans_assign
 
