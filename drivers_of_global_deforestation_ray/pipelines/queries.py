@@ -89,6 +89,9 @@ def q_groupby_agg(sf_dir: str):
             "rev_scaled": rev,
         })
 
+    # arrow partial engine: every summed column is scaled-int or an
+    # integer-valued float (quantities), so the sums are associative-exact
+    # and the hash-exact oracle is engine-invariant (BASELINE §arrow-partials)
     return R.grouped_agg(ds.map_batches(_prep, batch_format="pyarrow"),
                          ["l_returnflag", "l_linestatus"],
                          {
@@ -97,7 +100,7 @@ def q_groupby_agg(sf_dir: str):
                              "sum_rev_scaled": ("rev_scaled", "sum"),
                              "avg_qty": ("l_quantity", "mean"),
                              "count_order": ("l_quantity", "size"),
-                         })
+                         }, engine="arrow")
 
 
 def q_groupby_mean(sf_dir: str):
@@ -111,7 +114,8 @@ def q_groupby_mean(sf_dir: str):
                         {"n_events": ("value_scaled", "size"),
                          "sum_value_scaled": ("value_scaled", "sum"),
                          "min_value_scaled": ("value_scaled", "min"),
-                         "max_value_scaled": ("value_scaled", "max")})
+                         "max_value_scaled": ("value_scaled", "max")},
+                        engine="arrow")
     return out
 
 

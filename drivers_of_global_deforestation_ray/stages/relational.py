@@ -195,25 +195,84 @@ def grouped_agg(
     specs: dict[str, tuple[str, str]],
     batch_size: int = 65536,
     num_partitions: int = 32,
+    engine: str = "pandas",
 ) -> Dataset:
     """``specs``: ``{alias: (column, agg)}`` with agg in sum/count/min/max/mean.
 
     Two-phase (partial per batch -> tiny global shuffle); see module docstring.
     ``mean`` is computed as total_sum / total_count — one IEEE division on
     exact operands when the column is integer-valued or scaled-int.
-    """
+
+    ``engine="arrow"`` runs the partial via ``pyarrow.TableGroupBy`` on the
+    zero-copy block — measured 1.3-1.5x faster than the pandas kernel
+    (BASELINE.md §arrow-partials) and BIT-IDENTICAL whenever summed columns
+    are integer, scaled-int, or integer-valued floats (associative exact
+    sums).  True-float sums reassociate (few-ulp drift) and arrow
+    propagates NaN where pandas skips it — callers pinned to a pandas-order
+    golden (the flagship) or aggregating NaN-carrying floats keep the
+    default."""
     unknown = {h for _, h in specs.values()} - _PARTIAL_AGGS
     if unknown:
         raise ValueError(f"unsupported aggs: {unknown}")
-    return grouped_agg_final(grouped_agg_partial(ds, keys, specs, batch_size),
+    return grouped_agg_final(grouped_agg_partial(ds, keys, specs, batch_size, engine),
                              keys, specs, num_partitions)
 
 
+def _partial_batch_arrow(b: "pa.Table", keys: list[str], specs: dict) -> "pa.Table":
+    """Arrow-native partial: ``pyarrow.TableGroupBy`` straight off the
+    zero-copy block — no pandas conversion.  Emits the SAME partial schema
+    as :func:`_partial_batch` so the final combine is shared.
+
+    Scope note vs the pandas kernel: arrow ``sum``/``min``/``max`` skip
+    NULLS but propagate float NaN, while pandas groupby skips NaN — on
+    NaN-free columns (the engine's convention: NaN is imputed at ingest)
+    the two partials are identical."""
+    aggs, renames = [], {}
+    seen: set = set()
+
+    def want(col: str, how: str, out: str):
+        if (col, how) not in seen:
+            seen.add((col, how))
+            aggs.append((col if how != "count_all" else [], how))
+        src = "count_all" if how == "count_all" else f"{col}_{how}"
+        renames.setdefault(src, []).append(out)
+
+    for alias, (col, how) in specs.items():
+        if how == "sum":
+            want(col, "sum", f"__{alias}_s")
+        elif how == "count":
+            want(col, "count", f"__{alias}_n")
+        elif how == "size":
+            want("", "count_all", f"__{alias}_z")
+        elif how == "mean":
+            want(col, "sum", f"__{alias}_s")
+            want(col, "count", f"__{alias}_c")
+        elif how == "min":
+            want(col, "min", f"__{alias}_m")
+        elif how == "max":
+            want(col, "max", f"__{alias}_M")
+    g = pa.TableGroupBy(b, keys).aggregate(aggs)
+    cols: dict = {k: g[k] for k in keys}
+    for src, outs in renames.items():
+        for out in outs:
+            cols[out] = g[src]
+    return pa.table(cols)
+
+
 def grouped_agg_partial(ds: Dataset, keys: list[str], specs: dict[str, tuple[str, str]],
-                        batch_size: int = 65536) -> Dataset:
+                        batch_size: int = 65536, engine: str = "pandas") -> Dataset:
     """Partial (per-batch) half of :func:`grouped_agg` — exposed so stages can
     checkpoint partial aggregates per input shard and resume (partials are
-    associative: re-running the final over any sharding of them is exact)."""
+    associative: re-running the final over any sharding of them is exact).
+
+    ``engine="arrow"`` runs the partial as ``pyarrow.TableGroupBy`` on the
+    zero-copy Arrow block (no pandas conversion; VERDICT r03 #6 — measured
+    verdict in BASELINE.md §arrow-partials); ``"pandas"`` remains the
+    default pending that measurement's regime."""
+    if engine == "arrow":
+        return ds.map_batches(
+            lambda b: _partial_batch_arrow(b, keys, specs),
+            batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(
         lambda b: _partial_batch(b, keys, specs), batch_format="pandas", batch_size=batch_size
     )

@@ -39,6 +39,33 @@ def test_grouped_agg_matches_pandas(rd):
     assert (got["avg"].to_numpy() == want["avg"].to_numpy()).all()
 
 
+def test_grouped_agg_arrow_engine_bit_identical_on_int_sums(rd):
+    """VERDICT r03 #6: the pyarrow.TableGroupBy partial engine must be
+    BIT-IDENTICAL to the pandas kernel when summed columns are integer /
+    scaled-int / integer-valued floats (associative exact sums), for
+    numeric and string keys, at two partitionings."""
+    rng = np.random.default_rng(3)
+    n = 40_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 997, n),
+        "sk": rng.choice(list("ABCDE"), n),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+        "fq": rng.integers(1, 50, n).astype(np.float64),  # integer-valued
+    })
+    specs = {"s": ("v", "sum"), "n": ("v", "count"), "z": ("v", "size"),
+             "mn": ("fq", "min"), "mx": ("fq", "max"),
+             "avg": ("fq", "mean"), "fs": ("fq", "sum")}
+    for keys in (["k"], ["sk"], ["sk", "k"]):
+        for parts in (3, 11):
+            ds = rd.from_pandas(df).repartition(parts)
+            a = (R.grouped_agg(ds, keys, specs, engine="pandas")
+                 .to_pandas().sort_values(keys).reset_index(drop=True))
+            b = (R.grouped_agg(ds, keys, specs, engine="arrow")
+                 .to_pandas().sort_values(keys).reset_index(drop=True))
+            for c in a.columns:
+                assert (a[c].to_numpy() == b[c].to_numpy()).all(), (keys, parts, c)
+
+
 def test_grouped_transform_group_integrity(rd):
     """grouped_transform must hand each partition_fn EVERY row of each of its
     key groups (never a split group), for string and multi-column keys, at any
