@@ -547,7 +547,10 @@ def skew_join(
     from .sketch import heavy_hitters
 
     r_on = right_on or on
-    hot = heavy_hitters(left, on, k=hot_k * 4, top=hot_k).to_pandas()
+    # driver merge: the hot set is an advisory side-channel — k x blocks
+    # partial rows to the driver beat the merge shuffle's fixed spin-up
+    hot = heavy_hitters(left, on, k=hot_k * 4, top=hot_k,
+                        merge="driver").to_pandas()
     hot_keys = hot["value"].to_numpy()
     href = ray.put(hot_keys)
 

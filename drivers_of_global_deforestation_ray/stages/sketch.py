@@ -53,15 +53,25 @@ def mg_merge(parts: "list[tuple[np.ndarray, np.ndarray]]", k: int) -> tuple[np.n
 
 
 def heavy_hitters(ds: Dataset, col: str, k: int = 64, top: int = 10,
-                  out_val: str = "value", out_count: str = "est_count") -> Dataset:
+                  out_val: str = "value", out_count: str = "est_count",
+                  merge: str = "shuffle") -> Dataset:
     """Approximate top-``top`` values of ``col`` with Misra-Gries counters.
 
     Per-batch partial: exact value counts compressed to ``k`` counters
-    (O(k) state, any cardinality).  Partials land in ONE merge partition
-    (they are k rows per block — tiny), counts sum, one final compression,
-    top rows by (count desc, value asc).  Estimates are exact when the true
-    distinct count <= k; otherwise each count is an undercount by at most
-    n/k (the classic guarantee)."""
+    (O(k) state, any cardinality).  Merge paths:
+
+    - ``"shuffle"`` (default): partials land in ONE merge partition (k rows
+      per block — tiny), counts sum, one final compression.  Driver holds
+      nothing; right at any block count.
+    - ``"driver"``: partials collect to the driver and merge there — skips
+      the shuffle operator's fixed spin-up (~1 s), which dominates when the
+      sketch is an advisory side-channel (skew_join's hot-key detection).
+      Driver footprint is ``k x num_blocks`` rows — fine into the tens of
+      thousands of blocks; prefer "shuffle" past that.
+
+    Top rows by (count desc, value asc) either way.  Estimates are exact
+    when the true distinct count <= k; otherwise each count is an
+    undercount by at most n/k (the classic guarantee)."""
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df[col].value_counts(sort=False)
@@ -77,6 +87,10 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 64, top: int = 10,
             out_count, ascending=False, kind="stable").head(top)
         return out.reset_index(drop=True)
 
+    if merge == "driver":
+        import ray.data as rd
+
+        return rd.from_pandas(_merge(partial.to_pandas()))
     return grouped_transform(partial, ["__g"], _merge, num_partitions=1)
 
 

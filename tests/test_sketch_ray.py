@@ -26,6 +26,11 @@ def test_heavy_hitters_exact_when_k_covers_cardinality(rd):
                                                ascending=[False, True]).head(10))
     assert got["value"].tolist() == want["value"].tolist()
     assert got["est_count"].tolist() == want["n"].tolist()
+    # the driver-merge fast path (skew_join's detection side-channel)
+    # produces the identical sketch
+    drv = heavy_hitters(ds, "v", k=64, top=10, merge="driver").to_pandas()
+    assert drv["value"].tolist() == got["value"].tolist()
+    assert drv["est_count"].tolist() == got["est_count"].tolist()
 
 
 def test_heavy_hitters_error_bound_high_cardinality(rd):
