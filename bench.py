@@ -304,6 +304,9 @@ def main() -> int:
     ap.add_argument("--cpus-high", type=int, default=32)
     ap.add_argument("--scale-rows", type=int,
                     default=int(os.environ.get("GRAFT_SCALE_ROWS", "4000000")))
+    ap.add_argument("--out", default=None,
+                    help="also write the --scaling report to this JSON file "
+                         "(the round's SCALING_r{N}.json machine artifact)")
     args = ap.parse_args()
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -318,7 +321,12 @@ def main() -> int:
         print(json.dumps(run_scale_worker(num_cpus, args.scale_rows)))
         return 0
     if args.scaling:
-        print(json.dumps(run_scaling(args.cpus_low, args.cpus_high, args.scale_rows)))
+        report = run_scaling(args.cpus_low, args.cpus_high, args.scale_rows)
+        print(json.dumps(report))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+                f.write("\n")
         return 0
     names = args.queries.split(",") if args.queries else BENCH_QUERIES
     print(json.dumps(run_bench(args.sf_dir, num_cpus, names)))

@@ -254,23 +254,52 @@ def read_geotiff(path: str, band: "int | None" = None) -> tuple[np.ndarray, GeoR
     width = int(tagv(_IMAGE_WIDTH)[0])
     height = int(tagv(_IMAGE_LENGTH)[0])
     bits_list = [int(b) for b in tagv(_BITS_PER_SAMPLE, [8])]
-    bits = bits_list[0]
     comp = int(tagv(_COMPRESSION, [1])[0])
     spp = int(tagv(_SAMPLES_PER_PIXEL, [1])[0])
     planar = int(tagv(_PLANAR_CONFIG, [1])[0])
-    fmt = int(tagv(_SAMPLE_FORMAT, [1])[0])
+    fmt_list = [int(x) for x in tagv(_SAMPLE_FORMAT, [1])]
     pred = int(tagv(_PREDICTOR, [1])[0])
-    if spp > 1:
-        if band is None:
-            raise ValueError(f"{path}: {spp} samples/pixel — pass band=0..{spp - 1}")
-        if len(set(bits_list)) > 1:
-            raise NotImplementedError(f"{path}: mixed per-band bit depths {bits_list}")
+    # BitsPerSample / SampleFormat may carry one value for all samples or
+    # one per sample (mixed depths, e.g. u8 mask + f4 data planes)
+    if len(bits_list) < spp:
+        bits_list = bits_list * spp
+    if len(fmt_list) < spp:
+        fmt_list = fmt_list * spp
+    if spp > 1 and band is None:
+        raise ValueError(f"{path}: {spp} samples/pixel — pass band=0..{spp - 1}")
     bi = 0 if band is None else int(band)
     if not 0 <= bi < spp:
         raise ValueError(f"{path}: band {band} out of range (spp={spp})")
     if comp not in (1, 5, 8, 32946):
         raise NotImplementedError(f"{path}: compression {comp} (none/lzw/deflate only)")
+    if any(b % 8 for b in bits_list[:spp]):
+        raise NotImplementedError(f"{path}: bit-packed samples {bits_list}")
+    bits, fmt = bits_list[bi], fmt_list[bi]
     dt = _dtype_of(bits, fmt, en)
+    mixed = len(set(zip(bits_list[:spp], fmt_list[:spp]))) > 1
+    pix_bytes = sum(b // 8 for b in bits_list[:spp])
+    byte_off = sum(b // 8 for b in bits_list[:bi])
+
+    def segment_band(seg: bytes, nrows: int, ncols: int, one_plane: bool) -> np.ndarray:
+        """Band ``bi`` of one decoded strip/tile as a native-endian
+        (nrows, ncols) array.  Handles homogeneous chunky/planar layouts and
+        mixed-depth chunky pixels (byte-sliced out of the interleaved pixel).
+        Predictor-2 undo is per sample component, so differencing commutes
+        with band extraction."""
+        if one_plane:
+            arr = np.frombuffer(seg, dtype=dt)[: nrows * ncols].reshape(nrows, ncols)
+        elif not mixed:
+            arr = np.frombuffer(seg, dtype=dt)[: nrows * ncols * spp].reshape(
+                nrows, ncols, spp)[:, :, bi]
+        else:
+            u8 = np.frombuffer(seg, dtype=np.uint8)[
+                : nrows * ncols * pix_bytes].reshape(nrows, ncols, pix_bytes)
+            arr = np.ascontiguousarray(
+                u8[:, :, byte_off : byte_off + dt.itemsize]).view(dt).reshape(nrows, ncols)
+        arr = arr.astype(dt.newbyteorder("="))
+        if pred == 2:
+            arr = _undo_predictor2(arr)
+        return arr
 
     def decode(seg: bytes) -> bytes:
         if comp in (8, 32946):
@@ -280,42 +309,37 @@ def read_geotiff(path: str, band: "int | None" = None) -> tuple[np.ndarray, GeoR
         return seg
 
     grid = np.empty((height, width), dtype=dt.newbyteorder("="))
+    one_plane = spp > 1 and planar == 2
     if _TILE_OFFSETS in tags:
-        if spp > 1 and planar != 1:
-            raise NotImplementedError(f"{path}: planar tiled multi-band")
         tw = int(tagv(_TILE_WIDTH)[0])
         th = int(tagv(_TILE_LENGTH)[0])
         offs = tagv(_TILE_OFFSETS)
         cnts = tagv(_TILE_BYTE_COUNTS)
         tiles_across = -(-width // tw)
+        if one_plane:
+            # planar tiles: all tiles of plane 0 (row-major), then plane 1, …
+            tpp = tiles_across * (-(-height // th))
+            offs = offs[bi * tpp : (bi + 1) * tpp]
+            cnts = cnts[bi * tpp : (bi + 1) * tpp]
         for ti, (o, c) in enumerate(zip(offs, cnts)):
-            raw = np.frombuffer(decode(buf[o : o + c]), dtype=dt)
-            block = raw.reshape(th, tw, spp).astype(dt.newbyteorder("="))
-            if pred == 2:  # horizontal differencing is per sample component
-                block = _undo_predictor2(block)
+            block = segment_band(decode(buf[o : o + c]), th, tw, one_plane)
             r0 = (ti // tiles_across) * th
             c0 = (ti % tiles_across) * tw
-            grid[r0 : r0 + th, c0 : c0 + tw] = block[: height - r0, : width - c0, bi]
+            grid[r0 : r0 + th, c0 : c0 + tw] = block[: height - r0, : width - c0]
     else:
         rps = int(tagv(_ROWS_PER_STRIP, [height])[0])
         offs = tagv(_STRIP_OFFSETS)
         cnts = tagv(_STRIP_BYTE_COUNTS)
-        if spp > 1 and planar == 2:
+        if one_plane:
             # planar: all strips of plane 0, then plane 1, ... — slice ours
             spi = -(-height // rps)
             offs = offs[bi * spi : (bi + 1) * spi]
             cnts = cnts[bi * spi : (bi + 1) * spi]
-            read_spp = 1
-        else:
-            read_spp = spp
         r = 0
         for o, c in zip(offs, cnts):
             nrows = min(rps, height - r)
-            raw = np.frombuffer(decode(buf[o : o + c]), dtype=dt)
-            block = raw.reshape(nrows, width, read_spp).astype(dt.newbyteorder("="))
-            if pred == 2:
-                block = _undo_predictor2(block)
-            grid[r : r + nrows] = block[:, :, bi if read_spp > 1 else 0]
+            grid[r : r + nrows] = segment_band(decode(buf[o : o + c]), nrows, width,
+                                               one_plane)
             r += nrows
     out = grid.astype(np.float64)
     if _GDAL_NODATA in tags:
