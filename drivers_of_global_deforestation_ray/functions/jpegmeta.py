@@ -4,12 +4,13 @@ component count and progressive-ness.
 
 Why it exists: multimodal corpus triage wants per-image dimensions and
 type LONG before anything decodes pixels — dimension filters prune most
-of a crawl's image bytes at the metadata stage.  The engine's PNG/WAV/Y4M
-codecs decode for real (``functions/png.py`` etc.); JPEG entropy decode
-(Huffman + DCT) is out of scope in this sandbox, but the MARKER SYNTAX is
-trivial and works on any real JPEG: segments are ``FF <marker> <u16 len>
-<payload>``; the first SOF0-SOF15 segment (excluding DHT/DAC/JPG/RST)
-carries ``precision:u8, height:u16, width:u16, ncomp:u8``.
+of a crawl's image bytes at the metadata stage.  Full pixel decode lives
+in ``functions/jpeg.py`` (baseline Huffman + DCT, from scratch); this
+module stays decode-free because the MARKER SYNTAX alone answers the
+triage questions on ANY JPEG, including the progressive/arithmetic ones
+the decoder rejects: segments are ``FF <marker> <u16 len> <payload>``;
+the first SOF0-SOF15 segment (excluding DHT/DAC/JPG/RST) carries
+``precision:u8, height:u16, width:u16, ncomp:u8``.
 
 ``encode_jpeg_shell`` builds a structurally-valid header shell (SOI,
 JFIF-APP0, DQT, SOF0, EOI — no scan data) for deterministic fixtures; the

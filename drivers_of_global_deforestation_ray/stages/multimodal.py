@@ -8,11 +8,12 @@ metadata columns alongside (the pages corpus already carries ``html:binary``).
   schema.  ``backend="fake"`` (default) derives a deterministic feature
   vector + (width, height) from the payload *bytes* (blake2b-seeded), so
   tests pin schema/shape/determinism.  ``backend="real"`` decodes actual
-  PNG payloads with the engine's from-scratch codec
-  (:mod:`..functions.png`, stdlib zlib only) — real dims, real pixel
-  statistics, same output schema (VERDICT r02 #6).
+  PNG or baseline-JPEG payloads (magic-byte sniff) with the engine's
+  from-scratch codecs (:mod:`..functions.png`, :mod:`..functions.jpeg`) —
+  real dims, real pixel statistics, same output schema (VERDICT r02 #6,
+  r03 missing #4).
 - :func:`media_resize` with ``backend="real"`` decodes, nearest-neighbor
-  resizes and re-encodes PNG thumbnails.
+  resizes and re-encodes a thumbnail in the source's container format.
 - :func:`frame_sample` ``backend="real"`` decodes YUV4MPEG2 (.y4m) clips
   with the engine's from-scratch codec (:mod:`..functions.y4m` — raw
   planar video, the canonical uncompressed interchange container): frames
@@ -32,8 +33,16 @@ import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
+from ..functions.jpeg import decode_jpeg, encode_jpeg
 from ..functions.png import decode_png, encode_png, resize_nearest
 from ..functions.wav import decode_wav
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Sniff PNG vs JPEG magic and decode to (H, W, C) uint8."""
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    return decode_png(payload)
 
 __all__ = ["MediaFeaturizer", "media_features", "media_resize", "frame_sample",
            "AudioFeaturizer", "audio_features", "FEATURE_DIM"]
@@ -66,7 +75,7 @@ class MediaFeaturizer:
 
     @staticmethod
     def _real_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-        img = decode_png(payload)
+        img = _decode_image(payload)
         return img.shape[1], img.shape[0], _png_features(img)
 
     @staticmethod
@@ -125,7 +134,10 @@ class _MediaResizer:
         self.backend = backend
 
     def _real_resize(self, payload: bytes) -> bytes:
-        return encode_png(resize_nearest(decode_png(payload), self.width, self.height))
+        thumb = resize_nearest(_decode_image(payload), self.width, self.height)
+        if payload[:2] == b"\xff\xd8":  # keep the source container format
+            return encode_jpeg(thumb[:, :, 0] if thumb.shape[2] == 1 else thumb)
+        return encode_png(thumb)
 
     def _fake_resize(self, payload: bytes) -> bytes:
         n = self.width * self.height
