@@ -1554,6 +1554,19 @@ def q_embed_neardup(sf_dir: str):
     return S.embedding_neardup_pairs(emb, V, ids, threshold=0.45)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) with the SQL-expressible anchor
+    clustering: cluster by max round-6 cosine to the 8 smallest-id anchor
+    embeddings, drop any vector cosine>=0.45 to a smaller-id vector in the
+    SAME cluster, return survivors — the whole clustering+dedup pipeline
+    hash-exact vs DuckDB.  The production kmeans-trainer path is pytest
+    + partition-invariance checked (iterative Lloyd is not SQL)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = S.semantic_dedup(emb, vec_col="embedding", id_col="vec_id",
+                           num_clusters=8, threshold=0.45, trainer="anchor")
+    return out.select_columns(["vec_id"])
+
+
 def q_embed_neardup_lsh(sf_dir: str):
     # 4 planes x 32 tables: per-table collision p=(1-θ/π)^4 ≈ 0.18 at
     # cos 0.45, union recall 1-(1-p)^32 ≈ 0.998 — tuned to the threshold.
@@ -1733,6 +1746,23 @@ def q_media_png_real(sf_dir: str):
             "media_height": b["media_height"].to_numpy().astype(np.int64),
         }),
         batch_format="pandas")
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram bag
+    models, target = lang='en' docs, raw = the full corpus; each doc's
+    importance log-weight is the add-1-smoothed log-ratio sum; the 100
+    most-target-like docs are selected (weight desc, id tie-break).  Counts
+    are exact integers and the hash is the md5 SQL twin, so the whole
+    selection is hash-exact-checkable (weights round to 6 decimals)."""
+    from ..stages.textstage import dsir_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    raw = docs.select_columns(["doc_id", "text"])
+    target = docs.filter(expr="lang == 'en'").select_columns(["doc_id", "text"])
+    scores = dsir_scores(raw, target, num_buckets=4096)
+    return R.topk(scores, ["dsir_weight", "doc_id"], k=100,
+                  descending=[True, False])
 
 
 def q_media_jpeg_real(sf_dir: str):
@@ -3463,6 +3493,7 @@ QUERIES = {
     "video_y4m_real": q_video_y4m_real,
     "media_png_real": q_media_png_real,
     "media_jpeg_real": q_media_jpeg_real,
+    "dsir_select": q_dsir_select,
     "audio_wav_real": q_audio_wav_real,
     "dedup_incremental": q_dedup_incremental,
     "doc_repetition": q_doc_repetition,
@@ -3534,6 +3565,7 @@ QUERIES = {
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
     "embed_neardup": q_embed_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "flagship_checkpointed": q_flagship_checkpointed,
     "per_class_loss": q_per_class_loss,
     "tree_importance": q_tree_importance,
@@ -4980,6 +5012,57 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+    "dsir_select": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        feats AS (
+          SELECT doc_id, w AS f
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          UNION ALL
+          SELECT doc_id, ws[r.range + 1] || ' ' || ws[r.range + 2] AS f
+          FROM toks CROSS JOIN range(0, 2000) r
+          WHERE r.range + 2 <= len(ws)
+        ),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS h
+              FROM feats),
+        tgt AS (SELECT h.h, count(*) AS c FROM h
+                JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+        raw AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
+        tt AS (SELECT sum(c) AS t FROM tgt),
+        tr AS (SELECT sum(c) AS t FROM raw),
+        score AS (
+          SELECT h.doc_id,
+                 round(sum(ln((coalesce(tgt.c, 0) + 1) / (tt.t + 4096.0))
+                         - ln((raw.c + 1) / (tr.t + 4096.0))), 6) AS dsir_weight
+          FROM h LEFT JOIN tgt ON h.h = tgt.h JOIN raw ON h.h = raw.h, tt, tr
+          GROUP BY h.doc_id
+        )
+        SELECT doc_id, dsir_weight FROM score
+        QUALIFY row_number() OVER (ORDER BY dsir_weight DESC, doc_id) <= 100
+    """,
+    "semantic_dedup": """
+        WITH c AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+             cid AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, embedding
+                     FROM c),
+             a AS (
+               SELECT e.vec_id, x.cl AS cluster, e.embedding
+               FROM embeddings e CROSS JOIN cid x
+               QUALIFY row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(x.embedding AS DOUBLE[])), 6) DESC, x.cl) = 1
+             ),
+             d AS (
+               SELECT DISTINCT x.vec_id AS b
+               FROM a x JOIN a y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+               WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                  CAST(y.embedding AS DOUBLE[])), 6)
+                     >= 0.45
+             )
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT b FROM d)
     """,
     "explode_embed": """
         SELECT vec_id, f.range AS pos, embedding[f.range + 1] AS value

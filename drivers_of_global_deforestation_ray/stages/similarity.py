@@ -27,7 +27,7 @@ from ray.data import Dataset
 from .relational import grouped_agg, grouped_transform, hash_join
 
 __all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs",
-           "embedding_neardup_lsh", "kmeans_assign"]
+           "embedding_neardup_lsh", "kmeans_assign", "semantic_dedup"]
 
 
 def _quantize_int8(M: np.ndarray) -> np.ndarray:
@@ -482,3 +482,104 @@ def kmeans_assign(
                              "cluster": d2.argmin(axis=1).astype(np.int64)})
 
     return ds.map_batches(_assign, batch_format="pandas"), cents
+
+
+def semantic_dedup(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int = 8,
+    threshold: float = 0.85,
+    trainer: str = "anchor",
+    iters: int = 3,
+    round_to: int = 6,
+    max_cluster_rows: int = 200_000,
+    num_partitions: int = 32,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space into clusters, then drop every item whose cosine to a
+    SMALLER-id item in the SAME cluster meets ``threshold`` — min-id wins,
+    the engine's dedup rule (``dedup.drop_ids`` semantics: pairs a<b drop b;
+    dropping is independent of whether a itself survives, matching the SQL
+    self-join form).  Returns the surviving rows of ``ds``, all columns.
+
+    ``trainer="anchor"``: centroids are the embeddings of the
+    ``num_clusters`` smallest ids; assignment is by max ROUNDED cosine
+    (ties -> lowest centroid index).  Deterministic, non-iterative, and
+    SQL-expressible — the whole pipeline is hash-exact-checkable against a
+    DuckDB oracle (the ``media_png_real`` discipline, applied to a
+    clustering pipeline).
+    ``trainer="kmeans"``: the distributed fixed-point Lloyd trainer
+    (:func:`kmeans_centroids`) with min-squared-distance assignment — the
+    production path (partition-invariant, nothing corpus-sized on the
+    driver), rows-only checkable (iterative Lloyd is not SQL).
+
+    Scale shape: centroid selection is a per-block top-k merge (k rows ever
+    reach the driver); assignment is one stateless broadcast pass; the
+    within-cluster pair search co-partitions (id, cluster, vector) by
+    cluster via :func:`~.relational.grouped_transform` and runs ONE
+    (n_c x n_c) float64 matmul per cluster.  Cluster count is the scale
+    knob — per-cluster all-pairs is the published algorithm's cost model
+    (n_c ~ N/k), and a cluster above ``max_cluster_rows`` raises with the
+    remedy (raise ``num_clusters``) rather than silently quadratic-ing,
+    the ``embedding_neardup_pairs`` guard discipline.  The final survivor
+    filter is :func:`~.dedup.drop_ids` (broadcast ids below 2M, Bloom +
+    distributed marker anti join above — O(1) driver at any drop count).
+    """
+    import hashlib
+
+    from .dedup import drop_ids
+
+    if trainer not in ("anchor", "kmeans"):
+        raise ValueError(f"trainer must be 'anchor' or 'kmeans', got {trainer!r}")
+    if trainer == "kmeans":
+        cents = kmeans_centroids(ds, vec_col, id_col, k=num_clusters, iters=iters)
+    else:
+        def _head(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(id_col, kind="stable").head(num_clusters)[
+                [id_col, vec_col]]
+
+        seed_rows = (ds.map_batches(_head, batch_format="pandas")
+                     .sort(id_col).limit(num_clusters).to_pandas())
+        cents = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+    cref = ray.put(cents)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cref)
+        X = _batch_matrix(batch, vec_col)
+        if trainer == "anchor":
+            cos = np.round(_cosine(X, C), round_to)
+            cl = cos.argmax(axis=1)  # first max -> lowest centroid index
+        else:
+            cl = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "cluster": cl.astype(np.int64),
+                             vec_col: batch[vec_col].to_numpy()})
+
+    assigned = ds.map_batches(_assign, batch_format="pandas")
+
+    def _cluster_dups(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in part.groupby("cluster", sort=False):
+            if len(g) > max_cluster_rows:
+                raise ValueError(
+                    f"semantic_dedup cluster has {len(g)} rows > "
+                    f"max_cluster_rows={max_cluster_rows}; raise num_clusters "
+                    f"(per-cluster pairing is O(n_c^2) by design)")
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col, kind="stable")
+            M = _batch_matrix(g, vec_col)
+            cos = np.round(_cosine(M, M), round_to)
+            hit = cos >= threshold
+            dup = np.triu(hit, k=1).any(axis=0)  # any smaller-id partner
+            if dup.any():
+                out.append(pd.DataFrame(
+                    {"b": g[id_col].to_numpy()[dup].astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"b": np.empty(0, np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    pairs = grouped_transform(assigned, ["cluster"], _cluster_dups,
+                              num_partitions=min(num_partitions, num_clusters))
+    return drop_ids(pairs, ds, id_col, num_partitions=num_partitions)

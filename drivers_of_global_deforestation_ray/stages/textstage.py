@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 from ray.data import Dataset
 
 from ..functions.text import (
@@ -18,7 +19,7 @@ from ..functions.text import (
 )
 
 __all__ = ["enrich_documents", "repetition_stats", "pii_scrub", "nfc_normalize",
-           "deterministic_mix", "chunk_documents", "decontaminate"]
+           "deterministic_mix", "chunk_documents", "decontaminate", "dsir_scores"]
 
 # PII patterns (ASCII-explicit, no \b / \d shorthands: Python re and RE2
 # treat those differently around non-ASCII word chars, and byte-identical
@@ -236,3 +237,87 @@ def decontaminate(
         })
 
     return ds.map_batches(_scan, batch_format="pandas", batch_size=batch_size)
+
+
+def dsir_scores(
+    raw: Dataset,
+    target: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    round_to: int = 6,
+) -> Dataset:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    each ``raw`` doc by how target-like its hashed n-gram distribution is.
+
+    Features are unigrams + space-joined bigrams over ``split(' ')`` tokens,
+    hashed ``md5_u32(feat) % num_buckets`` (the ``quality_linear`` SQL-twin
+    hash, so the whole operator is DuckDB-checkable).  Two add-1-smoothed
+    bag models are fit by distributed exact counts — p from ``target``, q
+    from ``raw`` — and
+
+        log w(doc) = sum_h  n_doc(h) * [ ln((c_p(h)+1)/(T_p+B))
+                                       - ln((c_q(h)+1)/(T_q+B)) ]
+
+    rounded to ``round_to`` decimals (the lm_score float discipline: the
+    only float drift is ln/summation reassociation, ~1e-12 on 1e-6
+    granularity).  Selection = a downstream top-k on (weight desc, id).
+
+    Scale shape: both count passes emit (bucket, n) partials per block and
+    collapse via two-phase grouped sum to AT MOST ``num_buckets`` rows —
+    the model is bucket-bounded by construction (DSIR's core trick), so the
+    broadcast score table is O(B) floats regardless of corpus size, and the
+    scoring pass is a stateless vectorized scan.  Returns (id, dsir_weight).
+    """
+    import hashlib
+
+    from .relational import grouped_agg
+
+    B = num_buckets
+
+    def _feat_rows(df: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, h) one row per feature instance -> per-block partials."""
+        parts = []
+        for did, text in zip(df[id_col].to_numpy(), df[text_col]):
+            ws = text.split(" ")
+            feats = ws + [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+            uniq, counts = np.unique(np.asarray(feats, dtype=object),
+                                     return_counts=True)
+            hs = np.fromiter(
+                (int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+                 for f in uniq), dtype=np.int64, count=len(uniq))
+            parts.append((did, hs, counts.astype(np.int64)))
+        if not parts:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "h": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        ids = np.concatenate([np.full(len(h), d, np.int64) for d, h, _ in parts])
+        return pd.DataFrame({
+            id_col: ids,
+            "h": np.concatenate([h for _, h, _ in parts]),
+            "n": np.concatenate([c for _, _, c in parts]),
+        })
+
+    def _bucket_counts(ds: Dataset) -> "tuple[np.ndarray, int]":
+        rows = grouped_agg(ds.map_batches(_feat_rows, batch_format="pandas"),
+                           ["h"], {"n": ("n", "sum")},
+                           num_partitions=4).to_pandas()  # <= B rows
+        c = np.zeros(B, np.int64)
+        c[rows["h"].to_numpy()] = rows["n"].to_numpy()
+        return c, int(c.sum())
+
+    c_q, t_q = _bucket_counts(raw)
+    c_p, t_p = _bucket_counts(target)
+    logdiff = (np.log((c_p + 1.0) / (t_p + float(B)))
+               - np.log((c_q + 1.0) / (t_q + float(B))))
+    lref = ray.put(logdiff)
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        ld = ray.get(lref)
+        f = _feat_rows(df)
+        w = pd.Series(f["n"].to_numpy() * ld[f["h"].to_numpy()]).groupby(
+            f[id_col].to_numpy(), sort=False).sum()
+        return pd.DataFrame({id_col: w.index.to_numpy(),
+                             "dsir_weight": np.round(w.to_numpy(), round_to)})
+
+    return raw.map_batches(_score, batch_format="pandas")

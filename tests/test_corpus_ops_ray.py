@@ -134,3 +134,51 @@ def test_decontaminate_distinct_counting(rd):
     df2 = pd.DataFrame({"doc_id": np.array([8], dtype=np.int64), "text": ["x y"]})
     got2 = decontaminate(rd.from_pandas(df2), {"x y z"}).to_pandas()
     assert got2["n_hits"].iloc[0] == 0 and got2["contaminated"].iloc[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (textstage.dsir_scores)
+# ---------------------------------------------------------------------------
+
+def _dsir_corpus():
+    """Half the docs speak 'target-ese' (alpha/beta vocab), half 'raw-ese'
+    (gamma/delta); a handful mix.  DSIR must rank target-ese docs highest."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta alpha beta gamma" if i % 10 == 0
+                     else "alpha beta alpha beta alpha", "en"))
+    for i in range(40, 80):
+        rows.append((i, "gamma delta gamma delta gamma", "xx"))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+
+def test_dsir_ranks_targetlike_docs_highest(rd):
+    from drivers_of_global_deforestation_ray.stages.textstage import dsir_scores
+
+    df = _dsir_corpus()
+    docs = rd.from_pandas(df).repartition(4)
+    target = docs.filter(expr="lang == 'en'").select_columns(["doc_id", "text"])
+    raw = docs.select_columns(["doc_id", "text"])
+    out = dsir_scores(raw, target, num_buckets=512).to_pandas()
+    assert len(out) == 80
+    s = out.set_index("doc_id")["dsir_weight"]
+    # every pure-target doc outscores every pure-raw doc
+    assert s[np.arange(1, 40)[np.arange(1, 40) % 10 != 0]].min() > s[
+        np.arange(40, 80)].max()
+    # mixed docs sit strictly between
+    assert s[0] < s[1] and s[0] > s[40]
+
+
+def test_dsir_partition_and_bucket_determinism(rd):
+    from drivers_of_global_deforestation_ray.stages.textstage import dsir_scores
+
+    df = _dsir_corpus()
+    outs = []
+    for parts in (2, 8):
+        docs = rd.from_pandas(df).repartition(parts)
+        target = docs.filter(expr="lang == 'en'").select_columns(
+            ["doc_id", "text"])
+        raw = docs.select_columns(["doc_id", "text"])
+        o = dsir_scores(raw, target, num_buckets=512).to_pandas()
+        outs.append(o.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])

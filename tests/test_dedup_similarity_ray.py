@@ -615,3 +615,45 @@ def test_kmeans_matches_reference_and_partitioning(rd):
         got = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
         np.testing.assert_array_equal(got, want_a)
         np.testing.assert_allclose(cents, want_c, rtol=0, atol=0)
+
+
+def test_semantic_dedup_drops_planted_neardups_min_id_wins(rd, vectors):
+    """SemDeDup: planted near-dups (395..399 perturb 0..4) land in the same
+    cluster under any sane partition of the space and must be dropped with
+    the original (smaller id) surviving."""
+    ds = rd.from_pandas(vectors).repartition(4)
+    out = S.semantic_dedup(ds, num_clusters=8, threshold=0.95,
+                           trainer="anchor").to_pandas()
+    kept = set(out["vec_id"])
+    assert {0, 1, 2, 3, 4} <= kept
+    assert not ({395, 396, 397, 398, 399} & kept)
+    assert len(out) == 395
+
+
+def test_semantic_dedup_partition_invariant(rd, vectors):
+    ds2 = rd.from_pandas(vectors).repartition(2)
+    ds8 = rd.from_pandas(vectors).repartition(8)
+    a = sorted(S.semantic_dedup(ds2, num_clusters=8, threshold=0.95,
+                                trainer="anchor").to_pandas()["vec_id"])
+    b = sorted(S.semantic_dedup(ds8, num_clusters=8, threshold=0.95,
+                                trainer="anchor").to_pandas()["vec_id"])
+    assert a == b
+
+
+def test_semantic_dedup_kmeans_trainer_path(rd, vectors):
+    """Production path: distributed fixed-point Lloyd clusters; the planted
+    near-identical pairs are co-clustered by ANY Lloyd outcome (cosine 0.999+
+    pairs can't straddle a min-distance boundary at this separation)."""
+    ds = rd.from_pandas(vectors).repartition(4)
+    out = S.semantic_dedup(ds, num_clusters=4, threshold=0.95,
+                           trainer="kmeans", iters=3).to_pandas()
+    kept = set(out["vec_id"])
+    assert {0, 1, 2, 3, 4} <= kept
+    assert not ({395, 396, 397, 398, 399} & kept)
+
+
+def test_semantic_dedup_cluster_guard_raises(rd, vectors):
+    ds = rd.from_pandas(vectors).repartition(2)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        S.semantic_dedup(ds, num_clusters=1, threshold=0.95, trainer="anchor",
+                         max_cluster_rows=100).to_pandas()
