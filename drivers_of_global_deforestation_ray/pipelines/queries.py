@@ -1748,6 +1748,18 @@ def q_media_png_real(sf_dir: str):
         batch_format="pandas")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Cross-document sequence packing (``textstage.pack_sequences``): the
+    GPT-pretraining layout — concatenate the corpus token stream in doc_id
+    order and slice into 128-token sequences, docs spanning boundaries.
+    Output is the all-integer (sequence x document) span map; the global
+    coordination is the distributed range-histogram prefix sum."""
+    from ..stages.textstage import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, seq_len=128)
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): hashed unigram+bigram bag
     models, target = lang='en' docs, raw = the full corpus; each doc's
@@ -3494,6 +3506,7 @@ QUERIES = {
     "media_png_real": q_media_png_real,
     "media_jpeg_real": q_media_jpeg_real,
     "dsir_select": q_dsir_select,
+    "pack_sequences": q_pack_sequences,
     "audio_wav_real": q_audio_wav_real,
     "dedup_incremental": q_dedup_incremental,
     "doc_repetition": q_doc_repetition,
@@ -5012,6 +5025,23 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+    "pack_sequences": """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e FROM t),
+        spans AS (SELECT doc_id, n, e - n AS s, e FROM c WHERE n > 0)
+        SELECT s // 128 + r.range AS seq_id,
+               doc_id,
+               greatest(s, (s // 128 + r.range) * 128) - s AS doc_offset,
+               greatest(s, (s // 128 + r.range) * 128)
+                 - (s // 128 + r.range) * 128 AS seq_offset,
+               least(e, (s // 128 + r.range + 1) * 128)
+                 - greatest(s, (s // 128 + r.range) * 128) AS n_tokens
+        FROM spans CROSS JOIN range(0, 4096) r
+        WHERE r.range <= (e - 1) // 128 - s // 128
     """,
     "dsir_select": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

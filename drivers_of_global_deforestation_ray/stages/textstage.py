@@ -19,7 +19,8 @@ from ..functions.text import (
 )
 
 __all__ = ["enrich_documents", "repetition_stats", "pii_scrub", "nfc_normalize",
-           "deterministic_mix", "chunk_documents", "decontaminate", "dsir_scores"]
+           "deterministic_mix", "chunk_documents", "decontaminate", "dsir_scores",
+           "pack_sequences"]
 
 # PII patterns (ASCII-explicit, no \b / \d shorthands: Python re and RE2
 # treat those differently around non-ASCII word chars, and byte-identical
@@ -321,3 +322,65 @@ def dsir_scores(
                              "dsir_weight": np.round(w.to_numpy(), round_to)})
 
     return raw.map_batches(_score, batch_format="pandas")
+
+
+def pack_sequences(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 128,
+) -> Dataset:
+    """Cross-document SEQUENCE PACKING — the GPT-style pretraining layout:
+    conceptually concatenate every document's token stream in ``id_col``
+    order and slice it into fixed ``seq_len`` windows, letting documents
+    span sequence boundaries.  Emits the (sequence x document) span map —
+    one row per overlap: ``(seq_id, doc_id, doc_offset, seq_offset,
+    n_tokens)`` — which is exactly what a loader needs to assemble
+    training sequences shard-by-shard without ever materializing the
+    concatenated stream.
+
+    Tokens are whitespace-split words (``split(' ')``, the engine's
+    SQL-twin token rule).  The only global coordination is the distributed
+    prefix sum over per-doc token counts (:func:`~.relational.running_total`
+    — range-histogram offsets, O(buckets) driver state); the span explosion
+    is a stateless vectorized pass.  All-integer output -> hash-exact
+    checkable.
+    """
+    from .relational import running_total
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[text_col].str.split(" ").str.len().to_numpy(np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "__n": n})
+
+    counted = ds.map_batches(_count, batch_format="pandas")
+    ends = running_total(counted, id_col, id_col, "__n", out_col="__e")
+
+    def _spans(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["__n"].to_numpy(np.int64)
+        e = df["__e"].to_numpy(np.int64)
+        s = e - n
+        keep = n > 0
+        n, e, s = n[keep], e[keep], s[keep]
+        ids = df[id_col].to_numpy()[keep]
+        first = s // seq_len
+        last = (e - 1) // seq_len
+        reps = (last - first + 1).astype(np.int64)
+        ridx = np.repeat(np.arange(len(ids)), reps)
+        # per-row sequence index: first[doc] + position within the doc's run
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else \
+            np.empty(0, np.int64)
+        seq = first[ridx] + offs
+        lo = np.maximum(s[ridx], seq * seq_len)
+        hi = np.minimum(e[ridx], (seq + 1) * seq_len)
+        return pd.DataFrame({
+            "seq_id": seq.astype(np.int64),
+            id_col: ids[ridx],
+            "doc_offset": (lo - s[ridx]).astype(np.int64),
+            "seq_offset": (lo - seq * seq_len).astype(np.int64),
+            "n_tokens": (hi - lo).astype(np.int64),
+        })
+
+    return ends.map_batches(_spans, batch_format="pandas")

@@ -182,3 +182,52 @@ def test_dsir_partition_and_bucket_determinism(rd):
         o = dsir_scores(raw, target, num_buckets=512).to_pandas()
         outs.append(o.sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# cross-document sequence packing (textstage.pack_sequences)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_reconstructs_token_stream(rd):
+    """The span map must tile the concatenated stream exactly: per sequence,
+    spans are disjoint, contiguous from offset 0, and sum to seq_len (except
+    the tail); per doc, spans cover [0, n_tokens) in order."""
+    from drivers_of_global_deforestation_ray.stages.textstage import pack_sequences
+
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [" ".join(["w"] * int(rng.integers(1, 40))) for _ in range(50)],
+    })
+    L = 16
+    out = pack_sequences(rd.from_pandas(docs).repartition(4), seq_len=L
+                         ).to_pandas().sort_values(
+        ["seq_id", "seq_offset"]).reset_index(drop=True)
+    n_total = int(docs["text"].str.split(" ").str.len().sum())
+    assert out["n_tokens"].sum() == n_total
+    for sid, g in out.groupby("seq_id"):
+        assert g["seq_offset"].iloc[0] == 0
+        assert (g["seq_offset"].to_numpy()[1:]
+                == (g["seq_offset"] + g["n_tokens"]).to_numpy()[:-1]).all()
+        total = int(g["n_tokens"].sum())
+        assert total == L or (sid == out["seq_id"].max() and total <= L)
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("doc_offset")
+        assert g["doc_offset"].iloc[0] == 0
+        assert (g["doc_offset"].to_numpy()[1:]
+                == (g["doc_offset"] + g["n_tokens"]).to_numpy()[:-1]).all()
+
+
+def test_pack_sequences_partition_invariant(rd):
+    from drivers_of_global_deforestation_ray.stages.textstage import pack_sequences
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [" ".join(["t"] * (3 + 7 * (i % 5))) for i in range(30)],
+    })
+    key = ["seq_id", "doc_id"]
+    a = pack_sequences(rd.from_pandas(docs).repartition(2), seq_len=10
+                       ).to_pandas().sort_values(key).reset_index(drop=True)
+    b = pack_sequences(rd.from_pandas(docs).repartition(8), seq_len=10
+                       ).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
