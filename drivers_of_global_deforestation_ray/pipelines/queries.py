@@ -3504,9 +3504,6 @@ QUERIES = {
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "video_y4m_real": q_video_y4m_real,
     "media_png_real": q_media_png_real,
-    "media_jpeg_real": q_media_jpeg_real,
-    "dsir_select": q_dsir_select,
-    "pack_sequences": q_pack_sequences,
     "audio_wav_real": q_audio_wav_real,
     "dedup_incremental": q_dedup_incremental,
     "doc_repetition": q_doc_repetition,
@@ -3578,7 +3575,6 @@ QUERIES = {
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
     "embed_neardup": q_embed_neardup,
-    "semantic_dedup": q_semantic_dedup,
     "flagship_checkpointed": q_flagship_checkpointed,
     "per_class_loss": q_per_class_loss,
     "tree_importance": q_tree_importance,
@@ -3586,6 +3582,10 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     # --- round-4 additions (queued for the r5 window) ---
     "media_pipeline": q_media_pipeline,
+    "semantic_dedup": q_semantic_dedup,
+    "media_jpeg_real": q_media_jpeg_real,
+    "dsir_select": q_dsir_select,
+    "pack_sequences": q_pack_sequences,
 }
 
 
