@@ -1344,6 +1344,35 @@ def q_kcore(sf_dir: str):
     return kcore_nodes(edges, k=3, num_partitions=4)
 
 
+def q_connected_components(sf_dir: str):
+    """Connected components over a derived web-link graph
+    (``stages/dedup.connected_components_distributed``: min-label
+    propagation with pointer jumping — two hash joins + one grouped min per
+    round, O(log diameter) rounds, driver sees only a changed-count scalar).
+
+    The edge rule keeps components small (8-node chains plus sparse cross
+    links) so the DuckDB recursive-CTE closure oracle stays cheap while the
+    merges are non-trivial.  Labels are component-min node ids — integer and
+    partitioning-invariant, so the driver hash-matches the SQL twin
+    exactly."""
+    from ..stages.dedup import connected_components_distributed
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        chain = ids[(ids % 8 != 7) & (ids + 1 < n)]
+        cross = ids[ids % 97 == 0]
+        return pd.DataFrame({
+            "a": np.concatenate([chain, cross]),
+            "b": np.concatenate([chain + 1, (cross * 131 + 7) % n]),
+        })
+
+    pairs = docs.map_batches(_edges, batch_format="pandas")
+    return connected_components_distributed(pairs, num_partitions=4)
+
+
 def q_triangle_count(sf_dir: str):
     """Per-node triangle counts (``stages/graph.triangle_counts``:
     degree-ordered wedge closing, every stage a co-partition — no joins, no
@@ -2846,6 +2875,20 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (``stages/similarity.pq_topk``, Jegou et al.
+    2011): fixed-point Lloyd codebooks per subspace (m=4, 16 codes, trained
+    in one scan per iteration for all subspaces), uint8 encoding, ADC
+    table-lookup top-10 for 2 deterministic queries.  Iterative training ->
+    rows-only; the pytest transcribes the exact trainer+ADC in numpy and
+    demands bit equality."""
+    from ..stages.similarity import pq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qs = np.cos(np.arange(128, dtype=np.float64).reshape(2, 64) * 0.1)
+    return pq_topk(emb, qs, k=10, m=4, codes=16, iters=3)
+
+
 def q_running_total(sf_dir: str):
     """Distributed prefix sum (``relational.running_total``): cumulative
     scaled-value sum over global (ts, event_id) order — range-histogram
@@ -3586,6 +3629,8 @@ QUERIES = {
     "media_jpeg_real": q_media_jpeg_real,
     "dsir_select": q_dsir_select,
     "pack_sequences": q_pack_sequences,
+    "connected_components": q_connected_components,
+    "pq_topk": q_pq_topk,
 }
 
 
@@ -3998,6 +4043,27 @@ def _corpus_mix_sql() -> str:
 
 
 ORACLE_SQL = {
+    "connected_components": """
+        WITH RECURSIVE
+        cnt AS (SELECT COUNT(*) AS n FROM documents),
+        be AS (
+          SELECT doc_id AS a, doc_id + 1 AS b FROM documents, cnt
+          WHERE doc_id % 8 <> 7 AND doc_id + 1 < n
+          UNION ALL
+          SELECT doc_id AS a, (doc_id * 131 + 7) % n AS b FROM documents, cnt
+          WHERE doc_id % 97 = 0),
+        ed AS (
+          SELECT a AS node, b AS nbr FROM be
+          UNION
+          SELECT b AS node, a AS nbr FROM be),
+        reach AS (
+          SELECT node, node AS label FROM (SELECT DISTINCT node FROM ed) t
+          UNION
+          SELECT e.node, r.label FROM ed e JOIN reach r ON r.node = e.nbr)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(MIN(label) AS BIGINT) AS label
+        FROM reach GROUP BY node
+    """,
     "corpus_mix": _corpus_mix_sql(),
     "doc_chunk": """
         WITH n AS (

@@ -27,7 +27,8 @@ from ray.data import Dataset
 from .relational import grouped_agg, grouped_transform, hash_join
 
 __all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs",
-           "embedding_neardup_lsh", "kmeans_assign", "semantic_dedup"]
+           "embedding_neardup_lsh", "kmeans_assign", "semantic_dedup",
+           "pq_train_codebooks", "pq_encode", "pq_topk"]
 
 
 def _quantize_int8(M: np.ndarray) -> np.ndarray:
@@ -583,3 +584,179 @@ def semantic_dedup(
     pairs = grouped_transform(assigned, ["cluster"], _cluster_dups,
                               num_partitions=min(num_partitions, num_clusters))
     return drop_ids(pairs, ds, id_col, num_partitions=num_partitions)
+
+
+def pq_train_codebooks(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 5,
+    fixed_bits: int = 20,
+) -> np.ndarray:
+    """Product-quantization codebook training (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each ``dim`` vector
+    into ``m`` contiguous sub-vectors and run Lloyd k-means with ``codes``
+    centroids INSIDE each subspace.  Returns ``(m, codes, dim // m)``.
+
+    All ``m`` codebooks train in the SAME per-iteration pass: each block
+    assigns every row's m sub-vectors to their nearest sub-centroids and
+    emits ``m * codes`` int64 fixed-point partial rows keyed by
+    ``(subspace, code)`` — the :func:`kmeans_centroids` determinism
+    discipline (integer sums are associative -> centroids bit-identical at
+    any partitioning / on resume), generalized to m codebooks at the same
+    scan cost as one.  Init is RNG-free: the ``codes`` rows with the
+    smallest ``(md5_u32(id), id)`` seed ALL subspaces (their sub-slices).
+    Driver state is ``m x codes x sub_dim`` floats; nothing corpus-sized.
+    """
+    import hashlib
+
+    scale = float(1 << fixed_bits)
+
+    def _init_sample(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = np.fromiter((int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                         for i in ids), dtype=np.int64, count=len(ids))
+        d = df.assign(__h=h).sort_values(["__h", id_col], kind="stable").head(codes)
+        return d[[id_col, vec_col, "__h"]]
+
+    seed_rows = (ds.map_batches(_init_sample, batch_format="pandas")
+                 .sort(["__h", id_col]).limit(codes).to_pandas())
+    X0 = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+    dim = X0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    # (m, codes, sub): seed row r -> code r of every subspace
+    books = X0.reshape(codes, m, sub).transpose(1, 0, 2).copy()
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+            B = ray.get(bref)                      # (m, codes, sub)
+            X = _batch_matrix(batch, vec_col)      # (n, dim)
+            Xs = X.reshape(len(X), m, sub)         # (n, m, sub)
+            # (n, m, codes) squared distances, argmin ties -> lowest code
+            d2 = ((Xs[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
+            a = d2.argmin(axis=2)                  # (n, m)
+            fx = np.round(Xs * scale).astype(np.int64)  # (n, m, sub)
+            S = np.zeros((m, codes, sub), dtype=np.int64)
+            N = np.zeros((m, codes), dtype=np.int64)
+            for j in range(m):
+                np.add.at(S[j], a[:, j], fx[:, j, :])
+                N[j] = np.bincount(a[:, j], minlength=codes)
+            rows = {
+                "subspace": np.repeat(np.arange(m, dtype=np.int64), codes),
+                "code": np.tile(np.arange(codes, dtype=np.int64), m),
+                "n": N.reshape(-1),
+            }
+            flat = S.reshape(m * codes, sub)
+            for d in range(sub):
+                rows[f"s{d}"] = flat[:, d]
+            return pd.DataFrame(rows)
+
+        specs = {"n": ("n", "sum")}
+        specs.update({f"s{d}": (f"s{d}", "sum") for d in range(sub)})
+        merged = grouped_agg(ds.map_batches(_partial, batch_format="pandas"),
+                             ["subspace", "code"], specs,
+                             num_partitions=1).to_pandas()
+        merged = merged.sort_values(["subspace", "code"])
+        n = merged["n"].to_numpy().astype(np.float64)
+        S = merged[[f"s{d}" for d in range(sub)]].to_numpy().astype(np.float64)
+        new = books.reshape(m * codes, sub).copy()
+        idx = (merged["subspace"].to_numpy() * codes + merged["code"].to_numpy())
+        nz = n > 0
+        new[idx[nz]] = (S[nz] / n[nz, None]) / scale
+        books = new.reshape(m, codes, sub)
+    return books
+
+
+def pq_encode(
+    ds: Dataset,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Encode each vector to ``m`` uint8 code columns (``c0..c{m-1}``):
+    per-subspace nearest sub-centroid, ties -> lowest code.  One stateless
+    broadcast pass; the output is ``m`` bytes/row — the 100-TB shape (a
+    512-dim float64 corpus compresses 1024x at m=8).
+    """
+    m, codes, sub = codebooks.shape
+    bref = ray.put(codebooks)
+
+    def _enc(batch: pd.DataFrame) -> pd.DataFrame:
+        B = ray.get(bref)
+        X = _batch_matrix(batch, vec_col)
+        Xs = X.reshape(len(X), m, sub)
+        d2 = ((Xs[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
+        a = d2.argmin(axis=2)
+        out = {id_col: batch[id_col].to_numpy()}
+        for j in range(m):
+            out[f"c{j}"] = a[:, j].astype(np.uint8)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(_enc, batch_format="pandas")
+
+
+def pq_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 5,
+    round_to: int = 6,
+) -> Dataset:
+    """Approximate top-k by PQ asymmetric distance (ADC): train codebooks,
+    encode inline, and score each row as the SUM of per-subspace
+    query-to-centroid squared distances looked up from a per-query
+    ``(m, codes)`` table — no decode, no full-vector math per row.
+
+    Output ``(query_id, id, adist)``, ascending distance, boundary ties ->
+    lowest id (the :func:`knn_brute` merge discipline: per-block top-k then
+    one grouped merge over ``O(num_batches * k)`` rows).  Distances round to
+    ``round_to`` decimals; with the fixed-point trainer the whole result is
+    bit-identical at any partitioning — the pytest checks exact parity vs a
+    straight-line numpy transcription.
+    """
+    books = pq_train_codebooks(ds, vec_col, id_col, m=m, codes=codes,
+                               iters=iters)
+    Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    sub = books.shape[2]
+    # (q, m, codes) ADC tables
+    Qs = Q.reshape(len(Q), m, sub)
+    tables = ((Qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    tref = ray.put(tables)
+    bref = ray.put(books)
+
+    def _local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        T = ray.get(tref)                       # (q, m, codes)
+        B = ray.get(bref)
+        X = _batch_matrix(batch, vec_col)
+        Xs = X.reshape(len(X), m, sub)
+        d2 = ((Xs[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
+        a = d2.argmin(axis=2)                   # (n, m) codes
+        ids = batch[id_col].to_numpy()
+        out = []
+        jj = np.arange(m)
+        for qi in range(T.shape[0]):
+            ad = np.round(T[qi][jj, a].sum(axis=1), round_to)  # (n,)
+            order = np.lexsort((ids, ad))[:k]
+            out.append(pd.DataFrame({
+                "query_id": np.int64(qi),
+                id_col: ids[order],
+                "adist": ad[order],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def _global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g["adist"].to_numpy()))[:k]
+        return g.iloc[order]
+
+    local = ds.map_batches(_local_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")

@@ -657,3 +657,120 @@ def test_semantic_dedup_cluster_guard_raises(rd, vectors):
     with pytest.raises(Exception, match="max_cluster_rows"):
         S.semantic_dedup(ds, num_clusters=1, threshold=0.95, trainer="anchor",
                          max_cluster_rows=100).to_pandas()
+
+
+def _pq_reference(ids, X, qs, k, m, codes, iters, fixed_bits=20, round_to=6):
+    """Straight-line transcription of pq_train_codebooks + pq_topk."""
+    import hashlib
+
+    scale = float(1 << fixed_bits)
+    h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                  for i in ids], dtype=np.int64)
+    order = np.lexsort((ids, h))[:codes]
+    dim = X.shape[1]
+    sub = dim // m
+    books = X[order].reshape(codes, m, sub).transpose(1, 0, 2).copy()
+    Xs = X.reshape(len(X), m, sub)
+    for _ in range(iters):
+        d2 = ((Xs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        a = d2.argmin(axis=2)
+        fx = np.round(Xs * scale).astype(np.int64)
+        new = books.copy()
+        for j in range(m):
+            S_ = np.zeros((codes, sub), dtype=np.int64)
+            np.add.at(S_, a[:, j], fx[:, j, :])
+            n = np.bincount(a[:, j], minlength=codes).astype(np.float64)
+            nz = n > 0
+            new[j][nz] = (S_[nz].astype(np.float64) / n[nz, None]) / scale
+        books = new
+    d2 = ((Xs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    code = d2.argmin(axis=2)
+    Qs = qs.reshape(len(qs), m, sub)
+    tables = ((Qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    jj = np.arange(m)
+    rows = []
+    for qi in range(len(qs)):
+        ad = np.round(tables[qi][jj, code].sum(axis=1), round_to)
+        o = np.lexsort((ids, ad))[:k]
+        rows.append(pd.DataFrame({"query_id": np.int64(qi),
+                                  "vec_id": ids[o], "adist": ad[o]}))
+    return pd.concat(rows, ignore_index=True), books
+
+
+def test_pq_topk_matches_reference_and_partitioning(rd):
+    rng = np.random.default_rng(47)
+    X = rng.normal(size=(180, 16)).astype(np.float64)
+    ids = np.arange(180, dtype=np.int64)
+    qs = np.cos(np.arange(32, dtype=np.float64).reshape(2, 16) * 0.1)
+    want, want_books = _pq_reference(ids, X, qs, k=7, m=4, codes=8, iters=3)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    outs = []
+    for parts in (1, 6):
+        got = S.pq_topk(rd.from_pandas(df).repartition(parts), qs, k=7,
+                        m=4, codes=8, iters=3).to_pandas()
+        got = got.sort_values(["query_id", "adist", "vec_id"]).reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    want = want.sort_values(["query_id", "adist", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[0], want)     # exact numpy parity
+    books = S.pq_train_codebooks(rd.from_pandas(df).repartition(4),
+                                 "embedding", "vec_id", m=4, codes=8, iters=3)
+    np.testing.assert_allclose(books, want_books, rtol=0, atol=0)
+
+
+def test_pq_encode_shapes_and_recall(rd):
+    """PQ with enough codes on blob data must put a query's true blob
+    members ahead of other blobs (sanity recall, not exactness)."""
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=3.0, size=(5, 16))
+    X = np.concatenate([c + rng.normal(scale=0.1, size=(40, 16))
+                        for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(3)
+    books = S.pq_train_codebooks(ds, "embedding", "vec_id", m=4, codes=8,
+                                 iters=4)
+    assert books.shape == (4, 8, 4)
+    enc = S.pq_encode(ds, books).to_pandas()
+    assert list(enc.columns) == ["vec_id", "c0", "c1", "c2", "c3"]
+    assert enc.shape == (200, 5) and enc["c0"].dtype == np.uint8
+    got = S.pq_topk(ds, centers[:2], k=10, m=4, codes=8, iters=4).to_pandas()
+    for qi in (0, 1):
+        hits = got[got["query_id"] == qi]["vec_id"].to_numpy()
+        # members of blob qi occupy ids [40*qi, 40*qi+40)
+        frac = ((hits >= 40 * qi) & (hits < 40 * qi + 40)).mean()
+        assert frac >= 0.8
+
+    with pytest.raises(ValueError, match="divisible"):
+        S.pq_train_codebooks(ds, "embedding", "vec_id", m=5, codes=4, iters=1)
+
+
+def test_connected_components_query_matches_union_find():
+    """q_connected_components' derived graph vs a python union-find."""
+    from drivers_of_global_deforestation_ray.pipelines.queries import (
+        q_connected_components)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_connected_components(sf).to_pandas().sort_values("node")
+    n = got["node"].max() + 1
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i in range(n):
+        if i % 8 != 7 and i + 1 < n:
+            union(i, i + 1)
+        if i % 97 == 0:
+            union(i, (i * 131 + 7) % n)
+    want = np.array([min(j for j in range(n) if find(j) == find(i))
+                     for i in range(n)], dtype=np.int64)
+    np.testing.assert_array_equal(got["label"].to_numpy(), want)
