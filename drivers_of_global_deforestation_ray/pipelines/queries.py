@@ -2889,6 +2889,20 @@ def q_pq_topk(sf_dir: str):
     return pq_topk(emb, qs, k=10, m=4, codes=16, iters=3)
 
 
+def q_knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (``stages/similarity.knn_ivfpq``, IVFADC): fixed-point
+    coarse quantizer routes to buckets, residual PQ codebooks, per-(query,
+    bucket) ADC tables; 2 deterministic queries probe 4 of 8 buckets.
+    Iterative training -> rows-only; pytests check partition invariance and
+    blob recall."""
+    from ..stages.similarity import knn_ivfpq
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qs = np.cos(np.arange(128, dtype=np.float64).reshape(2, 64) * 0.1)
+    return knn_ivfpq(emb, qs, k=10, nlist=8, nprobe=4, m=4, codes=16,
+                     coarse_iters=3, pq_iters=2)
+
+
 def q_running_total(sf_dir: str):
     """Distributed prefix sum (``relational.running_total``): cumulative
     scaled-value sum over global (ts, event_id) order — range-histogram
@@ -3631,6 +3645,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "connected_components": q_connected_components,
     "pq_topk": q_pq_topk,
+    "knn_ivfpq": q_knn_ivfpq,
 }
 
 

@@ -28,7 +28,7 @@ from .relational import grouped_agg, grouped_transform, hash_join
 
 __all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs",
            "embedding_neardup_lsh", "kmeans_assign", "semantic_dedup",
-           "pq_train_codebooks", "pq_encode", "pq_topk"]
+           "pq_train_codebooks", "pq_encode", "pq_topk", "knn_ivfpq"]
 
 
 def _quantize_int8(M: np.ndarray) -> np.ndarray:
@@ -760,3 +760,95 @@ def pq_topk(
 
     local = ds.map_batches(_local_topk, batch_format="pandas")
     return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+
+
+def knn_ivfpq(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_iters: int = 5,
+    pq_iters: int = 3,
+    round_to: int = 6,
+) -> Dataset:
+    """IVF-PQ (IVFADC, Jegou et al. 2011 §IV): the composed 100-TB ANN path.
+    A coarse quantizer (:func:`kmeans_centroids`, int64 fixed-point — every
+    stage partition-invariant) routes vectors to ``nlist`` buckets; PQ
+    codebooks train on the RESIDUALS ``x - c(x)`` (:func:`pq_train_codebooks`
+    over a derived residual column); queries probe only ``nprobe`` buckets
+    and score rows by per-(query, bucket) ADC tables on the residual
+    ``q - c`` — ``nprobe * m`` table lookups per candidate, no full-vector
+    math anywhere in the scan.
+
+    Scale shape: driver state is ``nlist x dim`` + ``m x codes x sub`` +
+    ``q x nprobe x m x codes`` tables; the corpus is scanned (not shuffled)
+    once per training iteration and once to search.  A stored deployment
+    would persist :func:`pq_encode`-style codes plus the bucket id (m+1
+    bytes/vector) and skip the search-pass re-encode; the operator keeps it
+    streaming so no corpus-sized intermediate exists.  Output
+    ``(query_id, id, adist)`` ascending, ties -> lowest id."""
+    C = kmeans_centroids(ds, vec_col, id_col, k=nlist, iters=coarse_iters)
+    cref0 = ray.put(C)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+
+    def _resid(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(cref0)
+        X = _batch_matrix(batch, vec_col)
+        a = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "__resid": list(X - Cm[a])})
+
+    resid_ds = ds.map_batches(_resid, batch_format="pandas")
+    books = pq_train_codebooks(resid_ds, "__resid", id_col, m=m, codes=codes,
+                               iters=pq_iters)
+
+    Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]      # (q, nprobe)
+    # ADC tables on the residual q - c, one per (query, probed bucket)
+    qres = Q[:, None, :] - C[probes]                                # (q, np, dim)
+    Qs = qres.reshape(len(Q), nprobe, m, sub)
+    tables = ((Qs[:, :, :, None, :] - books[None, None, :, :, :]) ** 2).sum(axis=4)
+    bref = ray.put((C, books, probes, tables))
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm, B, probe_sets, T = ray.get(bref)
+        X = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy()
+        assign = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        R_ = (X - Cm[assign]).reshape(len(X), m, sub)
+        d2 = ((R_[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
+        code = d2.argmin(axis=2)                                    # (n, m)
+        jj = np.arange(m)
+        out = []
+        for qi in range(T.shape[0]):
+            for pi in range(nprobe):
+                mask = assign == probe_sets[qi, pi]
+                if not mask.any():
+                    continue
+                ad = np.round(T[qi, pi][jj, code[mask]].sum(axis=1), round_to)
+                mids = ids[mask]
+                order = np.lexsort((mids, ad))[:k]
+                out.append(pd.DataFrame({"query_id": np.int64(qi),
+                                         id_col: mids[order],
+                                         "adist": ad[order]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=ids.dtype),
+                                 "adist": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    def _global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g["adist"].to_numpy()))[:k]
+        return g.iloc[order]
+
+    return ds.map_batches(_local, batch_format="pandas").groupby(
+        "query_id").map_groups(_global_topk, batch_format="pandas")

@@ -774,3 +774,32 @@ def test_connected_components_query_matches_union_find():
     want = np.array([min(j for j in range(n) if find(j) == find(i))
                      for i in range(n)], dtype=np.int64)
     np.testing.assert_array_equal(got["label"].to_numpy(), want)
+
+
+def test_knn_ivfpq_partition_invariant_and_recall(rd):
+    """IVF-PQ: bit-identical at any partitioning (fixed-point coarse +
+    residual PQ trainers), and on well-separated blobs a query at a blob
+    center must retrieve mostly that blob's members."""
+    rng = np.random.default_rng(23)
+    centers = rng.normal(scale=4.0, size=(6, 16))
+    X = np.concatenate([c + rng.normal(scale=0.1, size=(50, 16))
+                        for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    outs = []
+    for parts in (2, 9):
+        got = S.knn_ivfpq(rd.from_pandas(df).repartition(parts), centers[:3],
+                          k=10, nlist=6, nprobe=2, m=4, codes=8,
+                          coarse_iters=3, pq_iters=2).to_pandas()
+        outs.append(got.sort_values(["query_id", "adist", "vec_id"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert set(got.columns) == {"query_id", "vec_id", "adist"}
+    for qi in range(3):
+        hits = got[got["query_id"] == qi]["vec_id"].to_numpy()
+        assert len(hits) == 10
+        frac = ((hits >= 50 * qi) & (hits < 50 * qi + 50)).mean()
+        assert frac >= 0.8
+    with pytest.raises(ValueError, match="divisible"):
+        S.knn_ivfpq(rd.from_pandas(df), centers[:1], k=3, nlist=4, m=5)
