@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "sessionize",
     "rolling_window",
     "range_join",
+    # round-4 headliners
+    "semantic_dedup",
+    "pq_topk",
+    "media_pipeline",
+    "pack_sequences",
 ]
 
 

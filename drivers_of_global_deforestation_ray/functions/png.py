@@ -9,10 +9,13 @@ codec (``state/geotiff.py``).
 Scope (documented, deliberate):
 
 - decode: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette -> RGB),
-  4 (gray+alpha), 6 (RGBA); filters 0-4; non-interlaced.  CRCs verified.
-  Adam7 interlace / 1-2-4-16 bit depths raise with a clear message.
+  4 (gray+alpha), 6 (RGBA); filters 0-4; non-interlaced AND Adam7
+  interlaced (each of the 7 passes is its own filtered sub-image inside the
+  one zlib stream).  CRCs verified.  1-2-4-16 bit depths raise with a
+  clear message.
 - encode: uint8 (H, W) or (H, W, C) with C in {1, 2, 3, 4}; filter 0
-  scanlines, one IDAT.  Round-trips bit-exactly through :func:`decode_png`.
+  scanlines, one IDAT; ``interlace=True`` emits Adam7.  Round-trips
+  bit-exactly through :func:`decode_png` either way.
 """
 
 from __future__ import annotations
@@ -27,6 +30,9 @@ __all__ = ["decode_png", "encode_png", "resize_nearest"]
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 #: channels per pixel by PNG color type (palette counts as 1 pre-expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _unfilter(raw: np.ndarray, stride: int, bpp: int) -> np.ndarray:
@@ -115,15 +121,36 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _CHANNELS[color]
-    stride = width * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if len(raw) != height * (1 + stride):
-        raise ValueError(f"PNG data length {len(raw)} != {height}x(1+{stride})")
-    img = _unfilter(raw.reshape(height, 1 + stride), stride, ch)
-    img = img.reshape(height, width, ch)
+    if interlace == 1:
+        # Adam7: 7 independently-filtered sub-images, concatenated in the
+        # single zlib stream; scatter each back onto its pass grid.
+        img = np.zeros((height, width, ch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * ch
+            need = ph * (1 + stride)
+            sub = raw[pos : pos + need]
+            if len(sub) != need:
+                raise ValueError(f"PNG Adam7 pass truncated at byte {pos}")
+            pos += need
+            rec = _unfilter(sub.reshape(ph, 1 + stride), stride, ch)
+            img[y0::dy, x0::dx] = rec.reshape(ph, pw, ch)
+        if pos != len(raw):
+            raise ValueError(f"PNG Adam7 trailing bytes: {len(raw) - pos}")
+    else:
+        stride = width * ch
+        if len(raw) != height * (1 + stride):
+            raise ValueError(f"PNG data length {len(raw)} != {height}x(1+{stride})")
+        img = _unfilter(raw.reshape(height, 1 + stride), stride, ch)
+        img = img.reshape(height, width, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -131,8 +158,9 @@ def decode_png(data: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Encode a (H, W) or (H, W, C) uint8 array as a PNG (filter 0)."""
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode a (H, W) or (H, W, C) uint8 array as a PNG (filter 0);
+    ``interlace=True`` emits Adam7 pass order."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -140,15 +168,29 @@ def encode_png(img: np.ndarray) -> bytes:
     color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if color is None:
         raise ValueError(f"unsupported channel count {ch}")
-    rows = np.zeros((height, 1 + width * ch), np.uint8)
-    rows[:, 1:] = img.reshape(height, width * ch)
-    idat = zlib.compress(rows.tobytes(), 6)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            rows = np.zeros((ph, 1 + pw * ch), np.uint8)
+            rows[:, 1:] = sub.reshape(ph, pw * ch)
+            parts.append(rows.tobytes())
+        payload = b"".join(parts)
+    else:
+        rows = np.zeros((height, 1 + width * ch), np.uint8)
+        rows[:, 1:] = img.reshape(height, width * ch)
+        payload = rows.tobytes()
+    idat = zlib.compress(payload, 6)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0,
+                       1 if interlace else 0)
     return (_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))
 

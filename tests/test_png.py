@@ -116,3 +116,37 @@ def test_resize_nearest_identity_and_downscale():
     up = resize_nearest(img, 12, 16)
     assert up.shape == (16, 12, 3)
     assert np.array_equal(up[::2, ::2], img)  # pixel-center 2x: even grid hits sources
+
+
+def test_adam7_interlaced_roundtrip_all_shapes():
+    """Adam7: encode interlaced -> decode == original, across shapes that
+    exercise empty passes (1x1), non-multiples of 8, and every channel
+    count; interlaced and sequential decodes agree bit-for-bit."""
+    rng = np.random.default_rng(77)
+    for h, w, ch in [(1, 1, 1), (3, 10, 3), (13, 7, 4), (8, 8, 1),
+                     (9, 17, 2), (16, 5, 3)]:
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        data = encode_png(img, interlace=True)
+        out = decode_png(data)
+        np.testing.assert_array_equal(out, img)
+        seq = decode_png(encode_png(img))
+        np.testing.assert_array_equal(out, seq)
+
+
+def test_adam7_truncated_pass_raises():
+    img = np.zeros((9, 9, 3), np.uint8)
+    data = bytearray(encode_png(img, interlace=True))
+    # corrupt: re-encode with a short zlib payload but keep the Adam7 flag
+    import struct as _s
+    import zlib as _z
+    short = _z.compress(b"\x00" * 10, 6)
+    ihdr = _s.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)
+
+    def chunk(ctype, body):
+        return (_s.pack(">I", len(body)) + ctype + body
+                + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7|truncated"):
+        decode_png(bad)
