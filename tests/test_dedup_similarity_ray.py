@@ -556,8 +556,9 @@ def _kmeans_reference(ids, X, k, iters, fixed_bits=20):
     order = np.lexsort((ids, h))[:k]
     cents = X[order].astype(np.float64)
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        a = d2.argmin(axis=1)
+        # BLAS form, matching similarity._nearest_centroid bit-for-bit
+        a = ((cents * cents).sum(axis=1)[None, :]
+             - 2.0 * (X @ cents.T)).argmin(axis=1)
         fx = np.round(X * scale).astype(np.int64)
         S = np.zeros((k, X.shape[1]), dtype=np.int64)
         np.add.at(S, a, fx)
@@ -566,8 +567,9 @@ def _kmeans_reference(ids, X, k, iters, fixed_bits=20):
         new = cents.copy()
         new[nz] = (S[nz].astype(np.float64) / n[nz, None]) / scale
         cents = new
-    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    return d2.argmin(axis=1), cents
+    a = ((cents * cents).sum(axis=1)[None, :]
+         - 2.0 * (X @ cents.T)).argmin(axis=1)
+    return a, cents
 
 
 def test_knn_ivf_distributed_trainer(rd, vectors):
@@ -671,9 +673,17 @@ def _pq_reference(ids, X, qs, k, m, codes, iters, fixed_bits=20, round_to=6):
     sub = dim // m
     books = X[order].reshape(codes, m, sub).transpose(1, 0, 2).copy()
     Xs = X.reshape(len(X), m, sub)
+
+    def _codes(B):
+        # BLAS form, matching similarity._nearest_code bit-for-bit
+        out = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            b2 = (B[j] * B[j]).sum(axis=1)
+            out[:, j] = (b2[None, :] - 2.0 * (Xs[:, j] @ B[j].T)).argmin(axis=1)
+        return out
+
     for _ in range(iters):
-        d2 = ((Xs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-        a = d2.argmin(axis=2)
+        a = _codes(books)
         fx = np.round(Xs * scale).astype(np.int64)
         new = books.copy()
         for j in range(m):
@@ -683,8 +693,7 @@ def _pq_reference(ids, X, qs, k, m, codes, iters, fixed_bits=20, round_to=6):
             nz = n > 0
             new[j][nz] = (S_[nz].astype(np.float64) / n[nz, None]) / scale
         books = new
-    d2 = ((Xs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
-    code = d2.argmin(axis=2)
+    code = _codes(books)
     Qs = qs.reshape(len(qs), m, sub)
     tables = ((Qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
     jj = np.arange(m)
@@ -803,3 +812,53 @@ def test_knn_ivfpq_partition_invariant_and_recall(rd):
         assert frac >= 0.8
     with pytest.raises(ValueError, match="divisible"):
         S.knn_ivfpq(rd.from_pandas(df), centers[:1], k=3, nlist=4, m=5)
+
+
+def test_knn_brute_l2_metric(rd, vectors):
+    """L2 metric: ascending squared distance (|q|^2 omitted), exact parity
+    vs numpy, and the id-tie discipline."""
+    V = np.stack(vectors["embedding"].to_numpy()).astype(np.float64)
+    ids = vectors["vec_id"].to_numpy()
+    q = V[7:9]
+    got = S.knn_brute(rd.from_pandas(vectors).repartition(4), q, k=5,
+                      metric="l2").to_pandas()
+    assert set(got.columns) == {"query_id", "vec_id", "dist"}
+    for qi in range(2):
+        sc = np.round((V * V).sum(axis=1) - 2.0 * (V @ q[qi]), 6)
+        order = np.lexsort((ids, sc))[:5]
+        g = got[got["query_id"] == qi].sort_values(["dist", "vec_id"])
+        np.testing.assert_array_equal(g["vec_id"].to_numpy(), ids[order])
+        np.testing.assert_allclose(g["dist"].to_numpy(), sc[order],
+                                   rtol=0, atol=0)
+    with pytest.raises(ValueError, match="metric"):
+        S.knn_brute(rd.from_pandas(vectors), q, k=3, metric="dot")
+
+
+def test_pq_refine_recovers_exact_topk(rd):
+    """On near-equidistant data raw ADC can't resolve top-k margins; the
+    refine re-rank must recover the exact-L2 top-k (same ids, same dists
+    as knn_brute metric='l2'), and stay partition-invariant."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(scale=2.0, size=(8, 16))
+    X = centers[np.arange(400) % 8] + rng.normal(scale=0.6, size=(400, 16))
+    ids = np.arange(400, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    qs = centers[:2]
+    exact = S.knn_brute(rd.from_pandas(df).repartition(3), qs, k=5,
+                        metric="l2").to_pandas()
+    exact = exact.sort_values(["query_id", "dist", "vec_id"]).reset_index(drop=True)
+    outs = []
+    for parts in (1, 5):
+        got = S.pq_topk(rd.from_pandas(df).repartition(parts), qs, k=5,
+                        m=4, codes=8, iters=3, refine=400).to_pandas()
+        outs.append(got.sort_values(["query_id", "dist", "vec_id"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # refine=n per block with 1 partition == exhaustive -> exactly brute
+    pd.testing.assert_frame_equal(outs[0], exact)
+    ivf = S.knn_ivfpq(rd.from_pandas(df).repartition(4), qs, k=5, nlist=4,
+                      nprobe=4, m=4, codes=8, coarse_iters=2, pq_iters=2,
+                      refine=400).to_pandas()
+    ivf = ivf.sort_values(["query_id", "dist", "vec_id"]).reset_index(drop=True)
+    # all buckets probed + full refine -> also exactly brute
+    pd.testing.assert_frame_equal(ivf, exact)
