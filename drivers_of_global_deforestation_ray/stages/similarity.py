@@ -630,6 +630,7 @@ def pq_train_codebooks(
     codes: int = 16,
     iters: int = 5,
     fixed_bits: int = 20,
+    centers: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Product-quantization codebook training (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split each ``dim`` vector
@@ -645,10 +646,21 @@ def pq_train_codebooks(
     scan cost as one.  Init is RNG-free: the ``codes`` rows with the
     smallest ``(md5_u32(id), id)`` seed ALL subspaces (their sub-slices).
     Driver state is ``m x codes x sub_dim`` floats; nothing corpus-sized.
+
+    ``centers`` (nlist, dim): train on RESIDUALS ``x - centers[nearest]``
+    instead of raw vectors (the IVF-PQ composition), residualized INSIDE
+    the partial pass from the raw column — a 1M-row corpus never
+    materializes a per-row residual list column anywhere.
     """
     import hashlib
 
     scale = float(1 << fixed_bits)
+    cref = ray.put(centers) if centers is not None else None
+
+    def _residualize(X: np.ndarray, C: "np.ndarray | None") -> np.ndarray:
+        if C is None:
+            return X
+        return X - C[_nearest_centroid(X, C)]
 
     def _init_sample(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
@@ -659,7 +671,8 @@ def pq_train_codebooks(
 
     seed_rows = (ds.map_batches(_init_sample, batch_format="pandas")
                  .sort(["__h", id_col]).limit(codes).to_pandas())
-    X0 = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+    X0 = _residualize(
+        np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64), centers)
     dim = X0.shape[1]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -673,6 +686,7 @@ def pq_train_codebooks(
         def _partial(batch: pd.DataFrame) -> pd.DataFrame:
             B = ray.get(bref)                      # (m, codes, sub)
             X = _batch_matrix(batch, vec_col)      # (n, dim)
+            X = _residualize(X, ray.get(cref) if cref is not None else None)
             Xs = X.reshape(len(X), m, sub)         # (n, m, sub)
             a = _nearest_code(Xs, B)               # (n, m), ties -> lowest
             fx = np.round(Xs * scale).astype(np.int64)  # (n, m, sub)
@@ -856,22 +870,13 @@ def knn_ivfpq(
     column becomes ``dist`` (exact, :func:`knn_brute` ``metric="l2"``
     form)."""
     C = kmeans_centroids(ds, vec_col, id_col, k=nlist, iters=coarse_iters)
-    cref0 = ray.put(C)
     dim = C.shape[1]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
 
-    def _resid(batch: pd.DataFrame) -> pd.DataFrame:
-        Cm = ray.get(cref0)
-        X = _batch_matrix(batch, vec_col)
-        a = _nearest_centroid(X, Cm)
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
-                             "__resid": list(X - Cm[a])})
-
-    resid_ds = ds.map_batches(_resid, batch_format="pandas")
-    books = pq_train_codebooks(resid_ds, "__resid", id_col, m=m, codes=codes,
-                               iters=pq_iters)
+    books = pq_train_codebooks(ds, vec_col, id_col, m=m, codes=codes,
+                               iters=pq_iters, centers=C)
 
     Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
