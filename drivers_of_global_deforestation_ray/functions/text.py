@@ -23,6 +23,7 @@ __all__ = [
     "langid_batch",
     "md5_fingerprints",
     "rolling_fingerprints",
+    "char_entropy",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -166,3 +167,33 @@ def rolling_fingerprints(texts) -> np.ndarray:
             powers = np.cumprod(powers)[::-1]
             out[i] = np.sum(b * powers, dtype=np.uint64) + _FNV_OFFSET
     return out
+
+
+def char_entropy(texts) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-document Shannon entropy over characters (codepoints) — the
+    Gopher-family gibberish/boilerplate signal: low entropy flags repeated
+    filler, high entropy flags encoded noise.  Returns
+    ``(n_chars int64, entropy float64 rounded to 6)``.
+
+    Vectorized across the whole batch: one utf-32 buffer for all docs, one
+    ``np.unique`` over packed (doc, codepoint) keys (codepoints < 2^21 by
+    Unicode), one scatter-add of ``p * log2(p)`` — no per-document Counter
+    loop.  Rounding to 6 decimals absorbs the float summation-order noise
+    (~1e-14 for realistic alphabets) so the value is comparable with a SQL
+    GROUP BY twin; ``+ 0.0`` normalizes the ``-0.0`` single-character case
+    on both sides.  Empty documents score (0, 0.0)."""
+    texts = ["" if t is None else str(t) for t in texts]
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    ent = np.zeros(n, dtype=np.float64)
+    if lens.sum():
+        buf = np.frombuffer("".join(texts).encode("utf-32-le"),
+                            dtype=np.uint32).astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq, cnt = np.unique((idx << 21) | buf, return_counts=True)
+        d = uniq >> 21
+        p = cnt / lens[d].astype(np.float64)
+        np.add.at(ent, d, p * np.log2(p))
+    ent = np.round(-ent, 6) + 0.0
+    ent[lens == 0] = 0.0
+    return lens, ent

@@ -28,7 +28,8 @@ import pyarrow.parquet as pq
 
 from ..functions.extract import extract_text_batch, geocode_urls
 from ..functions.grid import MINI_GRID, k_ring_table, latlon_to_rowcol
-from ..functions.text import char_counts_nospace, md5_fingerprints, token_counts
+from ..functions.text import (char_counts_nospace, char_entropy,
+                              md5_fingerprints, token_counts)
 from ..stages import relational as R
 from ..stages import similarity as S
 from ..stages import dedup as D
@@ -2875,6 +2876,22 @@ def q_kmeans_embed(sf_dir: str):
     return assign
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-document character entropy (``functions/text.char_entropy``, the
+    Gopher-family gibberish signal): one utf-32 buffer + one np.unique over
+    packed (doc, codepoint) keys per batch — no per-doc Counter loop.
+    Hash-exact vs the DuckDB char-split GROUP BY twin (round-6 absorbs
+    summation-order noise on both sides)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        lens, ent = char_entropy(b["text"])
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "n_chars": lens, "entropy": ent})
+
+    return docs.map_batches(_f, batch_format="pandas")
+
+
 def q_pq_topk(sf_dir: str):
     """Product-quantization ANN (``stages/similarity.pq_topk``, Jegou et al.
     2011): fixed-point Lloyd codebooks per subspace (m=4, 16 codes, trained
@@ -3646,6 +3663,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "pq_topk": q_pq_topk,
     "knn_ivfpq": q_knn_ivfpq,
+    "char_entropy": q_char_entropy,
 }
 
 
@@ -4058,6 +4076,23 @@ def _corpus_mix_sql() -> str:
 
 
 ORACLE_SQL = {
+    "char_entropy": """
+        WITH f AS (
+          SELECT doc_id, ch, COUNT(*) AS n
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents)
+          GROUP BY doc_id, ch),
+        l AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total
+              FROM f GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(l.total, 0) AS n_chars,
+               COALESCE(round(-SUM((f.n / l.total) * log2(f.n / l.total)), 6),
+                        0.0) + 0.0 AS entropy
+        FROM documents d
+        LEFT JOIN l USING (doc_id)
+        LEFT JOIN f ON f.doc_id = d.doc_id
+        GROUP BY d.doc_id, l.total
+    """,
     "connected_components": """
         WITH RECURSIVE
         cnt AS (SELECT COUNT(*) AS n FROM documents),

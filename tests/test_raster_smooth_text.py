@@ -158,3 +158,25 @@ def test_fingerprints_stable_and_distinct():
     assert r[0] == r[1] != r[2]
     # matches a fresh process-independent recompute
     assert list(T.rolling_fingerprints(["abc"])) == [r[0]]
+
+
+def test_char_entropy_matches_counter_reference():
+    from collections import Counter
+    import math
+
+    from drivers_of_global_deforestation_ray.functions.text import char_entropy
+
+    texts = ["aaaa", "abab", "", "a", "the quick brown fox", "日本語テキスト",
+             "aabbccddee" * 50, None]
+    lens, ent = char_entropy(texts)
+    for t, L, e in zip(texts, lens, ent):
+        t = t or ""
+        assert L == len(t)
+        if not t:
+            assert e == 0.0
+            continue
+        c = Counter(t)
+        want = -sum((n / len(t)) * math.log2(n / len(t)) for n in c.values())
+        assert abs(e - round(want, 6)) <= 1e-9
+    # single-char docs must give +0.0, never -0.0
+    assert math.copysign(1.0, ent[3]) == 1.0
