@@ -24,6 +24,7 @@ __all__ = [
     "md5_fingerprints",
     "rolling_fingerprints",
     "char_entropy",
+    "compress_ratio",
 ]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -197,3 +198,29 @@ def char_entropy(texts) -> "tuple[np.ndarray, np.ndarray]":
     ent = np.round(-ent, 6) + 0.0
     ent[lens == 0] = 0.0
     return lens, ent
+
+
+def compress_ratio(texts, level: int = 6) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-document zlib compression ratio — the RefinedWeb/Gopher-family
+    repetition signal complementing :func:`char_entropy`: heavily repeated
+    boilerplate compresses far below ~0.4, encrypted/binary noise sits near
+    1.0.  Returns ``(compressed_len int64, ratio float64 rounded to 6)``;
+    empty documents score (0, 0.0).
+
+    zlib at a FIXED level is deterministic for a given input, so the
+    output is stable across partitioning/resume; there is no SQL twin
+    (DuckDB has no zlib) -> rows-only oracle + pytest."""
+    import zlib
+
+    n = len(texts)
+    comp = np.zeros(n, dtype=np.int64)
+    raw = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = ("" if t is None else str(t)).encode("utf-8")
+        raw[i] = len(b)
+        if b:
+            comp[i] = len(zlib.compress(b, level))
+    ratio = np.zeros(n, dtype=np.float64)
+    nz = raw > 0
+    ratio[nz] = np.round(comp[nz] / raw[nz], 6)
+    return comp, ratio

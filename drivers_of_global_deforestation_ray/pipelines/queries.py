@@ -2892,6 +2892,23 @@ def q_char_entropy(sf_dir: str):
     return docs.map_batches(_f, batch_format="pandas")
 
 
+def q_compress_ratio(sf_dir: str):
+    """Per-document zlib compression ratio (``functions/text.compress_ratio``,
+    the RefinedWeb repetition signal): fixed-level zlib is deterministic,
+    so the output is partitioning/resume-stable; no SQL twin (DuckDB has no
+    zlib) -> rows-only, with a planted-boilerplate pytest."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import compress_ratio
+
+        comp, ratio = compress_ratio(b["text"])
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "compressed_len": comp, "ratio": ratio})
+
+    return docs.map_batches(_f, batch_format="pandas")
+
+
 def q_pq_topk(sf_dir: str):
     """Product-quantization ANN (``stages/similarity.pq_topk``, Jegou et al.
     2011): fixed-point Lloyd codebooks per subspace (m=4, 16 codes, trained
@@ -3664,6 +3681,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "knn_ivfpq": q_knn_ivfpq,
     "char_entropy": q_char_entropy,
+    "compress_ratio": q_compress_ratio,
 }
 
 

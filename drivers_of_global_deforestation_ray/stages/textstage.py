@@ -329,6 +329,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     seq_len: int = 128,
+    count_col: "str | None" = None,
 ) -> Dataset:
     """Cross-document SEQUENCE PACKING — the GPT-style pretraining layout:
     conceptually concatenate every document's token stream in ``id_col``
@@ -340,7 +341,9 @@ def pack_sequences(
     concatenated stream.
 
     Tokens are whitespace-split words (``split(' ')``, the engine's
-    SQL-twin token rule).  The only global coordination is the distributed
+    SQL-twin token rule); pass ``count_col`` to pack on PRE-COMPUTED token
+    counts instead (the production shape — a tokenized corpus carries
+    counts, and the text column never has to leave storage).  The only global coordination is the distributed
     prefix sum over per-doc token counts (:func:`~.relational.running_total`
     — range-histogram offsets, O(buckets) driver state); the span explosion
     is a stateless vectorized pass.  All-integer output -> hash-exact
@@ -352,7 +355,10 @@ def pack_sequences(
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
 
     def _count(df: pd.DataFrame) -> pd.DataFrame:
-        n = df[text_col].str.split(" ").str.len().to_numpy(np.int64)
+        if count_col is not None:
+            n = df[count_col].to_numpy(np.int64)
+        else:
+            n = df[text_col].str.split(" ").str.len().to_numpy(np.int64)
         return pd.DataFrame({id_col: df[id_col].to_numpy(), "__n": n})
 
     counted = ds.map_batches(_count, batch_format="pandas")

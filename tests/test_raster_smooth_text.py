@@ -180,3 +180,23 @@ def test_char_entropy_matches_counter_reference():
         assert abs(e - round(want, 6)) <= 1e-9
     # single-char docs must give +0.0, never -0.0
     assert math.copysign(1.0, ent[3]) == 1.0
+
+
+def test_compress_ratio_separates_boilerplate_from_noise():
+    import zlib
+
+    from drivers_of_global_deforestation_ray.functions.text import compress_ratio
+
+    import random
+    rnd = random.Random(3)
+    noisy = "".join(chr(rnd.randrange(33, 127)) for _ in range(2000))
+    texts = ["spam spam spam " * 200, noisy, "", None, "abc"]
+    comp, ratio = compress_ratio(texts)
+    assert ratio[0] < 0.05 < 0.8 < ratio[1]          # boilerplate vs noise
+    assert comp[2] == 0 and ratio[2] == 0.0
+    assert comp[3] == 0 and ratio[3] == 0.0
+    want = len(zlib.compress(b"abc", 6))
+    assert comp[4] == want and abs(ratio[4] - round(want / 3, 6)) < 1e-12
+    # determinism: identical output on a permuted batch
+    comp2, ratio2 = compress_ratio(list(reversed(texts)))
+    assert list(comp2[::-1]) == list(comp) and list(ratio2[::-1]) == list(ratio)
