@@ -2892,6 +2892,30 @@ def q_char_entropy(sf_dir: str):
     return docs.map_batches(_f, batch_format="pandas")
 
 
+def q_window_late(sf_dir: str):
+    """Tumbling windows with watermark / allowed lateness
+    (``window.tumbling_window_late``): arrival = ts + a deterministic
+    out-of-order jitter (0..599 s from event_id), watermark = running max
+    of event-time over arrival order (distributed prefix max) minus 300 s;
+    per 600 s window the accepted and dropped (window-already-closed)
+    counts.  All-integer -> hash-exact vs the SQL MAX-OVER twin."""
+    from ..stages.window import tumbling_window_late
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def _prep(b: pa.Table) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy()
+        t = pc.cast(b["ts"], pa.int64()).to_numpy() // 1_000_000
+        return pd.DataFrame({"event_id": eid, "t": t,
+                             "arr": t + (eid * 48271) % 600})
+
+    return tumbling_window_late(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ts_col="t", arrival_col="arr", id_col="event_id",
+        size_s=600, allowed_lateness_s=300,
+        num_partitions=_nparts(sf_dir, "events"))
+
+
 def q_compress_ratio(sf_dir: str):
     """Per-document zlib compression ratio (``functions/text.compress_ratio``,
     the RefinedWeb repetition signal): fixed-level zlib is deterministic,
@@ -3682,6 +3706,7 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "char_entropy": q_char_entropy,
     "compress_ratio": q_compress_ratio,
+    "window_late": q_window_late,
 }
 
 
@@ -4094,6 +4119,22 @@ def _corpus_mix_sql() -> str:
 
 
 ORACLE_SQL = {
+    "window_late": """
+        WITH e AS (
+          SELECT event_id,
+                 epoch_us(ts) // 1000000 AS t,
+                 epoch_us(ts) // 1000000 + (event_id * 48271) % 600 AS arr
+          FROM events),
+        w AS (
+          SELECT *, MAX(t) OVER (ORDER BY arr, event_id) - 300 AS wm
+          FROM e)
+        SELECT (t // 600) * 600 AS window_start,
+               CAST(SUM(CASE WHEN wm < (t // 600) * 600 + 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+               CAST(SUM(CASE WHEN wm >= (t // 600) * 600 + 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM w GROUP BY 1
+    """,
     "char_entropy": """
         WITH f AS (
           SELECT doc_id, ch, COUNT(*) AS n

@@ -1810,6 +1810,72 @@ def running_total(ds: Dataset, key_col: str, tiebreak_col: str,
     return grouped_transform(tagged, ["__bucket"], _cumsum)
 
 
+def running_max(ds: Dataset, key_col: str, tiebreak_col: str,
+                value_col: str, out_col: str = "running_max",
+                num_buckets: int = 64,
+                sample_per_block: int = 64) -> Dataset:
+    """Distributed PREFIX MAX: cumulative max of ``value_col`` over the
+    global ``(key_col, tiebreak_col)`` order — SQL ``MAX(v) OVER (ORDER BY
+    key, tiebreak)`` — the :func:`running_total` range-histogram pattern
+    with max partials (int64; max is associative AND idempotent, so the
+    same two-phase shape is exact).  The streaming-watermark primitive:
+    with ``key=arrival_ts, value=event_ts`` the output is each event's
+    high-water mark at its arrival.  ``(key, tiebreak)`` must be unique."""
+    int_min = np.iinfo(np.int64).min
+    proj = ds.select_columns([key_col])
+    samp = proj.map_batches(
+        lambda df: df.iloc[:: max(1, len(df) // sample_per_block)],
+        batch_format="pandas").to_pandas()
+    vals = np.sort(samp[key_col].to_numpy())
+    if len(vals):
+        cuts = vals[np.linspace(0, len(vals) - 1,
+                                num_buckets + 1).astype(np.int64)[1:-1]]
+        bounds = np.unique(cuts)
+    else:
+        bounds = vals
+    b_ref = ray.put(bounds)
+
+    def _bucket_of(keys_arr: np.ndarray) -> np.ndarray:
+        return np.searchsorted(ray.get(b_ref), keys_arr, side="right")
+
+    def _maxes(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket_of(df[key_col].to_numpy())
+        s = np.full(len(bounds) + 1, int_min, dtype=np.int64)
+        np.maximum.at(s, b, df[value_col].to_numpy().astype(np.int64))
+        return pd.DataFrame({"__bucket": np.arange(len(s), dtype=np.int64),
+                             "__s": s})
+
+    maxes = (grouped_agg(ds.select_columns([key_col, value_col])
+                         .map_batches(_maxes, batch_format="pandas"),
+                         ["__bucket"], {"s": ("__s", "max")})
+             .to_pandas().sort_values("__bucket"))
+    offsets = np.full(len(bounds) + 1, int_min, dtype=np.int64)
+    per_bucket = np.full(len(bounds) + 1, int_min, dtype=np.int64)
+    per_bucket[maxes["__bucket"].to_numpy()] = maxes["s"].to_numpy()
+    # prefix max of STRICTLY-PRECEDING buckets
+    offsets[1:] = np.maximum.accumulate(per_bucket)[:-1]
+    o_ref = ray.put(offsets)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__bucket"] = _bucket_of(df[key_col].to_numpy()).astype(np.int64)
+        return df
+
+    def _cummax(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(o_ref)
+        out = []
+        for b, g in df.groupby("__bucket", sort=False):
+            g = g.sort_values([key_col, tiebreak_col], kind="stable")
+            local = np.maximum.accumulate(
+                g[value_col].to_numpy().astype(np.int64))
+            g[out_col] = np.maximum(off[int(b)], local)
+            out.append(g)
+        return pd.concat(out, ignore_index=True).drop(columns="__bucket")
+
+    tagged = ds.map_batches(_tag, batch_format="pandas")
+    return grouped_transform(tagged, ["__bucket"], _cummax)
+
+
 def union_all(datasets: list[Dataset]) -> Dataset:
     """``bind_rows`` (``Supplemental_Data_1.R:319,348``)."""
     first, *rest = datasets

@@ -26,7 +26,7 @@ from .relational import grouped_transform
 
 __all__ = ["sessionize", "rolling_agg", "rolling_rows", "lag_shift",
            "percent_rank", "ntile", "dense_rank", "cume_dist",
-           "first_last_value", "hopping_window"]
+           "first_last_value", "hopping_window", "tumbling_window_late"]
 
 
 def hopping_window(
@@ -404,3 +404,49 @@ def rolling_agg(
         return pd.concat(out_frames, ignore_index=True)
 
     return grouped_transform(ds, [key_col], _part, num_partitions)
+
+
+def tumbling_window_late(
+    ds: Dataset,
+    ts_col: str,
+    arrival_col: str,
+    id_col: str,
+    size_s: int,
+    allowed_lateness_s: int,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Event-time tumbling windows WITH WATERMARK / allowed-lateness
+    semantics — the streaming-engine contract reconstructed exactly in
+    batch: the watermark when an event arrives is the max event-time of
+    everything that arrived at-or-before it (``MAX(ts) OVER (ORDER BY
+    arrival, id)``) minus ``allowed_lateness_s``; an event is DROPPED iff
+    its window had already closed (watermark >= window end) at its arrival.
+    Output per window: ``(window_start, n_accepted, n_dropped)`` — what a
+    Flink/Beam tumbling window with allowed lateness fires plus its
+    late-data dead-letter count.
+
+    The high-water mark is :func:`~.relational.running_max` over arrival
+    order (range-histogram buckets, O(buckets) driver) — no single-node
+    pass; everything after it is one stateless classify + a two-phase
+    grouped sum.  All-integer output -> hash-exact vs the SQL window twin.
+    ``(arrival, id)`` must be unique (id is the tie-break)."""
+    from .relational import grouped_agg, running_max
+
+    wm = running_max(ds, arrival_col, id_col, ts_col, out_col="__hwm")
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy(np.int64)
+        ws = (t // size_s) * size_s
+        closed = (df["__hwm"].to_numpy(np.int64) - allowed_lateness_s
+                  >= ws + size_s)
+        return pd.DataFrame({
+            "window_start": ws,
+            "n_accepted": (~closed).astype(np.int64),
+            "n_dropped": closed.astype(np.int64),
+        })
+
+    return grouped_agg(wm.map_batches(_classify, batch_format="pandas"),
+                       ["window_start"],
+                       {"n_accepted": ("n_accepted", "sum"),
+                        "n_dropped": ("n_dropped", "sum")},
+                       num_partitions=num_partitions)

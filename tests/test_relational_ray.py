@@ -797,3 +797,47 @@ def test_running_total_partitioning_invariant(rd):
         got_map = dict(zip(got["tie"].to_numpy(),
                            got["running_sum"].to_numpy()))
         assert got_map == want_map
+
+
+def test_running_max_matches_pandas_and_partitioning(rd):
+    from drivers_of_global_deforestation_ray.stages.relational import running_max
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    key = rng.permutation(n).astype(np.int64)          # unique arrival order
+    val = rng.integers(-1000, 1000, n).astype(np.int64)
+    df = pd.DataFrame({"k": key, "i": np.arange(n, dtype=np.int64), "v": val})
+    want = df.sort_values(["k", "i"]).assign(
+        rm=lambda d: d["v"].cummax())
+    for parts in (1, 7):
+        got = running_max(rd.from_pandas(df).repartition(parts), "k", "i",
+                          "v", out_col="rm").to_pandas().sort_values(["k", "i"])
+        np.testing.assert_array_equal(got["rm"].to_numpy(),
+                                      want["rm"].to_numpy())
+
+
+def test_tumbling_window_late_watermark_semantics(rd):
+    """Hand-built case: an event arriving after its window's watermark
+    closure is dropped; on-time and late-but-within-lateness are kept."""
+    from drivers_of_global_deforestation_ray.stages.window import (
+        tumbling_window_late)
+
+    # window size 10, lateness 5.  Event d (t=3, window [0,10)) arrives
+    # after an event with t=18 has arrived -> wm=13 >= 10: DROPPED.
+    # Event c (t=8) arrives while wm=18-5=13 >= 10 too?  give it arr before
+    # the t=18 arrival -> wm=8-5=3 < 10: kept.
+    df = pd.DataFrame({
+        "id": np.arange(5, dtype=np.int64),
+        "t":   np.array([1, 8, 18, 3, 25], dtype=np.int64),
+        "arr": np.array([1, 9, 20, 30, 40], dtype=np.int64),
+    })
+    out = tumbling_window_late(rd.from_pandas(df).repartition(2), "t", "arr",
+                               "id", size_s=10, allowed_lateness_s=5,
+                               num_partitions=2).to_pandas()
+    got = {int(r.window_start): (int(r.n_accepted), int(r.n_dropped))
+           for r in out.itertuples()}
+    # window 0: t=1 (on time), t=8 (wm 3 < 10, kept), t=3 (arr after t=18
+    # seen: wm 13 >= 10, dropped)
+    assert got[0] == (2, 1)
+    assert got[10] == (1, 0)
+    assert got[20] == (1, 0)
