@@ -2892,6 +2892,35 @@ def q_char_entropy(sf_dir: str):
     return docs.map_batches(_f, batch_format="pandas")
 
 
+def q_bucketed_join(sf_dir: str):
+    """Bucketed-table join (``stages/bucketed.py``, the Hive/Iceberg
+    pattern): lineitem and orders are each written ONCE into 16 hash
+    buckets by order key (Fibonacci hash, manifest-recorded), then joined
+    bucket-by-bucket — every task reads one bucket directory per side and
+    joins in Arrow; NOTHING shuffles.  Hash-exact vs a plain SQL join
+    (layout invariance: bucketing must not change the answer)."""
+    import tempfile
+
+    from ..stages.bucketed import bucketed_join, write_bucketed
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _scale(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("l_quantity"),
+                            "qty_scaled", R.scaled_int(b["l_quantity"], 100))
+
+    li = li.map_batches(_scale, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    work = tempfile.mkdtemp(prefix="graft_bucketed_", dir="/tmp")
+    write_bucketed(li, os.path.join(work, "lineitem"), "l_orderkey",
+                   num_buckets=16)
+    write_bucketed(orders, os.path.join(work, "orders"), "o_orderkey",
+                   num_buckets=16)
+    return bucketed_join(os.path.join(work, "lineitem"),
+                         os.path.join(work, "orders"), how="inner")
+
+
 def q_window_late(sf_dir: str):
     """Tumbling windows with watermark / allowed lateness
     (``window.tumbling_window_late``): arrival = ts + a deterministic
@@ -3707,6 +3736,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "compress_ratio": q_compress_ratio,
     "window_late": q_window_late,
+    "bucketed_join": q_bucketed_join,
 }
 
 
@@ -4119,6 +4149,12 @@ def _corpus_mix_sql() -> str:
 
 
 ORACLE_SQL = {
+    "bucketed_join": """
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_scaled,
+               o.o_custkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
     "window_late": """
         WITH e AS (
           SELECT event_id,

@@ -841,3 +841,55 @@ def test_tumbling_window_late_watermark_semantics(rd):
     assert got[0] == (2, 1)
     assert got[10] == (1, 0)
     assert got[20] == (1, 0)
+
+
+def _mk_bucketed(rd, tmp, name, df, key, nb=8):
+    import os
+
+    from drivers_of_global_deforestation_ray.stages.bucketed import write_bucketed
+
+    p = os.path.join(tmp, name)
+    write_bucketed(rd.from_pandas(df).repartition(3), p, key, num_buckets=nb)
+    return p
+
+
+def test_bucketed_join_matches_hash_join(rd, tmp_path):
+    from drivers_of_global_deforestation_ray.stages.bucketed import bucketed_join
+
+    rng = np.random.default_rng(2)
+    left = pd.DataFrame({"k": rng.integers(0, 60, 200).astype(np.int64),
+                         "lv": np.arange(200, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 80, 2, dtype=np.int64),
+                          "rv": np.arange(40, dtype=np.int64) * 10})
+    lp = _mk_bucketed(rd, str(tmp_path), "l", left, "k")
+    rp = _mk_bucketed(rd, str(tmp_path), "r", right, "rk")
+    got = bucketed_join(lp, rp, how="inner").to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk", how="inner")
+    key_cols = ["k", "lv", "rv"]
+    got_s = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+    want_s = want[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s)
+    # left join: unmatched keys survive with null right values
+    gl = bucketed_join(lp, rp, how="left").to_pandas()
+    assert len(gl) == len(left.merge(right, left_on="k", right_on="rk",
+                                     how="left"))
+    odd = gl[gl["k"] % 2 == 1]
+    assert len(odd) and odd["rv"].isna().all()
+
+
+def test_bucketed_join_guards(rd, tmp_path):
+    from drivers_of_global_deforestation_ray.stages.bucketed import bucketed_join
+
+    l = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                      "v": np.arange(10, dtype=np.int64)})
+    r = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                      "v": np.arange(10, dtype=np.int64)})
+    lp = _mk_bucketed(rd, str(tmp_path), "a", l, "k", nb=8)
+    rp = _mk_bucketed(rd, str(tmp_path), "b", r, "k", nb=4)
+    with pytest.raises(ValueError, match="bucketing mismatch"):
+        bucketed_join(lp, rp)
+    rp2 = _mk_bucketed(rd, str(tmp_path), "c", r, "k", nb=8)
+    with pytest.raises(Exception, match="collision"):
+        bucketed_join(lp, rp2).to_pandas()
+    with pytest.raises(ValueError, match="how"):
+        bucketed_join(lp, rp2, how="full")
