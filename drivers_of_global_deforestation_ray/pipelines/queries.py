@@ -2921,6 +2921,31 @@ def q_bucketed_join(sf_dir: str):
                          os.path.join(work, "orders"), how="inner")
 
 
+def q_bucketed_agg(sf_dir: str):
+    """Grouped aggregation over a bucketed layout with no shuffle
+    (``bucketed.bucketed_agg``): bucketing co-locates groups, so each task
+    aggregates its bucket to FINAL results in one pass — the two-phase
+    partial+combine exists only because groups straddle blocks, and the
+    layout removed the straddle.  Hash-exact vs SQL GROUP BY."""
+    import tempfile
+
+    from ..stages.bucketed import bucketed_agg, write_bucketed
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def _scale(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("l_quantity"),
+                            "qty_scaled", R.scaled_int(b["l_quantity"], 100))
+
+    work = tempfile.mkdtemp(prefix="graft_bucketed_agg_", dir="/tmp")
+    path = os.path.join(work, "lineitem")
+    write_bucketed(li.map_batches(_scale, batch_format="pyarrow"), path,
+                   "l_orderkey", num_buckets=16)
+    return bucketed_agg(path, ["l_orderkey"],
+                        {"n_lines": ("qty_scaled", "size"),
+                         "sum_qty_scaled": ("qty_scaled", "sum")})
+
+
 def q_window_late(sf_dir: str):
     """Tumbling windows with watermark / allowed lateness
     (``window.tumbling_window_late``): arrival = ts + a deterministic
@@ -3737,6 +3762,7 @@ QUERIES = {
     "compress_ratio": q_compress_ratio,
     "window_late": q_window_late,
     "bucketed_join": q_bucketed_join,
+    "bucketed_agg": q_bucketed_agg,
 }
 
 
@@ -4149,6 +4175,13 @@ def _corpus_mix_sql() -> str:
 
 
 ORACLE_SQL = {
+    "bucketed_agg": """
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_scaled
+        FROM lineitem GROUP BY l_orderkey
+    """,
     "bucketed_join": """
         SELECT l.l_orderkey, l.l_linenumber,
                CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_scaled,

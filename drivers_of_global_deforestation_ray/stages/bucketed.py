@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 from ray.data import Dataset
 
-__all__ = ["write_bucketed", "bucketed_join", "bucket_of"]
+__all__ = ["write_bucketed", "bucketed_join", "bucketed_agg", "bucket_of"]
 
 _MANIFEST = "_bucketing.json"
 _HASH_NAME = "fib2654435761_mod31"
@@ -126,4 +126,43 @@ def bucketed_join(left_path: str, right_path: str,
     buckets = rd.from_items([{"b": i} for i in range(nb)]).repartition(
         num_partitions or nb)
     return buckets.map_batches(_join_bucket, batch_size=1,
+                               batch_format="pandas")
+
+
+def bucketed_agg(path: str, group_cols: "list[str]", specs: "dict",
+                 num_partitions: "int | None" = None) -> Dataset:
+    """Grouped aggregation over a bucketed layout with NO shuffle: the
+    bucket key co-locates every group whose key it covers, so each task
+    aggregates its bucket dirs to FINAL results locally (pandas groupby) —
+    valid whenever ``group_cols[0]`` is the layout's bucket key (asserted
+    from the manifest).  ``specs``: ``{out: (col, fn)}``, the
+    :func:`~.relational.grouped_agg` shape.  The two-phase partial+combine
+    of ``grouped_agg`` exists because groups straddle blocks; bucketing
+    removes the straddle, so this is ONE pass, zero exchange."""
+    import ray.data as rd
+
+    m = _read_manifest(path)
+    if group_cols[0] != m["key_col"]:
+        raise ValueError(
+            f"bucketed_agg needs group_cols[0] == bucket key "
+            f"{m['key_col']!r}, got {group_cols[0]!r}")
+    nb = int(m["num_buckets"])
+
+    def _agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for b in df["b"].to_numpy():
+            d = os.path.join(path, f"__bucket={int(b)}")
+            if not os.path.isdir(d):
+                continue
+            t = pq.read_table(d).to_pandas()
+            g = t.groupby(group_cols, sort=False)
+            out = pd.DataFrame({o: g[c].agg(f) for o, (c, f) in specs.items()})
+            frames.append(out.reset_index())
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    buckets = rd.from_items([{"b": i} for i in range(nb)]).repartition(
+        num_partitions or nb)
+    return buckets.map_batches(_agg_bucket, batch_size=1,
                                batch_format="pandas")

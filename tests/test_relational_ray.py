@@ -893,3 +893,21 @@ def test_bucketed_join_guards(rd, tmp_path):
         bucketed_join(lp, rp2).to_pandas()
     with pytest.raises(ValueError, match="how"):
         bucketed_join(lp, rp2, how="full")
+
+
+def test_bucketed_agg_matches_pandas_and_guards(rd, tmp_path):
+    from drivers_of_global_deforestation_ray.stages.bucketed import bucketed_agg
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"k": rng.integers(0, 30, 300).astype(np.int64),
+                       "v": rng.integers(0, 100, 300).astype(np.int64)})
+    p = _mk_bucketed(rd, str(tmp_path), "agg", df, "k")
+    got = bucketed_agg(p, ["k"], {"n": ("v", "size"), "s": ("v", "sum"),
+                                  "mx": ("v", "max")}).to_pandas()
+    want = (df.groupby("k").agg(n=("v", "size"), s=("v", "sum"),
+                                mx=("v", "max")).reset_index())
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"n": np.int64}), want)
+    with pytest.raises(ValueError, match="bucket key"):
+        bucketed_agg(p, ["v"], {"n": ("k", "size")})
