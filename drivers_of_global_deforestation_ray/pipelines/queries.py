@@ -3574,9 +3574,14 @@ def q_media_pipeline(sf_dir: str):
 # (pretrain_pipeline, kcore, kmeans_embed, flagship_igh,
 # dedup_minhash_incremental).  Four rows-only sketch/codec variants
 # (quantile_sketch, grouped_quantile_sketch, media_resize, bpe_merges) sit
-# at positions 51-54 for the round-5 window.  Everything past 50 keeps full
-# local verification via tools/check_oracles.py (complete artifact
-# committed as CORRECTNESS_local_r04.txt).
+# at positions 51-54 for the round-5 window, followed by the round-4
+# session additions (media_pipeline, semantic_dedup, media_jpeg_real,
+# dsir_select, pack_sequences, connected_components, pq_topk, knn_ivfpq,
+# char_entropy, compress_ratio, window_late, bucketed_join, bucketed_agg)
+# — 9 of those 13 carry hash-exact oracles, so the r5 window can certify
+# them next.  Everything past 50 keeps full local verification via
+# tools/check_oracles.py (complete artifact committed as
+# CORRECTNESS_local_r04.txt: 152 hash-exact + 29 rows-only, 0 failures).
 QUERIES = {
     # --- round-4 driver window: never-certified in r1/r2/r3 ---
     "nfc_norm": q_nfc_norm,
