@@ -3568,22 +3568,39 @@ def q_media_pipeline(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 # Registry ORDER is deliberate: the driver records CORRECTNESS rows for
-# exactly the first 50 entries.  Round-4 rotation (VERDICT r03 next-round
-# #1): the head is now the 54 queries that never appeared in an official
-# r1/r2/r3 driver window — 45 SQL-oracle hash-exact + 5 rows-only pipelines
-# (pretrain_pipeline, kcore, kmeans_embed, flagship_igh,
-# dedup_minhash_incremental).  Four rows-only sketch/codec variants
-# (quantile_sketch, grouped_quantile_sketch, media_resize, bpe_merges) sit
-# at positions 51-54 for the round-5 window, followed by the round-4
-# session additions (media_pipeline, semantic_dedup, media_jpeg_real,
-# dsir_select, pack_sequences, connected_components, pq_topk, knn_ivfpq,
-# char_entropy, compress_ratio, window_late, bucketed_join, bucketed_agg)
-# — 9 of those 13 carry hash-exact oracles, so the r5 window can certify
-# them next.  Everything past 50 keeps full local verification via
-# tools/check_oracles.py (complete artifact committed as
+# exactly the first 50 entries.  Round-5 rotation (VERDICT r04 next-round
+# #1): the head is the 17 queries never certified in an official r1-r4
+# driver window (the 4 rows-only sketch/codec variants parked at 51-54 last
+# round plus the 13 round-4 session additions), followed by this round's
+# new queries, then previously certified entries for re-verification.
+# Everything past 50 keeps full local verification via
+# tools/check_oracles.py (complete round-4 artifact committed as
 # CORRECTNESS_local_r04.txt: 152 hash-exact + 29 rows-only, 0 failures).
 QUERIES = {
-    # --- round-4 driver window: never-certified in r1/r2/r3 ---
+    # --- round-5 driver window head: the 17 queries never certified in an
+    # official r1-r4 driver window (VERDICT r04 next-round #1).  9 carry
+    # hash-exact SQL oracles; the sketch/codec/LSH/iterative rest are
+    # rows-only by design with brute-force pytests.
+    "quantile_sketch": q_quantile_sketch,
+    "grouped_quantile_sketch": q_grouped_quantile_sketch,
+    "media_resize": q_media_resize,
+    "bpe_merges": q_bpe_merges,
+    "media_pipeline": q_media_pipeline,
+    "semantic_dedup": q_semantic_dedup,
+    "media_jpeg_real": q_media_jpeg_real,
+    "dsir_select": q_dsir_select,
+    "pack_sequences": q_pack_sequences,
+    "connected_components": q_connected_components,
+    "pq_topk": q_pq_topk,
+    "knn_ivfpq": q_knn_ivfpq,
+    "char_entropy": q_char_entropy,
+    "compress_ratio": q_compress_ratio,
+    "window_late": q_window_late,
+    "bucketed_join": q_bucketed_join,
+    "bucketed_agg": q_bucketed_agg,
+    # --- round-5 session additions land here (inside the 50-query window) ---
+    # --- previously driver-certified (r1-r4 windows); full local coverage
+    # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
     "cume_dist": q_cume_dist,
     "rolling_minmax": q_rolling_minmax,
@@ -3634,12 +3651,6 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "month_agg": q_month_agg,
     "right_join": q_right_join,
-    # --- positions 51-54: rows-only variants queued for the r5 window ---
-    "quantile_sketch": q_quantile_sketch,
-    "grouped_quantile_sketch": q_grouped_quantile_sketch,
-    "media_resize": q_media_resize,
-    "bpe_merges": q_bpe_merges,
-    # --- driver-certified in r1/r2/r3 windows (local-checker re-verified) ---
     "weighted_sample": q_weighted_sample,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "jaccard_join": q_jaccard_join,
@@ -3754,20 +3765,6 @@ QUERIES = {
     "tree_importance": q_tree_importance,
     "extract_text": q_extract_text,
     "frame_sample": q_frame_sample,
-    # --- round-4 additions (queued for the r5 window) ---
-    "media_pipeline": q_media_pipeline,
-    "semantic_dedup": q_semantic_dedup,
-    "media_jpeg_real": q_media_jpeg_real,
-    "dsir_select": q_dsir_select,
-    "pack_sequences": q_pack_sequences,
-    "connected_components": q_connected_components,
-    "pq_topk": q_pq_topk,
-    "knn_ivfpq": q_knn_ivfpq,
-    "char_entropy": q_char_entropy,
-    "compress_ratio": q_compress_ratio,
-    "window_late": q_window_late,
-    "bucketed_join": q_bucketed_join,
-    "bucketed_agg": q_bucketed_agg,
 }
 
 
