@@ -2898,7 +2898,14 @@ def q_bucketed_join(sf_dir: str):
     buckets by order key (Fibonacci hash, manifest-recorded), then joined
     bucket-by-bucket — every task reads one bucket directory per side and
     joins in Arrow; NOTHING shuffles.  Hash-exact vs a plain SQL join
-    (layout invariance: bucketing must not change the answer)."""
+    (layout invariance: bucketing must not change the answer).
+
+    Demo scaffolding: the layout goes under driver-local /tmp — fine on
+    this single node, but a real deployment writes it ONCE to shared
+    storage and amortizes it across many joins (see ``bucketed.py``'s
+    storage contract).  The result is materialized so the per-run layout
+    copy can be deleted instead of leaking across bench runs."""
+    import shutil
     import tempfile
 
     from ..stages.bucketed import bucketed_join, write_bucketed
@@ -2917,8 +2924,12 @@ def q_bucketed_join(sf_dir: str):
                    num_buckets=16)
     write_bucketed(orders, os.path.join(work, "orders"), "o_orderkey",
                    num_buckets=16)
-    return bucketed_join(os.path.join(work, "lineitem"),
-                         os.path.join(work, "orders"), how="inner")
+    try:
+        return bucketed_join(os.path.join(work, "lineitem"),
+                             os.path.join(work, "orders"),
+                             how="inner").materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_bucketed_agg(sf_dir: str):
@@ -2926,7 +2937,11 @@ def q_bucketed_agg(sf_dir: str):
     (``bucketed.bucketed_agg``): bucketing co-locates groups, so each task
     aggregates its bucket to FINAL results in one pass — the two-phase
     partial+combine exists only because groups straddle blocks, and the
-    layout removed the straddle.  Hash-exact vs SQL GROUP BY."""
+    layout removed the straddle.  Hash-exact vs SQL GROUP BY.
+
+    Same demo scaffolding as :func:`q_bucketed_join`: /tmp layout
+    (single-node), materialized result, tempdir removed after."""
+    import shutil
     import tempfile
 
     from ..stages.bucketed import bucketed_agg, write_bucketed
@@ -2941,9 +2956,13 @@ def q_bucketed_agg(sf_dir: str):
     path = os.path.join(work, "lineitem")
     write_bucketed(li.map_batches(_scale, batch_format="pyarrow"), path,
                    "l_orderkey", num_buckets=16)
-    return bucketed_agg(path, ["l_orderkey"],
-                        {"n_lines": ("qty_scaled", "size"),
-                         "sum_qty_scaled": ("qty_scaled", "sum")})
+    try:
+        return bucketed_agg(path, ["l_orderkey"],
+                            {"n_lines": ("qty_scaled", "size"),
+                             "sum_qty_scaled": ("qty_scaled", "sum")}
+                            ).materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_window_late(sf_dir: str):

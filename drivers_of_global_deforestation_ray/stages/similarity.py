@@ -53,24 +53,39 @@ def _cosine(M: np.ndarray, Q: np.ndarray) -> np.ndarray:
     return dots / (na[:, None] * nb[None, :])
 
 
+# GEMM results depend on the BLAS kernel's blocking/reduction order, which
+# varies with batch shape and thread count — so near-tied distances could
+# flip argmin across partitionings.  Rounding to a fixed decimal before
+# argmin absorbs that noise (same convention as knn_brute's round_to=6),
+# restoring the batch-independent determinism the iterative kmeans/PQ
+# trainers rely on.  Residual hazard: two centroids whose true distances
+# differ by < 0.5e-6 collapse to a tie and resolve to the lowest index —
+# acceptable (and itself deterministic) for clustering/quantization.
+_ARGMIN_ROUND = 6
+
+
 def _nearest_centroid(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """argmin_k |x - c_k|^2 per row via the BLAS form: the |x|^2 term is
     constant per row, so ranking needs only ``|c|^2 - 2 x.c`` — one (n, k)
     matmul instead of the O(n*k*d) broadcast temp (measured 5-8x on the
-    1M x 64 ANN bench).  Per-row independent -> partition-invariant; ties
-    -> lowest index (argmin)."""
-    return ((C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+    1M x 64 ANN bench).  Distances are rounded to ``_ARGMIN_ROUND`` decimals
+    before argmin so the result is partition/BLAS-invariant; ties -> lowest
+    index (argmin)."""
+    d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    return np.round(d, _ARGMIN_ROUND).argmin(axis=1)
 
 
 def _nearest_code(Xs: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Per-subspace nearest PQ code: ``Xs`` (n, m, sub), ``B``
-    (m, codes, sub) -> (n, m) uint-ish int64 codes.  Same BLAS trick as
-    :func:`_nearest_centroid`, one matmul per subspace."""
+    (m, codes, sub) -> (n, m) uint-ish int64 codes.  Same BLAS trick (and
+    same rounded-argmin determinism) as :func:`_nearest_centroid`, one
+    matmul per subspace."""
     n, m, _ = Xs.shape
     out = np.empty((n, m), dtype=np.int64)
     for j in range(m):
         b2 = (B[j] * B[j]).sum(axis=1)
-        out[:, j] = (b2[None, :] - 2.0 * (Xs[:, j] @ B[j].T)).argmin(axis=1)
+        d = b2[None, :] - 2.0 * (Xs[:, j] @ B[j].T)
+        out[:, j] = np.round(d, _ARGMIN_ROUND).argmin(axis=1)
     return out
 
 
@@ -102,9 +117,12 @@ def knn_brute(
             sc = np.round(_cosine(M, Qm), round_to)
             key = -sc
         else:
-            # |x-q|^2 in the BLAS form; |q|^2 omitted (per-query constant)
-            sc = np.round((M * M).sum(axis=1)[:, None] - 2.0 * (M @ Qm.T),
-                          round_to)
+            # |x-q|^2 in the BLAS form: |x|^2 - 2 x.q + |q|^2.  The |q|^2
+            # constant doesn't affect ranking but keeps the emitted 'dist'
+            # a true squared-L2 (comparable across queries).
+            q2 = (Qm * Qm).sum(axis=1)
+            sc = np.round((M * M).sum(axis=1)[:, None] - 2.0 * (M @ Qm.T)
+                          + q2[None, :], round_to)
             key = sc
         out = []
         for qi in range(Qm.shape[0]):
@@ -807,8 +825,8 @@ def pq_topk(
             if refine > 0:
                 cand = np.lexsort((ids, ad))[:refine]
                 Xc = X[cand]
-                d = np.round((Xc * Xc).sum(axis=1) - 2.0 * (Xc @ Qm[qi]),
-                             round_to)
+                d = np.round((Xc * Xc).sum(axis=1) - 2.0 * (Xc @ Qm[qi])
+                             + (Qm[qi] * Qm[qi]).sum(), round_to)
                 cids = ids[cand]
                 order = np.lexsort((cids, d))[:k]
                 out.append(pd.DataFrame({
@@ -907,8 +925,8 @@ def knn_ivfpq(
                 if refine > 0:
                     cand = np.lexsort((mids, ad))[:refine]
                     Xc = X[mask][cand]
-                    d = np.round((Xc * Xc).sum(axis=1) - 2.0 * (Xc @ Qm[qi]),
-                                 round_to)
+                    d = np.round((Xc * Xc).sum(axis=1) - 2.0 * (Xc @ Qm[qi])
+                                 + (Qm[qi] * Qm[qi]).sum(), round_to)
                     cids = mids[cand]
                     order = np.lexsort((cids, d))[:k]
                     out.append(pd.DataFrame({"query_id": np.int64(qi),

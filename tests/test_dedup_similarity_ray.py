@@ -675,11 +675,13 @@ def _pq_reference(ids, X, qs, k, m, codes, iters, fixed_bits=20, round_to=6):
     Xs = X.reshape(len(X), m, sub)
 
     def _codes(B):
-        # BLAS form, matching similarity._nearest_code bit-for-bit
+        # BLAS form + rounded argmin, matching similarity._nearest_code
+        # bit-for-bit (rounding absorbs GEMM reduction-order noise)
         out = np.empty((len(X), m), dtype=np.int64)
         for j in range(m):
             b2 = (B[j] * B[j]).sum(axis=1)
-            out[:, j] = (b2[None, :] - 2.0 * (Xs[:, j] @ B[j].T)).argmin(axis=1)
+            d = b2[None, :] - 2.0 * (Xs[:, j] @ B[j].T)
+            out[:, j] = np.round(d, 6).argmin(axis=1)
         return out
 
     for _ in range(iters):
@@ -815,8 +817,9 @@ def test_knn_ivfpq_partition_invariant_and_recall(rd):
 
 
 def test_knn_brute_l2_metric(rd, vectors):
-    """L2 metric: ascending squared distance (|q|^2 omitted), exact parity
-    vs numpy, and the id-tie discipline."""
+    """L2 metric: ascending true squared distance (BLAS form incl. the
+    per-query |q|^2 constant), exact parity vs numpy, and the id-tie
+    discipline."""
     V = np.stack(vectors["embedding"].to_numpy()).astype(np.float64)
     ids = vectors["vec_id"].to_numpy()
     q = V[7:9]
@@ -824,7 +827,8 @@ def test_knn_brute_l2_metric(rd, vectors):
                       metric="l2").to_pandas()
     assert set(got.columns) == {"query_id", "vec_id", "dist"}
     for qi in range(2):
-        sc = np.round((V * V).sum(axis=1) - 2.0 * (V @ q[qi]), 6)
+        sc = np.round((V * V).sum(axis=1) - 2.0 * (V @ q[qi])
+                      + (q[qi] * q[qi]).sum(), 6)
         order = np.lexsort((ids, sc))[:5]
         g = got[got["query_id"] == qi].sort_values(["dist", "vec_id"])
         np.testing.assert_array_equal(g["vec_id"].to_numpy(), ids[order])

@@ -911,3 +911,67 @@ def test_bucketed_agg_matches_pandas_and_guards(rd, tmp_path):
     pd.testing.assert_frame_equal(got.astype({"n": np.int64}), want)
     with pytest.raises(ValueError, match="bucket key"):
         bucketed_agg(p, ["v"], {"n": ("k", "size")})
+
+
+def test_bucketed_oversize_split_and_guards(rd, tmp_path):
+    """Sizing contract: an oversize LEFT bucket is split into part-file
+    groups (answer unchanged); an oversize RIGHT/agg bucket raises loudly
+    with re-bucketing guidance."""
+    import json
+    import os
+
+    from drivers_of_global_deforestation_ray.stages.bucketed import (
+        bucketed_agg, bucketed_join, write_bucketed)
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 500).astype(np.int64),
+                         "lv": np.arange(500, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(40, dtype=np.int64),
+                          "rv": np.arange(40, dtype=np.int64) * 3})
+    lp = os.path.join(str(tmp_path), "l")
+    rp = os.path.join(str(tmp_path), "r")
+    # tiny target forces every multi-file left bucket into several groups
+    write_bucketed(rd.from_pandas(left).repartition(6), lp, "k",
+                   num_buckets=4, target_bucket_bytes=1)
+    write_bucketed(rd.from_pandas(right).repartition(2), rp, "rk",
+                   num_buckets=4, target_bucket_bytes=1)
+    # right bucket exceeds target=1 byte -> loud per-task error
+    with pytest.raises(Exception, match="target_bucket_bytes"):
+        bucketed_join(lp, rp).to_pandas()
+    # relax the right manifest's target: the split left path must still be
+    # exactly the plain merge
+    man = os.path.join(rp, "_bucketing.json")
+    m = json.load(open(man))
+    m["target_bucket_bytes"] = 1 << 30
+    json.dump(m, open(man, "w"))
+    ml = os.path.join(lp, "_bucketing.json")
+    m2 = json.load(open(ml))
+    assert m2["target_bucket_bytes"] == 1  # manifest records the target
+    got = bucketed_join(lp, rp, how="inner").to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk", how="inner")
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True))
+    # the fan-out really split: more work items than buckets
+    from drivers_of_global_deforestation_ray.stages.bucketed import (
+        _bucket_files, _file_groups)
+    n_items = sum(len(_file_groups(_bucket_files(lp, b), 1)) for b in range(4))
+    assert n_items > 4
+    # oversize agg bucket raises
+    with pytest.raises(Exception, match="more buckets"):
+        bucketed_agg(lp, ["k"], {"n": ("lv", "size")}).to_pandas()
+
+
+def test_bucket_of_high_bits_mix():
+    """Stride-structured keys (the weak case for low product bits) must
+    spread across buckets via the high-bit Fibonacci hash."""
+    from drivers_of_global_deforestation_ray.stages.bucketed import bucket_of
+
+    keys = (np.arange(4096, dtype=np.int64) * 1024)  # stride 2^10
+    b = bucket_of(keys, 32)
+    counts = np.bincount(b, minlength=32)
+    assert counts.min() > 0 and counts.max() < 4096 * 0.2
+    # negative keys wrap deterministically, no crash
+    bneg = bucket_of(np.array([-5, -1, 0, 1], dtype=np.int64), 8)
+    assert ((bneg >= 0) & (bneg < 8)).all()
