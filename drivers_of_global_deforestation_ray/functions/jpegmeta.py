@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["jpeg_dims", "encode_jpeg_shell"]
+__all__ = ["jpeg_dims", "jpeg_frame", "jpeg_process", "encode_jpeg_shell"]
 
 # markers that are standalone (no length word)
 _STANDALONE = {0xD8, 0xD9} | set(range(0xD0, 0xD8))  # SOI, EOI, RST0-7
@@ -32,8 +32,30 @@ _SOF = ({0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 _PROGRESSIVE = {0xC2, 0xC6, 0xCA, 0xCE}
 
 
+def jpeg_process(marker: int) -> str:
+    """Coding-process class of an SOF marker: ``"baseline"`` (SOF0/SOF1,
+    what the from-scratch decoder handles), ``"progressive"`` (SOF2 family)
+    or ``"other"`` (lossless/hierarchical/arithmetic)."""
+    if marker in (0xC0, 0xC1):
+        return "baseline"
+    if marker in _PROGRESSIVE:
+        return "progressive"
+    return "other"
+
+
 def jpeg_dims(data: bytes) -> "tuple[int, int, int, bool]":
     """(width, height, n_components, progressive) from the first SOF.
+
+    Raises ``ValueError`` on non-JPEG bytes or a truncated marker stream.
+    """
+    w, h, ncomp, marker = jpeg_frame(data)
+    return w, h, ncomp, marker in _PROGRESSIVE
+
+
+def jpeg_frame(data: bytes) -> "tuple[int, int, int, int]":
+    """(width, height, n_components, sof_marker) from the first SOF —
+    the marker byte lets triage distinguish decodable baseline frames
+    from progressive/other coding processes (:func:`jpeg_process`).
 
     Raises ``ValueError`` on non-JPEG bytes or a truncated marker stream.
     """
@@ -63,7 +85,7 @@ def jpeg_dims(data: bytes) -> "tuple[int, int, int, bool]":
                 raise ValueError("truncated SOF")
             height, width = struct.unpack(">HH", data[i + 3:i + 7])
             ncomp = data[i + 7]
-            return width, height, ncomp, marker in _PROGRESSIVE
+            return width, height, ncomp, marker
         if marker == 0xDA:  # SOS: entropy data follows; no SOF seen yet
             raise ValueError("SOS before SOF (corrupt stream)")
         i += seg_len

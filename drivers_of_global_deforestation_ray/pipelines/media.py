@@ -6,13 +6,18 @@ near-dup-free survivor set — the :mod:`.pretrain` analog for media
       -> format triage: sniff magic bytes, read dims from HEADER SYNTAX
          only (PNG IHDR / JPEG SOF marker walk — no pixel decode), drop
          payloads outside the configured dimension window and unknown
-         formats (one stateless vectorized pass)
-      -> real pixel decode -> feature vector (PNG via the from-scratch
-         codec; actor-pool ``media_features`` stage, small batches —
-         binary payloads are big; JPEG pixel decode is out of scope for a
-         stdlib sandbox, so JPEGs are triaged by dimensions and routed
-         AROUND the decode — documented, not silent: the triage stage
-         reports them under ``fmt="jpeg"``)
+         formats (one stateless vectorized pass).  JPEGs are classed by
+         coding process: ``fmt="jpeg"`` (baseline SOF0/SOF1, decodable),
+         ``"jpeg_progressive"`` (SOF2 family) or ``"jpeg_other"``
+         (lossless/arithmetic) — the routed-around share is OBSERVABLE
+         per format, never silent
+      -> real pixel decode -> feature vector (PNG and baseline JPEG via
+         the from-scratch codecs; actor-pool ``media_features`` stage,
+         small batches — binary payloads are big; ``on_error="flag"``
+         survives corrupt/truncated payloads, which rejoin the survivor
+         set as ``decode_ok=False`` passthrough rows).  Progressive/other
+         JPEGs pass triage on dimensions alone and route AROUND the
+         decode (no near-dup removal for them — counted in the report)
       -> embedding: seeded Johnson-Lindenstrauss projection of the
          feature vector (stateless, float64 index-order accumulation)
       -> ``embedding_neardup_lsh`` (bucketed hyperplane LSH, quantized
@@ -41,7 +46,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from ..functions.jpegmeta import jpeg_dims
+from ..functions.jpegmeta import jpeg_frame, jpeg_process
 from ..functions.png import png_dims
 from ..stages.multimodal import FEATURE_DIM, media_features
 from ..stages.relational import semi_join
@@ -68,7 +73,10 @@ def media_triage(ds: Dataset, payload_col: str = "payload",
     """Header-syntax format/dimension triage — NO pixel decode: PNG dims
     from the fixed IHDR offsets, JPEG dims from the T.81 marker walk.
     Output: (id, payload, fmt, width, height); unknown formats get
-    ``fmt="other"`` and width/height -1 (callers filter)."""
+    ``fmt="other"`` and width/height -1 (callers filter).  JPEGs report
+    their coding process distinctly (``jpeg`` = baseline SOF0/SOF1,
+    ``jpeg_progressive``, ``jpeg_other``) so the share a baseline-only
+    decoder routes around is measurable."""
 
     def _triage(b: pd.DataFrame) -> pd.DataFrame:
         fmts, ws, hs = [], [], []
@@ -83,8 +91,10 @@ def media_triage(ds: Dataset, payload_col: str = "payload",
                     w = h = -1
             elif p[:2] == b"\xff\xd8":
                 try:
-                    w, h, _, _ = jpeg_dims(p)
-                    fmts.append("jpeg")
+                    w, h, _, marker = jpeg_frame(p)
+                    proc = jpeg_process(marker)
+                    fmts.append("jpeg" if proc == "baseline"
+                                else f"jpeg_{proc}")
                 except ValueError:
                     fmts.append("other")
                     w = h = -1
@@ -124,14 +134,22 @@ def run_media_curation(ds: Dataset, cfg: "MediaCurationConfig | None" = None,
     in_window = triaged.filter(
         expr=f"width >= {cfg.min_dim} and height >= {cfg.min_dim} "
              f"and width <= {cfg.max_dim} and height <= {cfg.max_dim}")
-    # only PNGs have a pixel decoder in-sandbox; JPEGs pass triage on
-    # dimensions alone and rejoin the survivor set undeduplicated
-    pngs = in_window.filter(expr="fmt == 'png'")
-    passthrough = in_window.filter(expr="fmt != 'png'").select_columns(
+    # PNG + baseline JPEG go through the real pixel decode; progressive /
+    # other JPEG coding processes pass triage on dimensions alone and are
+    # routed around it — observably (their fmt survives into the output
+    # and the report counts them)
+    decodable = in_window.filter(expr="fmt == 'png' or fmt == 'jpeg'")
+    passthrough = in_window.filter(
+        expr="fmt != 'png' and fmt != 'jpeg'").select_columns(
         [id_col, "fmt", "width", "height"])
 
-    feats = media_features(pngs, media_col=payload_col, backend="real",
-                           batch_size=cfg.batch_size)
+    # on_error="flag": a header-valid but undecodable payload (truncated
+    # scan, corrupt entropy data — routine in a crawl) must not kill the
+    # pipeline; flagged rows keep their triage dims and rejoin the
+    # survivor set below (they carry zero features and are excluded from
+    # the LSH, so they can never be dropped as someone's near-dup)
+    feats = media_features(decodable, media_col=payload_col, backend="real",
+                           batch_size=cfg.batch_size, on_error="flag")
 
     W = _jl_matrix(cfg)
 
@@ -146,6 +164,7 @@ def run_media_curation(ds: Dataset, cfg: "MediaCurationConfig | None" = None,
             "fmt": b["fmt"].to_numpy(dtype=object),
             "width": b["width"].to_numpy(),
             "height": b["height"].to_numpy(),
+            "decode_ok": b["decode_ok"].to_numpy(),
             # plain Python lists -> parquet list<double> (an ndarray object
             # column would round-trip as a tensor-extension type that the
             # pandas batch converter rejects)
@@ -173,22 +192,29 @@ def run_media_curation(ds: Dataset, cfg: "MediaCurationConfig | None" = None,
     embedded.write_parquet(embed_dir)
     embedded = rd.read_parquet(embed_dir)
 
+    # decode failures carry zero features — keep them out of the LSH (a
+    # shared zero vector would false-pair them) but IN the anti join input,
+    # where no loser id can ever match them, so they survive untouched
     pairs = embedding_neardup_lsh(
-        embedded, threshold=cfg.lsh_threshold, num_planes=cfg.num_planes,
-        num_tables=cfg.num_tables, vec_col="embedding", id_col=id_col,
+        embedded.filter(expr="decode_ok"), threshold=cfg.lsh_threshold,
+        num_planes=cfg.num_planes, num_tables=cfg.num_tables,
+        vec_col="embedding", id_col=id_col,
         num_partitions=cfg.num_partitions)
     losers = pairs.select_columns(["b"])
 
-    kept_png = semi_join(
+    kept_decoded = semi_join(
         embedded.select_columns([id_col, "fmt", "width", "height"]),
         losers, on=id_col, right_on="b", anti=True,
         num_partitions=cfg.num_partitions)
-    survivors = kept_png.union(passthrough)
+    survivors = kept_decoded.union(passthrough)
 
     if report is not None:
         report["input"] = ds.count()
         report["in_window"] = in_window.count()
-        report["png_decoded"] = embedded.count()
+        report["decoded_ok"] = embedded.filter(expr="decode_ok").count()
+        report["decode_failed"] = embedded.filter(
+            expr="decode_ok == False").count()
+        report["routed_around"] = passthrough.count()
         report["neardup_pairs"] = pairs.count()
         report["survivors"] = survivors.count()
     return survivors

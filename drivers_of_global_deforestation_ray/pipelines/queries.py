@@ -3534,9 +3534,13 @@ def q_bpe_merges(sf_dir: str):
 
 def _media_corpus(sf_dir: str):
     """Deterministic mixed-format media corpus over the documents ids:
-    JPEG shells (header-only dims, some outside the triage window), real
-    PNG gradients (planted near-dup pairs: i%5==4 copies i-1's gradient),
-    tiny PNGs (dim-filtered) and non-media payloads (format-filtered)."""
+    real baseline JPEGs (planted near-dup pairs: i%30==24 copies i-6's
+    content; decoded by the from-scratch T.81 codec), JPEG shells
+    (header-valid, no scan data — they exercise the decode-failure
+    passthrough), real PNG two-tone blocks (planted near-dup pairs:
+    i%5==4 copies i-1's content), tiny PNGs (dim-filtered) and non-media
+    payloads (format-filtered)."""
+    from ..functions.jpeg import encode_jpeg
     from ..functions.jpegmeta import encode_jpeg_shell
     from ..functions.png import encode_png
 
@@ -3549,6 +3553,13 @@ def _media_corpus(sf_dir: str):
             i = int(i)
             if i % 11 == 10:
                 payloads.append(b"not media " + str(i).encode())
+            elif i % 6 == 0:
+                # real baseline JPEG through the full decode -> LSH path
+                j = i - 6 if i % 30 == 24 else i  # planted near-dup partner
+                w, h = 16 + j % 48, 16 + j % 32
+                img = np.full((h, w), (j * 37) % 256, np.uint8)
+                img[: 1 + (j % 7) * h // 8, :] = (j * 91 + 64) % 256
+                payloads.append(encode_jpeg(img))
             elif i % 3 == 0:
                 payloads.append(encode_jpeg_shell(64 + (i * 97) % 8000,
                                                   32 + i % 2000, ncomp=3))
@@ -3570,11 +3581,13 @@ def _media_corpus(sf_dir: str):
 
 def q_media_pipeline(sf_dir: str):
     """END-TO-END multimodal curation (``pipelines/media.py``): payloads ->
-    header-syntax triage (PNG IHDR / JPEG SOF, no pixel decode) -> real PNG
-    decode features (actor pool) -> seeded JL embedding -> bucketed
-    hyperplane LSH near-dup pairs -> min-id-wins anti join -> survivors.
-    Rows-only (LSH); the pytest asserts partitioning invariance, planted
-    near-dup removal, and stage-count monotonicity."""
+    header-syntax triage (PNG IHDR / JPEG SOF marker walk, coding process
+    reported per format) -> real PNG + baseline-JPEG pixel decode features
+    (actor pool, ``on_error="flag"`` survives corrupt payloads) -> seeded
+    JL embedding -> bucketed hyperplane LSH near-dup pairs -> min-id-wins
+    anti join -> survivors.  Rows-only (LSH); the pytest asserts
+    partitioning invariance, planted PNG *and* JPEG near-dup removal,
+    decode-failure passthrough, and stage-count monotonicity."""
     from .media import MediaCurationConfig, run_media_curation
 
     corpus = _media_corpus(sf_dir)

@@ -65,13 +65,23 @@ def _png_features(img: np.ndarray) -> np.ndarray:
 
 
 class MediaFeaturizer:
-    """Actor: decode a binary media column into features + dimensions."""
+    """Actor: decode a binary media column into features + dimensions.
 
-    def __init__(self, media_col: str = "html", backend: str = "fake"):
+    ``on_error="raise"`` (default) propagates decode failures;
+    ``on_error="flag"`` survives corrupt/truncated/unsupported payloads —
+    the web-crawl reality — by emitting ``decode_ok=False`` with -1 dims
+    and zero features instead of killing the task (callers route flagged
+    rows around feature-dependent stages)."""
+
+    def __init__(self, media_col: str = "html", backend: str = "fake",
+                 on_error: str = "raise"):
         if backend not in ("fake", "real"):
             raise ValueError(f"backend must be 'fake' or 'real', got {backend!r}")
+        if on_error not in ("raise", "flag"):
+            raise ValueError(f"on_error must be 'raise' or 'flag', got {on_error!r}")
         self.media_col = media_col
         self.backend = backend
+        self.on_error = on_error
 
     @staticmethod
     def _real_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -89,15 +99,25 @@ class MediaFeaturizer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         decode = self._real_decode if self.backend == "real" else self._fake_decode
-        ws, hs, fs = [], [], []
+        flag = self.on_error == "flag"
+        ws, hs, fs, oks = [], [], [], []
         for payload in batch[self.media_col]:
-            w, h, f = decode(payload)
+            try:
+                w, h, f = decode(payload)
+                oks.append(True)
+            except Exception:
+                if not flag:
+                    raise
+                w, h, f = -1, -1, np.zeros(FEATURE_DIM, np.float64)
+                oks.append(False)
             ws.append(w)
             hs.append(h)
             fs.append(f)
         batch["media_width"] = np.asarray(ws, dtype=np.int32)
         batch["media_height"] = np.asarray(hs, dtype=np.int32)
         batch["media_features"] = fs
+        if flag:
+            batch["decode_ok"] = np.asarray(oks, dtype=bool)
         return batch
 
 
@@ -107,10 +127,12 @@ def media_features(
     backend: str = "fake",
     batch_size: int = 256,   # binary payloads: keep batch x concurrency in heap
     concurrency=(1, 8),
+    on_error: str = "raise",
 ) -> Dataset:
     return ds.map_batches(
         MediaFeaturizer,
-        fn_constructor_kwargs={"media_col": media_col, "backend": backend},
+        fn_constructor_kwargs={"media_col": media_col, "backend": backend,
+                               "on_error": on_error},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -36,6 +36,12 @@ def _tone_png(level: int, w: int, h: int) -> bytes:
     return encode_png(np.full((h, w), level, np.uint8))
 
 
+def _tone_jpeg(level: int, w: int, h: int) -> bytes:
+    from drivers_of_global_deforestation_ray.functions.jpeg import encode_jpeg
+
+    return encode_jpeg(np.full((h, w), level, np.uint8))
+
+
 def _corpus() -> pd.DataFrame:
     rows = []
     # 5 well-separated PNGs + 5 FEATURE-duplicate partners: ids 100..104
@@ -46,9 +52,17 @@ def _corpus() -> pd.DataFrame:
         rows.append((i, _tone_png(lv, 10 + i, 12 + i)))
     for j, lv in enumerate(_LEVELS):
         rows.append((100 + j, _tone_png(lv, 30 + j, 8 + j)))
-    # JPEG shells: one in-window, one oversized (triage-dropped)
+    # JPEG shells: one in-window (header-valid, NO scan data -> real decode
+    # fails -> decode_ok=False passthrough survivor), one oversized
+    # (triage-dropped), one progressive (routed around the baseline decoder)
     rows.append((200, encode_jpeg_shell(640, 480, ncomp=3)))
     rows.append((201, encode_jpeg_shell(9000, 100, ncomp=3)))
+    rows.append((210, encode_jpeg_shell(320, 240, ncomp=3, progressive=True)))
+    # REAL baseline JPEGs: a constant-tone near-dup pair (same tone,
+    # different dims -> identical decoded features) + a distinct tone
+    rows.append((300, _tone_jpeg(48, 24, 18)))
+    rows.append((301, _tone_jpeg(48, 40, 30)))
+    rows.append((302, _tone_jpeg(208, 20, 20)))
     # tiny PNG (dim-filtered) and a non-media payload (format-filtered)
     rows.append((202, encode_png(np.zeros((2, 2), np.uint8))))
     rows.append((203, b"plain text, not an image"))
@@ -74,6 +88,8 @@ def test_media_triage_formats_and_dims(rd):
     assert by.loc[0, "fmt"] == "png" and by.loc[0, "width"] == 10
     assert by.loc[200, "fmt"] == "jpeg" and by.loc[200, "width"] == 640
     assert by.loc[201, "width"] == 9000  # triage reports, filter drops
+    assert by.loc[210, "fmt"] == "jpeg_progressive"  # SOF2 share observable
+    assert by.loc[300, "fmt"] == "jpeg" and by.loc[300, "width"] == 24
     assert by.loc[202, "width"] == 2
     assert by.loc[203, "fmt"] == "other" and by.loc[203, "width"] == -1
 
@@ -94,14 +110,24 @@ def test_media_curation_drops_planted_dups_and_is_partition_invariant(rd):
     # every planted exact-dup pair lost its HIGHER id (min-id wins)
     for j in range(5):
         assert j in ids and (100 + j) not in ids
-    # dim/format-filtered payloads are gone; the in-window JPEG passed
-    # through (no pixel decode path for JPEG in-sandbox)
-    assert 200 in ids and 201 not in ids and 202 not in ids and 203 not in ids
+    # the planted JPEG near-dup pair went through the REAL baseline decode
+    # and lost its higher id too; the distinct-tone JPEG survived
+    assert 300 in ids and 301 not in ids and 302 in ids
+    # the scan-less shell is header-valid but undecodable: it survives as
+    # a decode_ok=False passthrough instead of killing the pipeline
+    assert 200 in ids
+    # the progressive JPEG routed around the decoder, observably
+    assert 210 in ids
+    assert a.set_index("doc_id").loc[210, "fmt"] == "jpeg_progressive"
+    # dim/format-filtered payloads are gone
+    assert 201 not in ids and 202 not in ids and 203 not in ids
     assert set(a.columns) == {"doc_id", "fmt", "width", "height"}
     # report monotonicity: input >= in_window >= survivors
     assert rpt["input"] == len(df)
     assert rpt["input"] >= rpt["in_window"] >= rpt["survivors"]
-    assert rpt["neardup_pairs"] >= 5
+    assert rpt["neardup_pairs"] >= 6
+    assert rpt["decode_failed"] == 1        # the scan-less shell
+    assert rpt["routed_around"] == 1        # the progressive JPEG
     # every well-separated PNG survived (no false-positive drops at 0.98:
     # max distinct-pair cosine is ~0.40 by construction)
     assert all(i in ids for i in range(5))
