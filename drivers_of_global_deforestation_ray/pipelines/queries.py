@@ -1347,16 +1347,24 @@ def q_kcore(sf_dir: str):
 
 def q_connected_components(sf_dir: str):
     """Connected components over a derived web-link graph
-    (``stages/dedup.connected_components_distributed``: min-label
-    propagation with pointer jumping — two hash joins + one grouped min per
-    round, O(log diameter) rounds, driver sees only a changed-count scalar).
+    (``stages/graph.connected_components_pinned``: min-label propagation
+    with pointer jumping on PINNED edge shards — the edge table is
+    co-partitioned to storage once, each superstep ships node-bounded
+    (id, label) int64 partials between actors, O(log diameter) rounds,
+    driver sees only a changed-count scalar.  Replaces the join-loop
+    variant that spun ~5 shuffle operators per round — measured 35-39 s ->
+    ~2 s at sf0.01; the Dataset-op fallback stays in ``stages/dedup.py``
+    with a parity pytest).
 
     The edge rule keeps components small (8-node chains plus sparse cross
     links) so the DuckDB recursive-CTE closure oracle stays cheap while the
     merges are non-trivial.  Labels are component-min node ids — integer and
     partitioning-invariant, so the driver hash-matches the SQL twin
     exactly."""
-    from ..stages.dedup import connected_components_distributed
+    import shutil
+    import tempfile
+
+    from ..stages.graph import connected_components_pinned
 
     docs = _read(sf_dir, "documents", ["doc_id"])
     n = docs.count()
@@ -1371,7 +1379,12 @@ def q_connected_components(sf_dir: str):
         })
 
     pairs = docs.map_batches(_edges, batch_format="pandas")
-    return connected_components_distributed(pairs, num_partitions=4)
+    work = tempfile.mkdtemp(prefix="graft_cc_", dir="/tmp")
+    try:
+        return connected_components_pinned(pairs, work,
+                                           num_shards=4).materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_triangle_count(sf_dir: str):

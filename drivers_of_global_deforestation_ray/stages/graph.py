@@ -29,8 +29,8 @@ from ray.data import Dataset
 from .relational import (copart_join, grouped_agg, grouped_transform, hash_join,
                          union_all)
 
-__all__ = ["pagerank_fixed_point", "pagerank_pinned", "triangle_counts",
-           "kcore_nodes"]
+__all__ = ["pagerank_fixed_point", "pagerank_pinned",
+           "connected_components_pinned", "triangle_counts", "kcore_nodes"]
 
 
 def pagerank_fixed_point(
@@ -262,6 +262,177 @@ def pagerank_pinned(
         out_dir = _os.path.join(work_dir, "ranks")
         _os.makedirs(out_dir, exist_ok=True)
         _ray.get([a.write_result.remote(out_dir, node_col) for a in actors])
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir)
+
+
+@_ray.remote
+class _CCShard:
+    """One connected-components shard: owns the symmetrized edges with
+    ``node % P == p`` and those nodes' labels ACROSS supersteps — the edge
+    table is co-partitioned to storage ONCE (the pagerank_pinned pattern:
+    join-loop rebuilt ~5 shuffle operators per round; pinned shards move
+    only node-bounded (id, label) int64 partials).  All updates are mins of
+    int64 node ids — deterministic at any sharding."""
+
+    def __init__(self, shard_idx: int, num_shards: int, edge_dir: str):
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(_os.path.join(edge_dir, "*.parquet")))
+        if files:
+            t = pq.read_table(files, columns=["node", "nbr"])
+            node = t["node"].to_numpy().astype(np.int64)
+            nbr = t["nbr"].to_numpy().astype(np.int64)
+        else:
+            node = nbr = np.empty(0, np.int64)
+        order = np.argsort(node, kind="stable")
+        self.node, self.nbr = node[order], nbr[order]
+        self.p, self.np_ = shard_idx, num_shards
+        # init: label = min(self, neighbors) — edges are symmetrized, so
+        # every endpoint appears as a 'node' row in exactly one shard
+        self.ids = np.unique(self.node)
+        self.label = self.ids.copy()
+        if len(self.node):
+            pos = np.searchsorted(self.ids, self.node)
+            np.minimum.at(self.label, pos, self.nbr)
+        self._start = self.label.copy()
+
+    def nbr_candidates(self) -> list:
+        """Superstep phase 1: for each edge, my node's label is a candidate
+        for the neighbor — partial-min by neighbor, split by its shard."""
+        import numpy as np
+
+        self._start = self.label.copy()
+        if not len(self.node):
+            return [(np.empty(0, np.int64), np.empty(0, np.int64))] * self.np_
+        c = self.label[np.searchsorted(self.ids, self.node)]
+        uniq, inv = np.unique(self.nbr, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, c)
+        shard = uniq % self.np_
+        return [(uniq[shard == q], mins[shard == q]) for q in range(self.np_)]
+
+    def apply_candidates(self, partial_lists: list) -> list:
+        """Phase 2: fold in neighbor mins, then emit pointer-jump REQUESTS —
+        the unique label values whose owners must report label[label[n]],
+        split by owner shard.  (Labels are always ids of same-component
+        nodes, so every request has an owner.)"""
+        import numpy as np
+
+        for ids, mins in partial_lists:
+            if len(ids):
+                pos = np.searchsorted(self.ids, ids)
+                self.label[pos] = np.minimum(self.label[pos], mins)
+        want = np.unique(self.label)
+        shard = want % self.np_
+        return [want[shard == q] for q in range(self.np_)]
+
+    def answer_jumps(self, request_lists: list) -> list:
+        """Phase 3: answer (m, label[m]) for each requested id m I own,
+        addressed back to the requesting shard."""
+        import numpy as np
+
+        out = []
+        for ids in request_lists:
+            if len(ids):
+                pos = np.searchsorted(self.ids, ids)
+                out.append((ids, self.label[pos]))
+            else:
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+        return out
+
+    def apply_jumps(self, reply_lists: list) -> int:
+        """Phase 4: label[n] <- min(label[n], label[label[n]]) — the pointer
+        jump that makes convergence O(log diameter).  Returns this round's
+        changed-count (one scalar to the driver)."""
+        import numpy as np
+
+        ms = np.concatenate([r[0] for r in reply_lists])
+        ls = np.concatenate([r[1] for r in reply_lists])
+        if len(ms):
+            order = np.argsort(ms, kind="stable")
+            ms, ls = ms[order], ls[order]
+            self.label = np.minimum(self.label,
+                                    ls[np.searchsorted(ms, self.label)])
+        return int((self.label != self._start).sum())
+
+    def write_result(self, out_dir: str) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = _os.path.join(out_dir, f"shard-{self.p:05d}.parquet")
+        pq.write_table(pa.table({"node": self.ids, "label": self.label}), path)
+        return path
+
+
+def connected_components_pinned(
+    pairs: Dataset,
+    work_dir: str,
+    num_shards: int = 8,
+    max_rounds: int = 64,
+) -> Dataset:
+    """Connected components (min-label + pointer jumping) on PINNED edge
+    shards — the scale path for
+    :func:`~.dedup.connected_components_distributed`, whose join-loop
+    spins ~5 shuffle operators per round on a re-materialized label table
+    (measured 35-39 s at sf0.01; same cure as ``pagerank_pinned``'s 5.5x).
+
+    The (a, b) pair set is symmetrized and co-partitioned ONCE by
+    ``node % num_shards`` into parquet under ``work_dir`` (streaming write);
+    each :class:`_CCShard` actor pins its shard across supersteps.  One
+    round = neighbor-min partials + a pointer-jump request/reply — four
+    actor barriers shipping node-bounded int64 tables, no Dataset operator
+    spin-up, O(log diameter) rounds, driver sees one scalar per round.
+
+    Output (node, label=component-min id), only nodes appearing in a pair —
+    identical to the Dataset-op variant (shared pytest + SQL oracle)."""
+
+    def _sym(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"node": np.concatenate([a, b]),
+                            "nbr": np.concatenate([b, a])})
+        out["__shard"] = out["node"].to_numpy() % num_shards
+        return out
+
+    e_dir = _os.path.join(work_dir, "cc_edges")
+    pairs.select_columns(["a", "b"]).map_batches(
+        _sym, batch_format="pandas").write_parquet(
+        e_dir, partition_cols=["__shard"])
+
+    actors = [_CCShard.remote(p, num_shards,
+                              _os.path.join(e_dir, f"__shard={p}"))
+              for p in range(num_shards)]
+    try:
+        for rnd in range(max_rounds):
+            sends = _ray.get([a.nbr_candidates.remote() for a in actors])
+            reqs = _ray.get(
+                [a.apply_candidates.remote([sends[p][q]
+                                            for p in range(num_shards)])
+                 for q, a in enumerate(actors)])
+            replies = _ray.get(
+                [a.answer_jumps.remote([reqs[p][q]
+                                        for p in range(num_shards)])
+                 for q, a in enumerate(actors)])
+            changed = sum(_ray.get(
+                [a.apply_jumps.remote([replies[p][q]
+                                       for p in range(num_shards)])
+                 for q, a in enumerate(actors)]))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {max_rounds} rounds")
+        out_dir = _os.path.join(work_dir, "cc_labels")
+        _os.makedirs(out_dir, exist_ok=True)
+        _ray.get([a.write_result.remote(out_dir) for a in actors])
     finally:
         for a in actors:
             _ray.kill(a)

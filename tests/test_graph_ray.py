@@ -217,3 +217,70 @@ def test_kcore_matches_reference(rd):
     got = kcore_nodes(rd.from_pandas(df).repartition(4), k=6,
                       num_partitions=4).to_pandas()
     assert len(got) == 0
+
+
+def test_connected_components_pinned_matches_dataset_variant(rd, tmp_path):
+    """Pinned-shard BSP CC == the Dataset-op join-loop variant == a python
+    union-find, on a random graph with chains, cliques and singleton-free
+    edges; partition/shard-count invariant."""
+    from drivers_of_global_deforestation_ray.stages.dedup import (
+        connected_components_distributed)
+    from drivers_of_global_deforestation_ray.stages.graph import (
+        connected_components_pinned)
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 400, 300).astype(np.int64)
+    b = (a + rng.integers(1, 50, 300)) % 400
+    pairs = pd.DataFrame({"a": a, "b": b})
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = sorted(set(a) | set(b))
+    want = pd.DataFrame({"node": np.asarray(nodes, np.int64),
+                         "label": np.asarray([find(int(n)) for n in nodes],
+                                             np.int64)})
+
+    outs = []
+    for shards, sub in ((2, "p2"), (5, "p5")):
+        got = connected_components_pinned(
+            rd.from_pandas(pairs).repartition(3),
+            str(tmp_path / sub), num_shards=shards).to_pandas()
+        outs.append(got.sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # shard-count invariant
+    pd.testing.assert_frame_equal(outs[0], want)
+
+    # Dataset-op fallback parity on a smaller slice (its join-loop rounds
+    # cost ~10 s each; the pinned variant above is the scale path)
+    small = pairs.head(60)
+    sp = {}
+
+    def sfind(x):
+        r = x
+        while sp.get(r, r) != r:
+            r = sp[r]
+        return r
+
+    for x, y in zip(small["a"], small["b"]):
+        rx, ry = sfind(int(x)), sfind(int(y))
+        if rx != ry:
+            sp[max(rx, ry)] = min(rx, ry)
+    snodes = sorted(set(small["a"]) | set(small["b"]))
+    swant = pd.DataFrame({"node": np.asarray(snodes, np.int64),
+                          "label": np.asarray([sfind(int(n)) for n in snodes],
+                                              np.int64)})
+    ds_variant = (connected_components_distributed(
+        rd.from_pandas(small).repartition(3), num_partitions=2)
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ds_variant, swant)
