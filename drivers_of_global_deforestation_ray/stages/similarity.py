@@ -27,7 +27,8 @@ from ray.data import Dataset
 from .relational import grouped_agg, grouped_transform, hash_join
 
 __all__ = ["knn_brute", "knn_ivf", "embedding_neardup_pairs",
-           "embedding_neardup_lsh", "kmeans_assign", "semantic_dedup",
+           "embedding_neardup_lsh", "kmeans_assign", "kmeans_centroids",
+           "ivf_sample_centroids", "semantic_dedup",
            "pq_train_codebooks", "pq_encode", "pq_topk", "knn_ivfpq"]
 
 
@@ -539,6 +540,72 @@ def kmeans_assign(
     return ds.map_batches(_assign, batch_format="pandas"), cents
 
 
+def ivf_sample_centroids(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    sample_size: int = 65536,
+    iters: int = 8,
+) -> np.ndarray:
+    """IVF-style coarse-quantizer training on a BOUNDED deterministic
+    sample — the standard ANN discipline (FAISS trains IVF lists on ~50k
+    points regardless of corpus size): centroid QUALITY needs a
+    representative sample, not the corpus, so training cost is O(sample)
+    instead of ``iters`` full-corpus scans.
+
+    Sampling is hash-threshold (keep rows with ``md5_u32(id) < T``,
+    ``T ~ sample_size/N``): one filter scan, no sort, and the selected set
+    is a pure function of ids — partition/resume-invariant.  The sample
+    (bounded, ~``sample_size`` rows) is the ONE deliberate driver
+    materialization; Lloyd then runs driver-side on it in a fixed row
+    order (sorted by ``(md5, id)``), so the returned centroids are
+    bit-deterministic.  Ties in assignment resolve via the rounded-argmin
+    rule shared with :func:`_nearest_centroid`."""
+    import hashlib
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("ivf_sample_centroids: empty dataset")
+    frac = min(1.0, (sample_size * 1.25) / max(n, 1))
+    thresh = np.int64(frac * float(1 << 32))
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = np.fromiter((int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                         for i in ids), dtype=np.int64, count=len(ids))
+        keep = h < thresh
+        return df.loc[keep, [id_col, vec_col]].assign(__h=h[keep])
+
+    samp = (ds.map_batches(_pick, batch_format="pandas").to_pandas()
+            .sort_values(["__h", id_col], kind="stable")
+            .head(sample_size))
+    if len(samp) < k:
+        raise ValueError(
+            f"ivf_sample_centroids: sample {len(samp)} < k={k}; raise "
+            f"sample_size or lower k")
+    X = np.stack(samp[vec_col].to_numpy()).astype(np.float64)
+    # spread init: every (len/k)-th sample row in hash order
+    C = X[np.linspace(0, len(X) - 1, k).astype(np.int64)].copy()
+    # assignment is CHUNKED: a full (sample, k) float64 distance matrix at
+    # k~1000 is ~0.5 GB of fresh temps per Lloyd iteration (measured 3-4x
+    # slower than cache-sized chunks); chunking changes nothing numerically
+    # (_nearest_centroid is per-row)
+    chunk = 4096
+    a = np.empty(len(X), np.int64)
+    for _ in range(iters):
+        for i in range(0, len(X), chunk):
+            a[i:i + chunk] = _nearest_centroid(X[i:i + chunk], C)
+        # vectorized Lloyd update: one scatter-add pass (a per-cluster
+        # boolean-mask loop is O(n*k) and dominates at k~1000)
+        sums = np.zeros((k, X.shape[1]), dtype=np.float64)
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=k)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
+    return C
+
+
 def semantic_dedup(
     ds: Dataset,
     vec_col: str = "embedding",
@@ -550,6 +617,7 @@ def semantic_dedup(
     round_to: int = 6,
     max_cluster_rows: int = 200_000,
     num_partitions: int = 32,
+    sample_size: int = 65536,
 ) -> Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     embedding space into clusters, then drop every item whose cosine to a
@@ -565,9 +633,16 @@ def semantic_dedup(
     DuckDB oracle (the ``media_png_real`` discipline, applied to a
     clustering pipeline).
     ``trainer="kmeans"``: the distributed fixed-point Lloyd trainer
-    (:func:`kmeans_centroids`) with min-squared-distance assignment — the
-    production path (partition-invariant, nothing corpus-sized on the
-    driver), rows-only checkable (iterative Lloyd is not SQL).
+    (:func:`kmeans_centroids`) with min-squared-distance assignment —
+    partition-invariant, nothing corpus-sized on the driver, rows-only
+    checkable (iterative Lloyd is not SQL), but each Lloyd iteration is a
+    full corpus scan.
+    ``trainer="ivf"``: the 100-TB path — the coarse quantizer trains on a
+    bounded deterministic sample (:func:`ivf_sample_centroids`, the FAISS
+    IVF discipline), so at the paper's k ~ N/1000 shape training costs
+    O(sample) instead of ``iters`` corpus scans; assignment and everything
+    downstream are identical to the kmeans path (deterministic,
+    partition-invariant, rows-only checkable).
 
     Scale shape: centroid selection is a per-block top-k merge (k rows ever
     reach the driver); assignment is one stateless broadcast pass; the
@@ -585,10 +660,14 @@ def semantic_dedup(
 
     from .dedup import drop_ids
 
-    if trainer not in ("anchor", "kmeans"):
-        raise ValueError(f"trainer must be 'anchor' or 'kmeans', got {trainer!r}")
+    if trainer not in ("anchor", "kmeans", "ivf"):
+        raise ValueError(
+            f"trainer must be 'anchor', 'kmeans' or 'ivf', got {trainer!r}")
     if trainer == "kmeans":
         cents = kmeans_centroids(ds, vec_col, id_col, k=num_clusters, iters=iters)
+    elif trainer == "ivf":
+        cents = ivf_sample_centroids(ds, vec_col, id_col, k=num_clusters,
+                                     sample_size=sample_size)
     else:
         def _head(df: pd.DataFrame) -> pd.DataFrame:
             return df.sort_values(id_col, kind="stable").head(num_clusters)[

@@ -866,3 +866,25 @@ def test_pq_refine_recovers_exact_topk(rd):
     ivf = ivf.sort_values(["query_id", "dist", "vec_id"]).reset_index(drop=True)
     # all buckets probed + full refine -> also exactly brute
     pd.testing.assert_frame_equal(ivf, exact)
+
+
+def test_semantic_dedup_ivf_trainer_path(rd, vectors):
+    """trainer='ivf': sample-trained coarse quantizer — planted near-dup
+    pairs (cosine 0.999+) are co-clustered by any Lloyd outcome, lose their
+    higher id, and the result is partition-invariant."""
+    outs = []
+    for parts in (2, 7):
+        ds = rd.from_pandas(vectors).repartition(parts)
+        out = S.semantic_dedup(ds, num_clusters=4, threshold=0.95,
+                               trainer="ivf", sample_size=200).to_pandas()
+        outs.append(sorted(out["vec_id"]))
+    assert outs[0] == outs[1]
+    kept = set(outs[0])
+    assert {0, 1, 2, 3, 4} <= kept
+    assert not ({395, 396, 397, 398, 399} & kept)
+
+    with pytest.raises(ValueError, match="sample"):
+        S.semantic_dedup(rd.from_pandas(vectors), num_clusters=300,
+                         trainer="ivf", sample_size=100).to_pandas()
+    with pytest.raises(ValueError, match="trainer"):
+        S.semantic_dedup(rd.from_pandas(vectors), trainer="bogus").to_pandas()
