@@ -445,6 +445,8 @@ def run_flagship_checkpointed(
     ckpt_root: str,
     num_shards: int = 8,
     out_dir: str | None = None,
+    bucket_final: bool = False,
+    num_buckets: int = 32,
 ) -> Dataset:
     """Resumable flagship (north rule: per-partition lineage + metrics).
 
@@ -457,7 +459,15 @@ def run_flagship_checkpointed(
     Partial aggregates are associative, so the final combine over checkpoint
     files is exact.  The tile-level tail (featurize -> score -> vote ->
     smooth) is orders of magnitude cheaper than the page scan and recomputes.
-    """
+
+    ``bucket_final=True`` adopts the BUCKETED layout (``stages/bucketed.py``)
+    for the waist: each shard tags its partials with
+    ``__bucket = bucket_of(tile_id)`` and the checkpoint hive-partitions by
+    it, so the final combine reads one bucket ACROSS shards per task and
+    finalizes locally (:func:`~..stages.bucketed.bucketed_final_agg`) —
+    the ``grouped_agg_final`` all-to-all exchange is gone; the one
+    persisted layout serves both resume AND the co-located combine.
+    Result-identical to the shuffle path (parity pytest + recorded hash)."""
     import glob
 
     import ray.data as rd
@@ -478,14 +488,36 @@ def run_flagship_checkpointed(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
-        return grouped_agg_partial(per_page, ["tile_id"], _ZONAL_SPECS, cfg.batch_size)
+        partials = grouped_agg_partial(per_page, ["tile_id"], _ZONAL_SPECS,
+                                       cfg.batch_size)
+        if not bucket_final:
+            return partials
+        from ..stages.bucketed import bucket_of
+
+        def _tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["__bucket"] = bucket_of(df["tile_id"].to_numpy(), num_buckets)
+            return df
+
+        return partials.map_batches(_tag, batch_format="pandas")
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
-    ckpt = StageCheckpoint(ckpt_root, "page_tiles")
+    if bucket_final:
+        ckpt = StageCheckpoint(ckpt_root, f"page_tiles_b{num_buckets}",
+                               partition_cols=["__bucket"])
+    else:
+        ckpt = StageCheckpoint(ckpt_root, "page_tiles")
     ckpt.run(shard_files(files, num_shards), _stage)
 
-    partials = rd.read_parquet(ckpt.output_files())
-    per_tile = grouped_agg_final(partials, ["tile_id"], _ZONAL_SPECS)
+    if bucket_final:
+        from ..stages.bucketed import bucketed_final_agg
+
+        per_tile = bucketed_final_agg(
+            ckpt.files_by_partition_value("__bucket"),
+            ["tile_id"], _ZONAL_SPECS)
+    else:
+        partials = rd.read_parquet(ckpt.output_files())
+        per_tile = grouped_agg_final(partials, ["tile_id"], _ZONAL_SPECS)
     return tiles_to_classes(per_tile, cfg, out_dir)
 
 

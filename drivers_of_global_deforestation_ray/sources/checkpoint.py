@@ -62,12 +62,19 @@ class PartitionRecord:
 class StageCheckpoint:
     """Checkpointed execution of ``stage_fn: list[files] -> Dataset`` per shard."""
 
-    def __init__(self, root: str, stage: str):
+    def __init__(self, root: str, stage: str,
+                 partition_cols: "list[str] | None" = None):
+        """``partition_cols``: hive-partition each shard's output by these
+        columns (``part=<i>/<col>=<v>/...``) — the bucketed-checkpoint
+        layout: when a stage tags rows with a key-hash bucket, the final
+        combine can read one bucket across ALL shards and aggregate it
+        locally, with no shuffle (see ``stages/bucketed.py``)."""
         import threading
 
         self.dir = os.path.join(root, stage)
         os.makedirs(self.dir, exist_ok=True)
         self.manifest_path = os.path.join(self.dir, "_manifest.jsonl")
+        self.partition_cols = list(partition_cols) if partition_cols else None
         self._lock = threading.Lock()  # concurrent run_partition threads
         self._done: dict[int, dict] = {}
         if os.path.exists(self.manifest_path):
@@ -97,18 +104,18 @@ class StageCheckpoint:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = stage_fn(input_files)
-        ds.write_parquet(tmp_dir)
+        if self.partition_cols:
+            ds.write_parquet(tmp_dir, partition_cols=self.partition_cols)
+        else:
+            ds.write_parquet(tmp_dir)
         wall = time.perf_counter() - t0
         # an all-filtered partition writes NO directory at all — still a
         # completed partition (0 rows), so record it rather than crash
         os.makedirs(tmp_dir, exist_ok=True)
         os.replace(tmp_dir, out_dir)
-        rows = sum(
-            _parquet_rows(os.path.join(out_dir, f)) for f in os.listdir(out_dir) if f.endswith(".parquet")
-        )
-        nbytes = sum(
-            os.path.getsize(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
-        )
+        out_parquet = _walk_parquet(out_dir)
+        rows = sum(_parquet_rows(f) for f in out_parquet)
+        nbytes = sum(os.path.getsize(f) for f in out_parquet)
         rec = PartitionRecord(
             partition=i,
             fingerprint=_fingerprint(input_files),
@@ -176,9 +183,33 @@ class StageCheckpoint:
     def output_files(self) -> list[str]:
         out = []
         for i in sorted(self._done):
-            d = self.partition_dir(i)
-            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
+            out.extend(_walk_parquet(self.partition_dir(i)))
         return out
+
+    def files_by_partition_value(self, col: str) -> "dict[str, list[str]]":
+        """Hive sub-partition value -> its parquet files ACROSS all shard
+        dirs (``part=*/<col>=<v>/*.parquet``) — the bucketed-final read
+        pattern: one entry is one task's whole (shuffle-free) input."""
+        out: dict[str, list[str]] = {}
+        prefix = f"{col}="
+        for i in sorted(self._done):
+            d = self.partition_dir(i)
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                if name.startswith(prefix):
+                    v = name[len(prefix):]
+                    out.setdefault(v, []).extend(
+                        _walk_parquet(os.path.join(d, name)))
+        return out
+
+
+def _walk_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _, names in os.walk(root):
+        out.extend(os.path.join(dirpath, n) for n in sorted(names)
+                   if n.endswith(".parquet"))
+    return sorted(out)
 
 
 def _parquet_rows(path: str) -> int:

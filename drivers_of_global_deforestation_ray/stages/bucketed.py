@@ -50,7 +50,8 @@ import pandas as pd
 import pyarrow.parquet as pq
 from ray.data import Dataset
 
-__all__ = ["write_bucketed", "bucketed_join", "bucketed_agg", "bucket_of"]
+__all__ = ["write_bucketed", "bucketed_join", "bucketed_agg",
+           "bucketed_final_agg", "bucket_of"]
 
 _MANIFEST = "_bucketing.json"
 _HASH_NAME = "fib2654435761_hi31"
@@ -283,3 +284,39 @@ def bucketed_agg(path: str, group_cols: "list[str]", specs: "dict",
         num_partitions or nb)
     return buckets.map_batches(_agg_bucket, batch_size=1,
                                batch_format="pandas")
+
+
+def bucketed_final_agg(files_by_bucket: "dict[str, list[str]]",
+                       keys: "list[str]", specs: "dict",
+                       num_partitions: "int | None" = None):
+    """Zero-shuffle FINAL combine over bucketed partial-aggregate files
+    (the :func:`~.relational.grouped_agg_partial` format): each work item
+    is one bucket's files across every producing shard — the key-hash
+    bucketing guarantees a group's partials all live in that one bucket,
+    so one local pandas groupby finalizes it (the
+    :func:`~.relational._final_partition` combine), replacing the
+    ``grouped_agg_final`` all-to-all exchange.
+
+    Pairs with ``StageCheckpoint(partition_cols=["__bucket"])``: shards
+    write ``part=<i>/__bucket=<b>/...`` and
+    ``files_by_partition_value("__bucket")`` yields this function's input.
+    Same storage contract as the rest of this module (paths visible to
+    every worker)."""
+    import ray.data as rd
+
+    from .relational import _final_partition
+
+    items = [{"files": json.dumps(v)} for _, v in
+             sorted(files_by_bucket.items())]
+    if not items:
+        raise ValueError("bucketed_final_agg: no bucket files")
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for files in df["files"].to_numpy():
+            t = _read_files(json.loads(files)).to_pandas()
+            frames.append(_final_partition(t, keys, specs))
+        return pd.concat(frames, ignore_index=True)
+
+    work = rd.from_items(items).repartition(num_partitions or len(items))
+    return work.map_batches(_finalize, batch_size=1, batch_format="pandas")

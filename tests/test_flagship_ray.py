@@ -113,7 +113,7 @@ def test_flagship_hex_matches_golden_exactly(pages_dir, miniworld):
         assert (eng[c].to_numpy() == gold[c].to_numpy()).all(), c  # bit-exact
 
 
-def test_flagship_hot_tile_skew_parity(miniworld, tmp_path):
+def test_flagship_hot_tile_skew_parity(ray_session, miniworld, tmp_path):
     """E2E skew: 30% of pages share ONE url (re-crawls) -> one hot tile.
     The two-phase zonal agg must still match the golden bit-exactly, at any
     batching — the partial agg bounds the hot tile to one row per block."""
@@ -137,7 +137,7 @@ def test_flagship_hot_tile_skew_parity(miniworld, tmp_path):
         assert (eng[c].to_numpy() == gold[c].to_numpy()).all(), c
 
 
-def test_flagship_checkpointed_parity_and_resume(miniworld, tmp_path):
+def test_flagship_checkpointed_parity_and_resume(ray_session, miniworld, tmp_path):
     import json
 
     d = tmp_path / "pages_sharded"
@@ -256,3 +256,46 @@ def test_flagship_hex_checkpointed_parity_and_resume(pages_dir, miniworld, tmp_p
     # one input file -> one shard; each line carries the lineage fields
     assert len(lines) >= 1
     assert all({"fingerprint", "rows", "bytes"} <= set(l) for l in lines)
+
+
+def test_flagship_checkpointed_bucketed_final_parity(ray_session, miniworld, tmp_path):
+    """bucket_final=True: shards hive-partition their tile partials by
+    bucket_of(tile_id); the final combine is per-bucket local (zero
+    exchange) and must equal both the shuffle-final checkpoint path and
+    the straight-through flagship, column for column."""
+    import json
+
+    d = tmp_path / "pages_bf"
+    d.mkdir()
+    total = 2400
+    for i in range(4):
+        t = pages_table(total // 4, seed=42, offset=i * (total // 4), total=total)
+        pq.write_table(t, str(d / f"part-{i}.parquet"))
+    cfg = FlagshipConfig(world_dir=miniworld["root"])
+    ckpt = str(tmp_path / "ckpt_bf")
+
+    bk = run_flagship_checkpointed(str(d), cfg, ckpt, num_shards=4,
+                                   bucket_final=True, num_buckets=8
+                                   ).to_pandas().sort_values("tile_id")
+    bk = bk.reset_index(drop=True)
+    st = run_flagship(str(d), cfg).to_pandas().sort_values("tile_id")
+    st = st.reset_index(drop=True)
+    for c in ENG_COLS + FLOAT_COLS:
+        assert (bk[c].to_numpy() == st[c].to_numpy()).all(), c
+
+    # the bucketed layout is on disk: part=<i>/__bucket=<b>/ dirs exist
+    parts = [p for p in os.listdir(os.path.join(ckpt, "page_tiles_b8"))
+             if p.startswith("part=")]
+    assert parts
+    sub = os.listdir(os.path.join(ckpt, "page_tiles_b8", parts[0]))
+    assert any(s.startswith("__bucket=") for s in sub)
+
+    # resume still works: rerun skips all shards, identical result
+    manifest = os.path.join(ckpt, "page_tiles_b8", "_manifest.jsonl")
+    recs1 = [json.loads(l) for l in open(manifest)]
+    bk2 = run_flagship_checkpointed(str(d), cfg, ckpt, num_shards=4,
+                                    bucket_final=True, num_buckets=8
+                                    ).to_pandas().sort_values("tile_id")
+    assert [json.loads(l) for l in open(manifest)] == recs1
+    assert (bk2.reset_index(drop=True)["class_final"].to_numpy()
+            == bk["class_final"].to_numpy()).all()
