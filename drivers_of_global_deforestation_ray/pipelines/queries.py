@@ -3552,42 +3552,16 @@ def _media_corpus(sf_dir: str):
     (header-valid, no scan data — they exercise the decode-failure
     passthrough), real PNG two-tone blocks (planted near-dup pairs:
     i%5==4 copies i-1's content), tiny PNGs (dim-filtered) and non-media
-    payloads (format-filtered)."""
-    from ..functions.jpeg import encode_jpeg
-    from ..functions.jpegmeta import encode_jpeg_shell
-    from ..functions.png import encode_png
+    payloads (format-filtered).  Payload scheme lives in
+    ``sources/mediafix.py`` (shared with the media scaling bench)."""
+    from ..sources.mediafix import synth_media_payloads
 
     docs = _read(sf_dir, "documents", ["doc_id"])
 
     def _mk(b: pa.Table) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy()
-        payloads = []
-        for i in ids:
-            i = int(i)
-            if i % 11 == 10:
-                payloads.append(b"not media " + str(i).encode())
-            elif i % 6 == 0:
-                # real baseline JPEG through the full decode -> LSH path
-                j = i - 6 if i % 30 == 24 else i  # planted near-dup partner
-                w, h = 16 + j % 48, 16 + j % 32
-                img = np.full((h, w), (j * 37) % 256, np.uint8)
-                img[: 1 + (j % 7) * h // 8, :] = (j * 91 + 64) % 256
-                payloads.append(encode_jpeg(img))
-            elif i % 3 == 0:
-                payloads.append(encode_jpeg_shell(64 + (i * 97) % 8000,
-                                                  32 + i % 2000, ncomp=3))
-            elif i % 7 == 6:
-                payloads.append(encode_png(np.full((2, 2), i % 256, np.uint8)))
-            else:
-                j = i - 1 if i % 5 == 4 else i  # planted near-dup partner
-                # two-tone blocks: base/top tones and split fraction vary
-                # per id, spreading the feature cosines (gradients would
-                # all near-dup each other)
-                w, h = 5 + j % 60, 7 + j % 40
-                img = np.full((h, w), (j * 37) % 256, np.uint8)
-                img[: 1 + (j % 7) * h // 8, :] = (j * 91 + 64) % 256
-                payloads.append(encode_png(img))
-        return pd.DataFrame({"doc_id": ids, "payload": payloads})
+        return pd.DataFrame({"doc_id": ids,
+                             "payload": synth_media_payloads(ids)})
 
     return docs.map_batches(_mk, batch_format="pyarrow")
 
