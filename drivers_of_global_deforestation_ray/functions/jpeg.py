@@ -13,8 +13,22 @@ web-crawl JPEG:
   200-2q convention), Annex-K Huffman tables, optional restart intervals;
 - decoder: any component count/sampling the baseline syntax allows
   (sampling factors 1-2), multiple DQT/DHT segments, DRI + RSTn restart
-  markers, stuffed-byte removal; progressive (SOF2) and arithmetic coding
-  raise ``NotImplementedError`` with explicit messages.
+  markers, stuffed-byte removal; arithmetic coding and hierarchical
+  modes raise ``NotImplementedError`` with explicit messages.
+
+Progressive DCT (SOF2, T.81 Annex G) is fully supported in the decoder —
+spectral selection, successive approximation (DC bit-plane refinement and
+the AC correction-bit protocol G.2), EOB runs, non-interleaved AC scans,
+restarts — and :func:`encode_jpeg_progressive` emits a multi-scan
+spectral-selection + successive-approximation stream (the libjpeg-style
+script: DC at Al=1 + refinement, per-component AC bands at Al=2 + two
+refinement passes).  Successive approximation reconstructs the EXACT
+quantized coefficients (two's-complement bit reassembly for DC,
+sign-magnitude for AC), so a progressive encode decodes bit-identically
+to the same image's baseline encode — the property the roundtrip tests
+pin.  The progressive encoder caps EOB runs at one block (symbol 0x00)
+so the published Annex-K tables suffice; the decoder accepts arbitrary
+EOBn runs as real files use them.
 
 The DCT runs batched over all 8x8 blocks at once (orthonormal basis-matrix
 sandwich, ``C @ blocks @ C.T`` — one matmul pair per plane, no per-pixel
@@ -34,7 +48,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
 
 # --------------------------------------------------------------------------
 # constant tables (ITU-T T.81 Annex K — published example tables)
@@ -375,9 +389,12 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JPEG."""
+def _prepare_frame(img: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: validate, color-convert, DCT+quantize.
+
+    Returns (h, w, gray, comps, coeffs, qt_l, qt_c) where ``comps`` is
+    [(hs, vs, qt_id)] and ``coeffs[ci]`` is (blocks_h, blocks_w, 64)
+    quantized ZIGZAG coefficients."""
     img = np.asarray(img, dtype=np.uint8)
     if subsample not in ("444", "420"):
         raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
@@ -388,8 +405,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
     if not (0 < h <= 65535 and 0 < w <= 65535):
         raise ValueError(f"dims out of JPEG range: {h}x{w}")
     qt_l, qt_c = _scaled_tables(quality)
-    dc_l, ac_l = _build_encode(_DC_LUMA), _build_encode(_AC_LUMA)
-    dc_c, ac_c = _build_encode(_DC_CHROMA), _build_encode(_AC_CHROMA)
 
     if gray:
         comps = [(1, 1, 0)]  # (hs, vs, qt_id)
@@ -404,11 +419,40 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
         planes = [_pad_to(y, 16, 16),
                   _pad_to(_box_half(cb), 8, 8), _pad_to(_box_half(cr), 8, 8)]
 
-    # per-component quantized zigzag coefficients, as (blocks_h, blocks_w, 64)
     coeffs = []
     for (hs, vs, qid), plane in zip(comps, planes):
         zz = _encode_plane_coeffs(plane, qt_l if qid == 0 else qt_c)
         coeffs.append(zz.reshape(plane.shape[0] // 8, plane.shape[1] // 8, 64))
+    return h, w, gray, comps, coeffs, qt_l, qt_c
+
+
+def _frame_headers(sof_marker: int, h: int, w: int, gray: bool, comps,
+                   qt_l: np.ndarray, qt_c: np.ndarray) -> bytearray:
+    """SOI + JFIF + DQT + SOFn + DHT marker prefix (tables are Annex K)."""
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qt_c[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (hs, vs, qid) in enumerate(comps):
+        sof += bytes([i + 1, (hs << 4) | vs, qid])
+    out += _seg(sof_marker, sof)
+    for cls, tid, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
+                                   (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
+        if gray and tid == 1:
+            continue
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as baseline JPEG."""
+    h, w, gray, comps, coeffs, qt_l, qt_c = _prepare_frame(
+        img, quality, subsample)
+    dc_l, ac_l = _build_encode(_DC_LUMA), _build_encode(_AC_LUMA)
+    dc_c, ac_c = _build_encode(_DC_CHROMA), _build_encode(_AC_CHROMA)
 
     hmax = max(c[0] for c in comps)
     vmax = max(c[1] for c in comps)
@@ -441,20 +485,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
     scan += bw.buf
 
     # ---- marker stream
-    out = bytearray(b"\xFF\xD8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist()))
-    if not gray:
-        out += _seg(0xDB, bytes([0x01]) + bytes(qt_c[ZIGZAG].tolist()))
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for i, (hs, vs, qid) in enumerate(comps):
-        sof += bytes([i + 1, (hs << 4) | vs, qid])
-    out += _seg(0xC0, sof)
-    for cls, tid, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA),
-                                   (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)):
-        if gray and tid == 1:
-            continue
-        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    out = _frame_headers(0xC0, h, w, gray, comps, qt_l, qt_c)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
@@ -464,6 +495,220 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: str = "444",
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
     out += scan
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G — spectral selection + successive
+# approximation)
+# --------------------------------------------------------------------------
+
+def _write_block_dc_first(bw: _BitWriter, dc: int, pred: int, al: int,
+                          dc_tab: dict) -> int:
+    """DC first scan: diff-code the point-transformed DC (arith shift)."""
+    v = dc >> al  # two's-complement arithmetic shift (G.1.2.1)
+    diff = v - pred
+    size = abs(diff).bit_length()
+    code, nb = dc_tab[size]
+    bw.write(code, nb)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    return v
+
+
+def _write_block_ac_first(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                          al: int, ac_tab: dict) -> None:
+    """AC first scan over band [ss, se]: sign-magnitude point transform,
+    EOB runs capped at one block (symbol 0x00) so Annex-K tables apply."""
+    prev = ss - 1
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v > 0 else -1)
+        if t == 0:
+            continue
+        run = k - prev - 1
+        while run >= 16:
+            zc, zn = ac_tab[0xF0]  # ZRL
+            bw.write(zc, zn)
+            run -= 16
+        size = abs(t).bit_length()
+        code, nb = ac_tab[(run << 4) | size]
+        bw.write(code, nb)
+        bw.write(t if t > 0 else t + (1 << size) - 1, size)
+        prev = k
+    if prev != se:
+        code, nb = ac_tab[0x00]  # EOB (run of exactly this block)
+        bw.write(code, nb)
+
+
+def _write_block_ac_refine(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                           al: int, ac_tab: dict) -> None:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients are
+    coded (run << 4) | 1 + sign bit, where the run counts ZERO-history
+    positions only; correction bits of already-nonzero coefficients passed
+    en route buffer up and flush after the next symbol (the libjpeg BE
+    protocol); a trailing EOB flushes the rest."""
+    band = [(abs(int(zz[k])) >> al, int(zz[k]) > 0) for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-significant coefficient
+    for i, (t, _pos) in enumerate(band):
+        if t == 1:
+            eob = i + 1
+    run = 0
+    pending: "list[int]" = []  # buffered correction bits
+    for i in range(eob):
+        t, pos = band[i]
+        if t == 0:
+            run += 1
+            continue
+        # ZRL check happens at EVERY nonzero visit (correction bits flushed
+        # with the ZRL must be exactly those the decoder's post-ZRL walk
+        # consumes — the libjpeg BE protocol)
+        while run > 15:
+            zc, zn = ac_tab[0xF0]
+            bw.write(zc, zn)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # already significant in a previous scan: correction bit
+            pending.append(t & 1)
+            continue
+        # t == 1: newly significant here
+        code, nb = ac_tab[(run << 4) | 1]
+        bw.write(code, nb)
+        bw.write(1 if pos else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if eob != len(band):
+        # correction bits beyond the last newly-significant coefficient
+        for i in range(eob, len(band)):
+            t, _pos = band[i]
+            if t > 1:
+                pending.append(t & 1)
+        code, nb = ac_tab[0x00]  # EOB
+        bw.write(code, nb)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """Encode as progressive JPEG (SOF2) with the libjpeg-style scan script:
+
+    1. DC, all components interleaved, Al=1
+    2. per component: AC band 1-5 first scan, Al=2
+    3. per component: AC band 6-63 first scan, Al=2
+    4. per component: AC band 1-63 refinement, Ah=2 -> Al=1
+    5. per component: AC band 1-63 refinement, Ah=1 -> Al=0
+    6. DC refinement, all components interleaved, Ah=1 -> Al=0
+
+    Successive approximation reconstructs the exact quantized coefficients,
+    so ``decode_jpeg`` returns pixels bit-identical to the same image's
+    ``encode_jpeg`` baseline stream at equal quality/subsampling.
+
+    ``restart_interval`` (in scan units: MCUs for the interleaved DC scans,
+    blocks for the non-interleaved AC scans) inserts RSTn markers into every
+    scan, resetting DC predictors per T.81 F.2.1.3.1."""
+    h, w, gray, comps, coeffs, qt_l, qt_c = _prepare_frame(
+        img, quality, subsample)
+    dc_l, ac_l = _build_encode(_DC_LUMA), _build_encode(_AC_LUMA)
+    dc_c, ac_c = _build_encode(_DC_CHROMA), _build_encode(_AC_CHROMA)
+    nc = len(comps)
+    tabs = [(dc_l, ac_l) if i == 0 or gray else (dc_c, ac_c)
+            for i in range(nc)]
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # true (non-MCU-padded) per-component block dims for non-interleaved scans
+    nblocks = []
+    for hs, vs, _q in comps:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+
+    out = _frame_headers(0xC2, h, w, gray, comps, qt_l, qt_c)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    def _sos(comp_ids, ss, se, ah, al, table_ids) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for ci, tid in zip(comp_ids, table_ids):
+            sos += bytes([ci + 1, tid])
+        return _seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+
+    class _Scan:
+        """Entropy stream of one scan: RSTn every restart_interval units."""
+
+        def __init__(self) -> None:
+            self.body = bytearray()
+            self.bw = _BitWriter()
+            self.n = 0
+            self.rst = 0
+
+        def boundary(self) -> bool:
+            """Advance the unit counter; True = predictors must reset."""
+            if (restart_interval and self.n
+                    and self.n % restart_interval == 0):
+                self.bw.byte_align()
+                self.body += self.bw.buf
+                self.body += bytes([0xFF, 0xD0 + self.rst])
+                self.rst = (self.rst + 1) % 8
+                self.bw = _BitWriter()
+                self.n += 1
+                return True
+            self.n += 1
+            return False
+
+        def finish(self) -> bytearray:
+            self.bw.byte_align()
+            self.body += self.bw.buf
+            return self.body
+
+    # ---- DC scans, interleaved: first at Al=1, refinement to Al=0
+    for ah, al in ((0, 1), (1, 0)):
+        out += _sos(range(nc), 0, 0, ah, al,
+                    [0x00 if (i == 0 or gray or ah) else 0x11
+                     for i in range(nc)])
+        sc = _Scan()
+        preds = [0] * nc
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if sc.boundary():
+                    preds = [0] * nc
+                for ci, (hs, vs, _q) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = int(coeffs[ci][my * vs + by, mx * hs + bx, 0])
+                            if ah == 0:
+                                preds[ci] = _write_block_dc_first(
+                                    sc.bw, dc, preds[ci], al, tabs[ci][0])
+                            else:
+                                sc.bw.write(dc & 1, 1)
+        out += sc.finish()
+        if ah == 0:
+            # ---- AC scans per component: two first-scan bands at Al=2,
+            # then two full-band refinement passes down to Al=0
+            for ss, se, sah, sal in ((1, 5, 0, 2), (6, 63, 0, 2),
+                                     (1, 63, 2, 1), (1, 63, 1, 0)):
+                for ci in range(nc):
+                    tid = 0x00 if (ci == 0 or gray) else 0x01
+                    out += _sos([ci], ss, se, sah, sal, [tid])
+                    sc = _Scan()
+                    bh, bwid = nblocks[ci]
+                    write = (_write_block_ac_first if sah == 0
+                             else _write_block_ac_refine)
+                    for by in range(bh):
+                        for bx in range(bwid):
+                            sc.boundary()  # AC scans carry no predictor
+                            write(sc.bw, coeffs[ci][by, bx], ss, se, sal,
+                                  tabs[ci][1])
+                    out += sc.finish()
+
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
 
@@ -483,13 +728,16 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W, C) uint8 (C=1 grayscale, C=3 RGB)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to (H, W, C)
+    uint8 (C=1 grayscale, C=3 RGB)."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qts: "dict[int, np.ndarray]" = {}
     huff: "dict[tuple[int, int], dict]" = {}
     frame = None
+    progressive = False
+    stores = None  # progressive: per-component zigzag coefficient arrays
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -499,6 +747,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            if progressive and stores is not None:
+                return _assemble(frame, stores, qts)
             raise ValueError("EOI before SOS")
         (seglen,) = struct.unpack_from(">H", data, pos)
         payload = data[pos + 2 : pos + seglen]
@@ -526,7 +776,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", payload)
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -535,22 +785,32 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, sf, qid = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, sf >> 4, sf & 0x0F, qid))
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"SOF{marker - 0xC0} coding process")
-        elif marker == 0xDA:  # SOS — baseline: one interleaved scan follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
             scan_tabs = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tt = payload[1 + 2 * i : 3 + 2 * i]
                 scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(data, pos, frame, qts, huff, scan_tabs,
-                                restart_interval)
-    raise ValueError("no scan data (missing SOS)")
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            if not progressive:
+                # baseline: exactly one interleaved full-band scan
+                return _decode_scan(data, pos, frame, qts, huff, scan_tabs,
+                                    restart_interval)
+            ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+            if stores is None:
+                stores = _alloc_stores(frame)
+            pos = _decode_prog_scan(data, pos, frame, stores, huff,
+                                    scan_comps, ss, se, a >> 4, a & 0x0F,
+                                    restart_interval)
+    raise ValueError("no scan data (missing SOS)" if not progressive
+                     else "progressive stream missing EOI")
 
 
 def _decode_scan(data: bytes, pos: int, frame, qts, huff, scan_tabs,
@@ -581,7 +841,14 @@ def _decode_scan(data: bytes, pos: int, frame, qts, huff, scan_tabs,
                         blk = stores[ci][my * vs + by, mx * hs + bx]
                         preds[ci] = _read_block(rd, preds[ci], *luts[ci], blk)
             n_mcu += 1
-    # transform back, upsample, assemble
+    return _assemble(frame, stores, qts)
+
+
+def _assemble(frame, stores, qts) -> np.ndarray:
+    """Dequantize + inverse DCT + chroma upsample + color convert."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for (cid, hs, vs, qid), st in zip(comps, stores):
         bh, bw_ = st.shape[0], st.shape[1]
@@ -595,3 +862,203 @@ def _decode_scan(data: bytes, pos: int, frame, qts, huff, scan_tabs,
     if len(planes) == 3:
         return _ycbcr_to_rgb(*planes)
     return np.stack(planes, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# progressive decoder (T.81 Annex G.2)
+# --------------------------------------------------------------------------
+
+def _alloc_stores(frame) -> "list[np.ndarray]":
+    """Per-component MCU-padded (blocks_y, blocks_x, 64) zigzag coefficient
+    arrays, accumulated across scans."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    return [np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int32)
+            for _cid, hs, vs, _qid in comps]
+
+
+def _true_blocks(frame, ci: int) -> "tuple[int, int]":
+    """True (non-MCU-padded) block dims of component ci — the unit grid of
+    non-interleaved scans (T.81 A.2.2)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _cid, hs, vs, _qid = comps[ci]
+    cw = -(-fw * hs // hmax)
+    ch = -(-fh * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past any entropy-data remainder to the next non-RST marker."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("unterminated progressive scan")
+
+
+def _read_block_ac_first(rd: _BitReader, out: np.ndarray, ss: int, se: int,
+                         al: int, ac_lut: dict) -> int:
+    """One block of an AC first scan (G.2.2); returns the remaining EOB run
+    (blocks after this one that are entirely end-of-band)."""
+    k = ss
+    while k <= se:
+        rs = _symbol(rd, ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        out[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _read_block_ac_refine(rd: _BitReader, out: np.ndarray, ss: int, se: int,
+                          al: int, ac_lut: dict, eobrun: int) -> int:
+    """One block of an AC refinement scan (G.2.3: correction bits for
+    already-nonzero coefficients, (run<<4)|1 + sign for newly-significant
+    ones, EOB runs); returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        hit_eob = False
+        while k <= se:
+            rs = _symbol(rd, ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    # EOBn covers THIS block too: its remaining nonzero
+                    # coefficients still take correction bits (below)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    hit_eob = True
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if rd.bit() else m1
+            # advance: run counts zero-history positions only; nonzero-history
+            # positions passed en route consume a correction bit each
+            while k <= se:
+                if out[k] != 0:
+                    if rd.bit() and (out[k] & p1) == 0:
+                        out[k] += p1 if out[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                out[k] = newval
+            k += 1
+        if not hit_eob:
+            return 0  # band fully coded, no EOB run
+    # end-of-band region: correction bits for every remaining nonzero
+    # coefficient of this block; the run covers eobrun-1 MORE whole blocks
+    for kk in range(k, se + 1):
+        if out[kk] != 0:
+            if rd.bit() and (out[kk] & p1) == 0:
+                out[kk] += p1 if out[kk] >= 0 else m1
+    return eobrun - 1
+
+
+def _decode_prog_scan(data: bytes, pos: int, frame, stores, huff,
+                      scan_comps, ss: int, se: int, ah: int, al: int,
+                      restart_interval: int) -> int:
+    """Decode one progressive scan into the coefficient stores; returns the
+    byte position of the next marker."""
+    fh, fw, comps = frame
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    rd = _BitReader(data, pos)
+    if ss == 0:  # ---- DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        members = []  # (ci, hs, vs, dc_lut|None)
+        for cid, dc_tid, _ac_tid in scan_comps:
+            ci = cid_to_ci[cid]
+            _c, hs, vs, _q = comps[ci]
+            lut = huff[(0, dc_tid)] if ah == 0 else None
+            members.append((ci, hs, vs, lut))
+        if len(scan_comps) == 1:
+            # non-interleaved: iterate the single component's true blocks
+            ci, _hs, _vs, lut = members[0]
+            bh, bw_ = _true_blocks(frame, ci)
+            units = [(ci, by, bx, lut) for by in range(bh)
+                     for bx in range(bw_)]
+        else:
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    mcu = []
+                    for ci, hs, vs, lut in members:
+                        for by in range(vs):
+                            for bx in range(hs):
+                                mcu.append((ci, my * vs + by, mx * hs + bx,
+                                            lut))
+                    units.append(mcu)
+        preds = {ci: 0 for ci, *_rest in members}
+        n = 0
+        for unit in (units if len(scan_comps) > 1 else [[u] for u in units]):
+            if restart_interval and n and n % restart_interval == 0:
+                rd.restart()
+                preds = {ci: 0 for ci in preds}
+            for ci, by, bx, lut in unit:
+                blk = stores[ci][by, bx]
+                if ah == 0:  # first DC scan: diff-coded, point-transformed
+                    size = _symbol(rd, lut)
+                    preds[ci] += _extend(rd.bits(size), size) if size else 0
+                    blk[0] = preds[ci] << al
+                else:  # refinement: one raw bit per block
+                    blk[0] |= rd.bit() << al
+            n += 1
+    else:  # ---- AC scan: exactly one component, non-interleaved
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _dc_tid, ac_tid = scan_comps[0]
+        ci = cid_to_ci[cid]
+        ac_lut = huff[(1, ac_tid)]
+        bh, bw_ = _true_blocks(frame, ci)
+        eobrun = 0
+        n = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if restart_interval and n and n % restart_interval == 0:
+                    rd.restart()
+                    eobrun = 0
+                blk = stores[ci][by, bx]
+                if ah == 0:
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        eobrun = _read_block_ac_first(rd, blk, ss, se, al,
+                                                      ac_lut)
+                else:
+                    eobrun = _read_block_ac_refine(rd, blk, ss, se, al,
+                                                   ac_lut, eobrun)
+                n += 1
+    return _skip_to_marker(data, rd.pos)

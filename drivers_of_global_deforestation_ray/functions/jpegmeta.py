@@ -93,13 +93,18 @@ def jpeg_frame(data: bytes) -> "tuple[int, int, int, int]":
 
 
 def encode_jpeg_shell(width: int, height: int, ncomp: int = 3,
-                      progressive: bool = False) -> bytes:
-    """Structurally-valid JPEG header shell (no scan data) for fixtures."""
+                      progressive: bool = False,
+                      sof_marker: "int | None" = None) -> bytes:
+    """Structurally-valid JPEG header shell (no scan data) for fixtures.
+
+    ``sof_marker`` overrides the frame marker (e.g. 0xC3 for a lossless
+    shell exercising the ``jpeg_other`` triage class)."""
     app0 = b"JFIF\x00\x01\x02\x01\x00\x48\x00\x48\x00\x00"
     dqt = bytes([0]) + bytes(range(64))  # table 0, 64 fake entries
     comps = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp]) + comps
-    marker = 0xC2 if progressive else 0xC0
+    marker = sof_marker if sof_marker is not None else (
+        0xC2 if progressive else 0xC0)
 
     def seg(m: int, payload: bytes) -> bytes:
         return bytes([0xFF, m]) + struct.pack(">H", len(payload) + 2) + payload

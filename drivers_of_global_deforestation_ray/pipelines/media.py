@@ -11,13 +11,14 @@ near-dup-free survivor set — the :mod:`.pretrain` analog for media
          ``"jpeg_progressive"`` (SOF2 family) or ``"jpeg_other"``
          (lossless/arithmetic) — the routed-around share is OBSERVABLE
          per format, never silent
-      -> real pixel decode -> feature vector (PNG and baseline JPEG via
-         the from-scratch codecs; actor-pool ``media_features`` stage,
-         small batches — binary payloads are big; ``on_error="flag"``
-         survives corrupt/truncated payloads, which rejoin the survivor
-         set as ``decode_ok=False`` passthrough rows).  Progressive/other
-         JPEGs pass triage on dimensions alone and route AROUND the
-         decode (no near-dup removal for them — counted in the report)
+      -> real pixel decode -> feature vector (PNG, baseline AND
+         progressive JPEG via the from-scratch codecs; actor-pool
+         ``media_features`` stage, small batches — binary payloads are
+         big; ``on_error="flag"`` survives corrupt/truncated payloads,
+         which rejoin the survivor set as ``decode_ok=False`` passthrough
+         rows).  Residual JPEG coding processes (lossless/arithmetic,
+         ``jpeg_other``) pass triage on dimensions alone and route AROUND
+         the decode (no near-dup removal for them — counted in the report)
       -> embedding: seeded Johnson-Lindenstrauss projection of the
          feature vector (stateless, float64 index-order accumulation)
       -> ``embedding_neardup_lsh`` (bucketed hyperplane LSH, quantized
@@ -60,6 +61,7 @@ class MediaCurationConfig:
     min_dim: int = 8
     max_dim: int = 4096
     lsh_threshold: float = 0.98
+    lsh_margin: float = 0.02   # quantized-prefilter slack below threshold
     num_planes: int = 8
     num_tables: int = 16
     jl_dim: int = 8
@@ -134,14 +136,16 @@ def run_media_curation(ds: Dataset, cfg: "MediaCurationConfig | None" = None,
     in_window = triaged.filter(
         expr=f"width >= {cfg.min_dim} and height >= {cfg.min_dim} "
              f"and width <= {cfg.max_dim} and height <= {cfg.max_dim}")
-    # PNG + baseline JPEG go through the real pixel decode; progressive /
-    # other JPEG coding processes pass triage on dimensions alone and are
-    # routed around it — observably (their fmt survives into the output
-    # and the report counts them)
-    decodable = in_window.filter(expr="fmt == 'png' or fmt == 'jpeg'")
+    # PNG + baseline AND progressive JPEG go through the real pixel decode
+    # (T.81 SOF0/SOF2, both from-scratch); only the residual coding
+    # processes (lossless/arithmetic, fmt="jpeg_other") pass triage on
+    # dimensions alone and are routed around it — observably (their fmt
+    # survives into the output and the report counts them)
+    decodable = in_window.filter(
+        expr="fmt == 'png' or fmt == 'jpeg' or fmt == 'jpeg_progressive'")
     passthrough = in_window.filter(
-        expr="fmt != 'png' and fmt != 'jpeg'").select_columns(
-        [id_col, "fmt", "width", "height"])
+        expr="fmt != 'png' and fmt != 'jpeg' and fmt != 'jpeg_progressive'"
+    ).select_columns([id_col, "fmt", "width", "height"])
 
     # on_error="flag": a header-valid but undecodable payload (truncated
     # scan, corrupt entropy data — routine in a crawl) must not kill the
@@ -197,6 +201,7 @@ def run_media_curation(ds: Dataset, cfg: "MediaCurationConfig | None" = None,
     # where no loser id can ever match them, so they survive untouched
     pairs = embedding_neardup_lsh(
         embedded.filter(expr="decode_ok"), threshold=cfg.lsh_threshold,
+        margin=cfg.lsh_margin,
         num_planes=cfg.num_planes, num_tables=cfg.num_tables,
         vec_col="embedding", id_col=id_col,
         num_partitions=cfg.num_partitions)

@@ -1862,6 +1862,50 @@ def q_media_jpeg_real(sf_dir: str):
     return out.map_batches(_final, batch_format="pandas")
 
 
+def q_media_jpeg_progressive(sf_dir: str):
+    """REAL progressive-JPEG decode end-to-end (VERDICT r04 missing #3):
+    doc_id-seeded FLAT grayscale images are encoded as SOF2 multi-scan
+    streams (spectral selection + successive approximation,
+    ``functions/jpeg.encode_jpeg_progressive``) and decoded through the
+    same ``media_features(backend="real")`` actor pool as baseline JPEGs.
+    Successive approximation reconstructs the exact quantized
+    coefficients, and a flat block at quality=100 is pure DC on an
+    all-ones quant row — so the decoded pixel value is closed-form
+    SQL-checkable, exactly like ``media_jpeg_real``.  Every 3rd payload
+    gets restart markers (restart_interval=2), pinning the progressive
+    RSTn path at the driver gate too."""
+    from ..functions.jpeg import encode_jpeg_progressive
+    from ..stages.multimodal import media_features
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for i in ids:
+            w = 9 + int(i) % 52
+            h = 8 + int(i) % 37
+            img = np.full((h, w), int(i) % 256, np.uint8)
+            payloads.append(encode_jpeg_progressive(
+                img, quality=100, restart_interval=2 if i % 3 == 0 else 0))
+        return pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    out = media_features(docs.map_batches(_mk, batch_format="pyarrow"),
+                         media_col="payload", backend="real")
+
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        px = np.asarray([int(round(f[0] * 255.0)) for f in b["media_features"]],
+                        dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "media_width": b["media_width"].to_numpy().astype(np.int64),
+            "media_height": b["media_height"].to_numpy().astype(np.int64),
+            "px_val": px,
+        })
+
+    return out.map_batches(_final, batch_format="pandas")
+
+
 _QL_DIM = 256
 
 
@@ -3618,6 +3662,7 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "bucketed_agg": q_bucketed_agg,
     # --- round-5 session additions land here (inside the 50-query window) ---
+    "media_jpeg_progressive": q_media_jpeg_progressive,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -4935,6 +4980,13 @@ ORACLE_SQL = {
         SELECT doc_id,
                CAST(9 + doc_id % 56 AS BIGINT) AS media_width,
                CAST(8 + doc_id % 41 AS BIGINT) AS media_height,
+               CAST(doc_id % 256 AS BIGINT) AS px_val
+        FROM documents
+    """,
+    "media_jpeg_progressive": """
+        SELECT doc_id,
+               CAST(9 + doc_id % 52 AS BIGINT) AS media_width,
+               CAST(8 + doc_id % 37 AS BIGINT) AS media_height,
                CAST(doc_id % 256 AS BIGINT) AS px_val
         FROM documents
     """,

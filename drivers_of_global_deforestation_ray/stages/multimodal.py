@@ -126,9 +126,22 @@ def media_features(
     media_col: str = "html",
     backend: str = "fake",
     batch_size: int = 256,   # binary payloads: keep batch x concurrency in heap
-    concurrency=(1, 8),
+    concurrency=None,
     on_error: str = "raise",
 ) -> Dataset:
+    if concurrency is None:
+        # autoscaling actor pool sized to the cluster: a FIXED cap (the old
+        # (1, 8)) pins the decode stage to 8 CPUs no matter the cluster
+        # size, flattening the pipeline's strong scaling (measured on the
+        # 200k-image scaling legs); on a multi-node cluster the budget is
+        # per-cluster, so the pool follows the hardware
+        try:
+            import ray as _ray
+
+            ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        concurrency = (1, max(8, ncpu))
     return ds.map_batches(
         MediaFeaturizer,
         fn_constructor_kwargs={"media_col": media_col, "backend": backend,

@@ -506,7 +506,23 @@ def hash_join(
     num_partitions: int = 32,
     right_on: str | list[str] | None = None,
 ) -> Dataset:
-    """Big-big equi-join: ``Dataset.join`` hash-shuffles both sides (J1)."""
+    """Big-big equi-join: ``Dataset.join`` hash-shuffles both sides (J1).
+
+    ``num_partitions`` is clamped to the cluster's CPU budget: Ray Data's
+    join operator spins up ``num_partitions`` hash-shuffle aggregator
+    actors PER JOIN, and a topology whose aggregator demand exceeds the
+    CPU budget stalls indefinitely (measured: two 32-partition joins in
+    one streaming plan hang an 8-CPU cluster; clamped to 8 the same plan
+    finishes in seconds).  Join results are partition-count-invariant, so
+    the clamp is result-invisible; on a real multi-node cluster the CPU
+    budget is large and the requested width passes through."""
+    try:
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", num_partitions))
+    except Exception:
+        ncpu = num_partitions
+    num_partitions = max(2, min(num_partitions, ncpu))
     on_t = (on,) if isinstance(on, str) else tuple(on)
     r_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
     join_type = {"left": "left_outer", "inner": "inner", "right": "right_outer", "full": "full_outer"}[how]

@@ -6,7 +6,8 @@ import pytest
 
 from drivers_of_global_deforestation_ray.functions.jpeg import (
     _BitReader, _BitWriter, _build_decode, _build_encode, _read_block,
-    _write_block, _AC_LUMA, _DC_LUMA, decode_jpeg, encode_jpeg)
+    _write_block, _AC_LUMA, _DC_LUMA, decode_jpeg, encode_jpeg,
+    encode_jpeg_progressive)
 from drivers_of_global_deforestation_ray.functions.jpegmeta import jpeg_dims
 
 
@@ -130,12 +131,83 @@ def test_dims_parity_with_marker_triage():
     assert (w, h, ncomp, progressive) == (57, 31, 3, False)
 
 
-def test_progressive_raises():
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+def test_progressive_decodes_bit_identically_to_baseline():
+    """Successive approximation reconstructs the exact quantized
+    coefficients, so the progressive stream decodes to the SAME pixels as
+    the baseline stream of the same image/quality/subsampling."""
+    rng = np.random.default_rng(11)
+    for shape in ((8, 16), (24, 24), (33, 17), (16, 16, 3), (40, 56, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for sub in (("444",) if len(shape) == 2 else ("444", "420")):
+            for q in (25, 90, 100):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+                prog = decode_jpeg(encode_jpeg_progressive(
+                    img, quality=q, subsample=sub))
+                assert np.array_equal(base, prog), (shape, sub, q)
+
+
+def test_progressive_restart_intervals_do_not_change_pixels():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (40, 33, 3), dtype=np.uint8)
+    ref = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+    for ri in (1, 3, 7):
+        got = decode_jpeg(encode_jpeg_progressive(img, quality=85,
+                                                  restart_interval=ri))
+        assert np.array_equal(ref, got), ri
+
+
+def test_progressive_flat_quality100_exact():
+    """Flat blocks are pure DC with an all-ones quant row at q=100, so the
+    DC bit-plane reassembly must recover the pixel value EXACTLY (the
+    closed form the media_jpeg_progressive SQL oracle relies on)."""
+    for v in (0, 1, 37, 128, 254, 255):
+        img = np.full((19, 26), v, np.uint8)
+        out = decode_jpeg(encode_jpeg_progressive(img, quality=100))
+        assert out.shape == (19, 26, 1)
+        assert np.array_equal(out[:, :, 0], img), v
+
+
+def test_progressive_eobn_runs_decode():
+    """The decoder accepts aggregated EOBn runs (real files emit them; the
+    from-scratch encoder caps runs at one block): hand-build an AC first
+    scan that covers 4 blocks with a single EOB3-style run."""
+    from drivers_of_global_deforestation_ray.functions.jpeg import (
+        _read_block_ac_first)
+
+    # custom AC table: 3-bit codes for EOB1 (0x10), (0<<4)|1 and EOB0 (0x00)
+    lut = {(3, 0b000): 0x10, (3, 0b001): 0x01, (3, 0b010): 0x00}
+    bw = _BitWriter()
+    # block 0: coefficient 1 at k=1 -> symbol 0x01 + value bit 1, then EOB0
+    bw.write(0b001, 3)
+    bw.write(1, 1)
+    bw.write(0b010, 3)
+    # block 1: EOB1 + 1 extra bit (1) -> run = (1<<1)-1+1 = 2 more blocks
+    bw.write(0b000, 3)
+    bw.write(1, 1)
+    bw.byte_align()
+    rd = _BitReader(bytes(bw.buf), 0)
+    blocks = np.zeros((4, 64), np.int32)
+    eobrun = 0
+    for b in range(4):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        eobrun = _read_block_ac_first(rd, blocks[b], 1, 63, 0, lut)
+    assert blocks[0, 1] == 1
+    assert not blocks[1:].any()
+    assert eobrun == 0
+
+
+def test_progressive_unsupported_processes_still_raise():
     img = np.zeros((16, 16), np.uint8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(data))
 
 

@@ -42,6 +42,13 @@ def _tone_jpeg(level: int, w: int, h: int) -> bytes:
     return encode_jpeg(np.full((h, w), level, np.uint8))
 
 
+def _tone_jpeg_prog(level: int, w: int, h: int) -> bytes:
+    from drivers_of_global_deforestation_ray.functions.jpeg import (
+        encode_jpeg_progressive)
+
+    return encode_jpeg_progressive(np.full((h, w), level, np.uint8))
+
+
 def _corpus() -> pd.DataFrame:
     rows = []
     # 5 well-separated PNGs + 5 FEATURE-duplicate partners: ids 100..104
@@ -52,17 +59,24 @@ def _corpus() -> pd.DataFrame:
         rows.append((i, _tone_png(lv, 10 + i, 12 + i)))
     for j, lv in enumerate(_LEVELS):
         rows.append((100 + j, _tone_png(lv, 30 + j, 8 + j)))
-    # JPEG shells: one in-window (header-valid, NO scan data -> real decode
-    # fails -> decode_ok=False passthrough survivor), one oversized
-    # (triage-dropped), one progressive (routed around the baseline decoder)
+    # JPEG shells: two in-window (header-valid, NO scan data -> real decode
+    # fails -> decode_ok=False passthrough survivor; the progressive shell
+    # now takes the same decode path since SOF2 is decodable), one
+    # oversized (triage-dropped), one lossless-process (fmt="jpeg_other" —
+    # the only coding process still routed around the decode)
     rows.append((200, encode_jpeg_shell(640, 480, ncomp=3)))
     rows.append((201, encode_jpeg_shell(9000, 100, ncomp=3)))
     rows.append((210, encode_jpeg_shell(320, 240, ncomp=3, progressive=True)))
+    rows.append((212, encode_jpeg_shell(320, 240, ncomp=3, sof_marker=0xC3)))
     # REAL baseline JPEGs: a constant-tone near-dup pair (same tone,
     # different dims -> identical decoded features) + a distinct tone
     rows.append((300, _tone_jpeg(48, 24, 18)))
     rows.append((301, _tone_jpeg(48, 40, 30)))
     rows.append((302, _tone_jpeg(208, 20, 20)))
+    # REAL progressive JPEGs: 310 near-dups the BASELINE 302 (same tone,
+    # different dims — a cross-coding-process pair), 311 is distinct
+    rows.append((310, _tone_jpeg_prog(208, 36, 28)))
+    rows.append((311, _tone_jpeg_prog(112, 22, 26)))
     # tiny PNG (dim-filtered) and a non-media payload (format-filtered)
     rows.append((202, encode_png(np.zeros((2, 2), np.uint8))))
     rows.append((203, b"plain text, not an image"))
@@ -113,21 +127,27 @@ def test_media_curation_drops_planted_dups_and_is_partition_invariant(rd):
     # the planted JPEG near-dup pair went through the REAL baseline decode
     # and lost its higher id too; the distinct-tone JPEG survived
     assert 300 in ids and 301 not in ids and 302 in ids
-    # the scan-less shell is header-valid but undecodable: it survives as
-    # a decode_ok=False passthrough instead of killing the pipeline
-    assert 200 in ids
-    # the progressive JPEG routed around the decoder, observably
-    assert 210 in ids
-    assert a.set_index("doc_id").loc[210, "fmt"] == "jpeg_progressive"
+    # the CROSS-coding-process pair: the progressive 310 decodes to the
+    # same pixels family as baseline 302 (same tone) and loses, while the
+    # distinct-tone progressive 311 survives through the full decode path
+    assert 310 not in ids and 311 in ids
+    assert a.set_index("doc_id").loc[311, "fmt"] == "jpeg_progressive"
+    # the scan-less shells (baseline AND progressive) are header-valid but
+    # undecodable: they survive as decode_ok=False passthrough rows
+    # instead of killing the pipeline
+    assert 200 in ids and 210 in ids
+    # the lossless-process shell is the one routed around the decode
+    assert 212 in ids
+    assert a.set_index("doc_id").loc[212, "fmt"] == "jpeg_other"
     # dim/format-filtered payloads are gone
     assert 201 not in ids and 202 not in ids and 203 not in ids
     assert set(a.columns) == {"doc_id", "fmt", "width", "height"}
     # report monotonicity: input >= in_window >= survivors
     assert rpt["input"] == len(df)
     assert rpt["input"] >= rpt["in_window"] >= rpt["survivors"]
-    assert rpt["neardup_pairs"] >= 6
-    assert rpt["decode_failed"] == 1        # the scan-less shell
-    assert rpt["routed_around"] == 1        # the progressive JPEG
+    assert rpt["neardup_pairs"] >= 7
+    assert rpt["decode_failed"] == 2        # both scan-less shells
+    assert rpt["routed_around"] == 1        # the lossless-process shell
     # every well-separated PNG survived (no false-positive drops at 0.98:
     # max distinct-pair cosine is ~0.40 by construction)
     assert all(i in ids for i in range(5))

@@ -84,9 +84,22 @@ def worker(rows: int) -> dict:
         MediaCurationConfig, run_media_curation)
 
     ds = rd.read_parquet(corpus_dir(rows))
+    # near-exact operating point for the at-scale corpus: the 16-dim pixel
+    # statistics features are a LOW-diversity space (a crawl-realistic
+    # embedding model is out of sandbox scope), so a loose 0.98 threshold
+    # would mark several percent of ALL pairs as near-dups — an O(N^2)
+    # OUTPUT no engine survives and no real crawl exhibits.  At 0.9999
+    # with a tight quantized margin the candidate set collapses to the
+    # content-identical pairs (planted dups + true repeats; measured ~2x
+    # final pairs vs ~23x at a 0.998 floor); 16 planes keep buckets small
+    # at 200k+ rows, and 4 tables are plenty — identical vectors collide
+    # in EVERY table, so exact-dup recall is 1.0 by construction.
+    cfg = MediaCurationConfig(lsh_threshold=0.9999, lsh_margin=0.0001,
+                              num_planes=16, num_tables=4,
+                              num_partitions=32)
     tot0, st0 = _cpu_stat()
     t0 = time.perf_counter()
-    out = run_media_curation(ds, MediaCurationConfig(num_partitions=32))
+    out = run_media_curation(ds, cfg)
     df = out.select_columns(["doc_id", "fmt", "width", "height"]).to_pandas()
     sec = time.perf_counter() - t0
     tot1, st1 = _cpu_stat()
