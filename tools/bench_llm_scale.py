@@ -136,6 +136,35 @@ def main() -> int:
         rd.read_parquet(TEXTS),
         rd.read_parquet(TEXTS).filter(expr="lang == 'en'")).count())
 
+    # MinHash-LSH near-dedup over REAL extracted page text (the scaling
+    # corpus, if a prior --scaling run cached it): 200k pages through
+    # shingle -> minhash -> band buckets -> windowed pair verify -> drop
+    pages = "/tmp/graft_pages_4000000"
+    if os.path.isdir(pages):
+        from drivers_of_global_deforestation_ray.functions.extract import (
+            extract_text_batch)
+        from drivers_of_global_deforestation_ray.stages.dedup import (
+            minhash_lsh_dedup)
+
+        def _minhash_200k():
+            import hashlib
+
+            def _txt(b):
+                urls = b["url"].to_numpy()
+                ids = np.fromiter(
+                    (int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                     for u in urls), dtype=np.int64, count=len(urls))
+                return pd.DataFrame({
+                    "doc_id": ids,  # md5(url): globally unique, stable
+                    "text": extract_text_batch(b["html"].to_numpy())})
+
+            docs = (rd.read_parquet(pages, columns=["url", "html"])
+                    .limit(200_000)
+                    .map_batches(_txt, batch_format="pandas"))
+            return minhash_lsh_dedup(docs, threshold=0.8).count()
+
+        _time("minhash_dedup_200k_pages", 200_000, _minhash_200k)
+
     print(json.dumps(out))
     ray.shutdown()
     return 0
