@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "pq_topk",
     "media_pipeline",
     "pack_sequences",
+    # round-5 headliners
+    "connected_components",
+    "media_jpeg_progressive",
 ]
 
 

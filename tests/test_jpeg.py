@@ -202,6 +202,26 @@ def test_progressive_eobn_runs_decode():
     assert eobrun == 0
 
 
+def test_progressive_truncation_raises_never_hangs():
+    """Truncated progressive streams (the crawl reality) must raise SOME
+    exception promptly at every cut point — the media pipeline's
+    on_error='flag' turns any raise into a decode_ok=False passthrough,
+    but a hang or a silent wrong result would be unrecoverable."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    data = encode_jpeg_progressive(img, quality=85)
+    ref = decode_jpeg(data)
+    assert ref.shape == (24, 31, 1)
+    for cut in range(30, len(data) - 1, max(1, len(data) // 40)):
+        try:
+            out = decode_jpeg(data[:cut])
+        except Exception:
+            continue  # any prompt raise is acceptable
+        # a cut AFTER all scan data but before EOI may legitimately
+        # decode; anything else returning silently would be a bug
+        assert out.shape == ref.shape
+
+
 def test_progressive_unsupported_processes_still_raise():
     img = np.zeros((16, 16), np.uint8)
     data = bytearray(encode_jpeg(img))
