@@ -8,12 +8,13 @@ metadata columns alongside (the pages corpus already carries ``html:binary``).
   schema.  ``backend="fake"`` (default) derives a deterministic feature
   vector + (width, height) from the payload *bytes* (blake2b-seeded), so
   tests pin schema/shape/determinism.  ``backend="real"`` decodes actual
-  PNG or baseline-JPEG payloads (magic-byte sniff) with the engine's
-  from-scratch codecs (:mod:`..functions.png`, :mod:`..functions.jpeg`) —
+  PNG or JPEG payloads — baseline AND progressive (SOF2) — via magic-byte
+  sniff with the engine's from-scratch codecs (:mod:`..functions.png`, :mod:`..functions.jpeg`) —
   real dims, real pixel statistics, same output schema (VERDICT r02 #6,
   r03 missing #4).
 - :func:`media_resize` with ``backend="real"`` decodes, nearest-neighbor
-  resizes and re-encodes a thumbnail in the source's container format.
+  resizes and re-encodes a thumbnail in the source's container format AND
+  coding process (progressive sources yield progressive thumbnails).
 - :func:`frame_sample` ``backend="real"`` decodes YUV4MPEG2 (.y4m) clips
   with the engine's from-scratch codec (:mod:`..functions.y4m` — raw
   planar video, the canonical uncompressed interchange container): frames
@@ -33,7 +34,8 @@ import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
-from ..functions.jpeg import decode_jpeg, encode_jpeg
+from ..functions.jpeg import (decode_jpeg, encode_jpeg,
+                              encode_jpeg_progressive)
 from ..functions.png import decode_png, encode_png, resize_nearest
 from ..functions.wav import decode_wav
 
@@ -159,8 +161,9 @@ class _MediaResizer:
     ``backend="fake"``: deterministic bytes of exactly ``width*height`` derived
     from the source payload (blake2b XOF-style chaining) — real plumbing shape
     (bounded output size per row, stable schema), stubbed pixels.
-    ``backend="real"``: PNG decode -> nearest-neighbor resize -> PNG
-    re-encode via the from-scratch codec."""
+    ``backend="real"``: decode -> nearest-neighbor resize -> re-encode via
+    the from-scratch codecs, preserving container format and (for JPEG)
+    the coding process."""
 
     def __init__(self, media_col: str, width: int, height: int, backend: str = "fake"):
         if backend not in ("fake", "real"):
@@ -171,7 +174,19 @@ class _MediaResizer:
     def _real_resize(self, payload: bytes) -> bytes:
         thumb = resize_nearest(_decode_image(payload), self.width, self.height)
         if payload[:2] == b"\xff\xd8":  # keep the source container format
-            return encode_jpeg(thumb[:, :, 0] if thumb.shape[2] == 1 else thumb)
+            img = thumb[:, :, 0] if thumb.shape[2] == 1 else thumb
+            # ...and its coding process: progressive sources re-encode
+            # progressive (the SOF marker is in the triage-visible header,
+            # so downstream format accounting stays truthful)
+            from ..functions.jpegmeta import jpeg_frame, jpeg_process
+
+            try:
+                progressive = jpeg_process(jpeg_frame(payload)[3]) == "progressive"
+            except ValueError:
+                progressive = False
+            if progressive:
+                return encode_jpeg_progressive(img)
+            return encode_jpeg(img)
         return encode_png(thumb)
 
     def _fake_resize(self, payload: bytes) -> bytes:

@@ -151,3 +151,20 @@ def test_media_curation_drops_planted_dups_and_is_partition_invariant(rd):
     # every well-separated PNG survived (no false-positive drops at 0.98:
     # max distinct-pair cosine is ~0.40 by construction)
     assert all(i in ids for i in range(5))
+
+
+def test_media_resize_preserves_jpeg_coding_process(rd):
+    """Thumbnails keep the source's container format AND coding process:
+    a progressive (SOF2) source re-encodes as a progressive thumbnail."""
+    from drivers_of_global_deforestation_ray.functions.jpegmeta import jpeg_dims
+    from drivers_of_global_deforestation_ray.stages.multimodal import media_resize
+
+    df = pd.DataFrame({"doc_id": np.asarray([0, 1], np.int64),
+                       "payload": [_tone_jpeg(90, 30, 22),
+                                   _tone_jpeg_prog(90, 30, 22)]})
+    out = (media_resize(rd.from_pandas(df), media_col="payload",
+                        width=12, height=10, backend="real")
+           .to_pandas().sort_values("doc_id"))
+    dims = [jpeg_dims(t) for t in out["thumb"]]
+    assert dims[0] == (12, 10, 1, False)   # baseline stays baseline
+    assert dims[1] == (12, 10, 1, True)    # progressive stays progressive
