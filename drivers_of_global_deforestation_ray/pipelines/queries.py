@@ -2392,6 +2392,26 @@ def q_ipc_roundtrip(sf_dir: str):
     return read_ipc_dir(out)
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """Apache ORC source+sink roundtrip (``sources/orcio.py``): orders ->
+    one ZLIB .orc per block -> distributed byte-shipping read with
+    reader-side column pruning (only the four projected columns leave the
+    stripe decoder).  Oracle reads the ORIGINAL parquet — hash equality
+    proves the Hive-ecosystem format round-trips value-exact."""
+    import shutil
+
+    from ..sources.orcio import read_orc_dir, write_orc_dir
+
+    out = "/tmp/graft_orc_orders"
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+    write_orc_dir(orders, out)
+    return read_orc_dir(
+        out, columns=["o_orderkey", "o_custkey", "o_totalprice",
+                      "o_orderstatus"])
+
+
 def _s2_batch(b: pa.Table, level: int = 10, parent_level: "int | None" = None) -> pd.DataFrame:
     """Geocode a documents batch and encode S2 cells (vectorized numpy)."""
     from ..functions.s2 import cell_parent, cell_token, latlng_to_cell
@@ -3663,6 +3683,7 @@ QUERIES = {
     "bucketed_agg": q_bucketed_agg,
     # --- round-5 session additions land here (inside the 50-query window) ---
     "media_jpeg_progressive": q_media_jpeg_progressive,
+    "orc_roundtrip": q_orc_roundtrip,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -4791,6 +4812,9 @@ ORACLE_SQL = {
     """,
     "ipc_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "orc_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
     """,
     "snapshot_diff": """
         SELECT doc_id AS key,

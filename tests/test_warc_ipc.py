@@ -86,3 +86,28 @@ def test_ipc_dir_roundtrip_distributed(ray_session):
     back = (read_ipc_dir("/tmp/graft_ipc_test").to_pandas()
             .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_orc_dir_roundtrip_distributed(ray_session):
+    import shutil
+
+    import ray.data as rd
+
+    from drivers_of_global_deforestation_ray.sources.orcio import (
+        read_orc_dir, write_orc_dir)
+
+    df = pd.DataFrame({"k": np.arange(300, dtype=np.int64),
+                       "v": np.arange(300) * 0.5,
+                       "s": [f"s{i}" for i in range(300)],
+                       "b": [f"bin{i}".encode() for i in range(300)]})
+    shutil.rmtree("/tmp/graft_orc_test", ignore_errors=True)
+    n = write_orc_dir(rd.from_pandas(df).repartition(4), "/tmp/graft_orc_test")
+    assert n == 300
+    back = (read_orc_dir("/tmp/graft_orc_test").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    back["b"] = [bytes(x) for x in back["b"]]
+    pd.testing.assert_frame_equal(back, df)
+    # reader-side column pruning: only requested columns leave the decoder
+    pruned = (read_orc_dir("/tmp/graft_orc_test", columns=["k", "s"])
+              .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(pruned.columns) == ["k", "s"] and len(pruned) == 300
