@@ -2412,6 +2412,26 @@ def q_orc_roundtrip(sf_dir: str):
                       "o_orderstatus"])
 
 
+def q_avro_roundtrip(sf_dir: str):
+    """Apache Avro object-container roundtrip (``sources/avroio.py``, the
+    container + binary encoding implemented from the published spec —
+    no avro library in-sandbox): customer -> one deflate container per
+    block (zigzag varints, union-nullable fields, content-derived sync
+    marker) -> distributed byte-shipping read.  Oracle reads the ORIGINAL
+    parquet — hash equality proves the Kafka-estate wire format
+    round-trips value-exact."""
+    import shutil
+
+    from ..sources.avroio import read_avro_dir, write_avro_dir
+
+    out = "/tmp/graft_avro_customer"
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    write_avro_dir(cust, out)
+    return read_avro_dir(out)
+
+
 def _s2_batch(b: pa.Table, level: int = 10, parent_level: "int | None" = None) -> pd.DataFrame:
     """Geocode a documents batch and encode S2 cells (vectorized numpy)."""
     from ..functions.s2 import cell_parent, cell_token, latlng_to_cell
@@ -3684,6 +3704,7 @@ QUERIES = {
     # --- round-5 session additions land here (inside the 50-query window) ---
     "media_jpeg_progressive": q_media_jpeg_progressive,
     "orc_roundtrip": q_orc_roundtrip,
+    "avro_roundtrip": q_avro_roundtrip,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -4815,6 +4836,9 @@ ORACLE_SQL = {
     """,
     "orc_roundtrip": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    """,
+    "avro_roundtrip": """
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
     """,
     "snapshot_diff": """
         SELECT doc_id AS key,
