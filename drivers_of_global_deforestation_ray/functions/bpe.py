@@ -176,3 +176,80 @@ def bpe_encode_counts(ds: Dataset, text_col: str, id_col: str,
                              "n_tokens": counts.to_numpy(np.int64)})
 
     return ds.map_batches(_encode, batch_format="pandas")
+
+
+def bpe_vocab(ds: Dataset, text_col: str, merges: pd.DataFrame,
+              num_partitions: int = 4) -> "dict[str, int]":
+    """Deterministic symbol -> id table for a learned merge list: the
+    corpus's distinct base characters (one distributed distinct, sorted)
+    and the end-of-word marker take the low ids, then merge OUTPUTS in
+    merge order — the GPT-2-style convention where a tokenizer's id space
+    is a pure function of (alphabet, merges).  Vocabulary-bounded driver
+    state (|alphabet| + |merges| entries)."""
+    def _chars(df: pd.DataFrame) -> pd.DataFrame:
+        joined = "".join(df[text_col].tolist()).replace(" ", "")
+        u = sorted(set(joined))
+        return pd.DataFrame({"ch": np.asarray(u, dtype=object)})
+
+    chars = grouped_agg(ds.map_batches(_chars, batch_format="pandas"),
+                        ["ch"], {"n": ("ch", "count")},
+                        num_partitions=num_partitions).to_pandas()
+    alphabet = sorted(chars["ch"].tolist())
+    vocab: "dict[str, int]" = {}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    vocab[_EOW] = len(vocab)
+    for l, r in zip(merges["left"], merges["right"]):
+        sym = str(l) + str(r)
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(ds: Dataset, text_col: str, id_col: str,
+                   merges: pd.DataFrame, vocab: "dict[str, int]") -> Dataset:
+    """Full tokenizer APPLY: text -> ``(id, token_ids list<int64>,
+    n_tokens)`` under a learned merge table + vocab — the stage between
+    ``bpe_train`` and ``pack_sequences`` in a real pretraining pipeline
+    (pack on ``n_tokens`` via ``count_col``; ship ids to the trainer).
+
+    The merge list and vocab broadcast once (vocabulary-bounded); each
+    block encodes its DISTINCT words once (dict-cached — Zipf makes this
+    the standard inference fast path) and concatenates per document.
+    Unknown symbols (a character absent from the vocab's alphabet) raise:
+    an id space that silently remaps is a training-data corruption."""
+    import ray
+
+    mref = ray.put(([(str(l), str(r)) for l, r in
+                     zip(merges["left"], merges["right"])], dict(vocab)))
+
+    def _encode(df: pd.DataFrame) -> pd.DataFrame:
+        ms, vb = ray.get(mref)
+        cache: "dict[str, list[int]]" = {}
+
+        def ids_of(word: str) -> "list[int]":
+            got = cache.get(word)
+            if got is None:
+                s = _word_syms(word)
+                for l, r in ms:
+                    if l in s and r in s:
+                        s = _apply_merge(s, l, r)
+                try:
+                    got = cache[word] = [vb[t] for t in s.split(" ")]
+                except KeyError as e:
+                    raise ValueError(
+                        f"bpe_encode_ids: symbol {e.args[0]!r} not in vocab "
+                        f"(corpus drifted from the vocab's alphabet)") from e
+            return got
+
+        toks = [
+            [t for w in text.split(" ") if w for t in ids_of(w)]
+            for text in df[text_col]
+        ]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "token_ids": toks,
+            "n_tokens": np.asarray([len(t) for t in toks], np.int64),
+        })
+
+    return ds.map_batches(_encode, batch_format="pandas")

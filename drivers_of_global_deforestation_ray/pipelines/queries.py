@@ -3629,6 +3629,32 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(docs, "text", num_merges=16)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Full tokenizer APPLY (``bpe_encode_ids``): train 16 merges on the
+    corpus, build the deterministic (alphabet + merge-order) vocab, encode
+    every document to token ids, and emit (doc_id, n_tokens, tok_sum) —
+    the id-sum is a deterministic checksum of the whole sequence, so the
+    rows-only record still pins the encoding bit-for-bit across rounds.
+    Iterative merges are not SQL-expressible (no oracle); the pytest
+    checks ids -> text roundtrip, count parity with ``bpe_encode_counts``
+    and partitioning invariance."""
+    from ..functions.bpe import bpe_encode_ids, bpe_train, bpe_vocab
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(docs, "text", num_merges=16)
+    vocab = bpe_vocab(docs, "text", merges)
+    enc = bpe_encode_ids(docs, "text", "doc_id", merges, vocab)
+
+    def _sum(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": b["n_tokens"].to_numpy(np.int64),
+            "tok_sum": np.asarray([int(np.sum(t)) for t in b["token_ids"]],
+                                  np.int64)})
+
+    return enc.map_batches(_sum, batch_format="pandas")
+
+
 def _media_corpus(sf_dir: str):
     """Deterministic mixed-format media corpus over the documents ids:
     real baseline JPEGs (planted near-dup pairs: i%30==24 copies i-6's
@@ -3705,6 +3731,7 @@ QUERIES = {
     "media_jpeg_progressive": q_media_jpeg_progressive,
     "orc_roundtrip": q_orc_roundtrip,
     "avro_roundtrip": q_avro_roundtrip,
+    "bpe_encode": q_bpe_encode,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,

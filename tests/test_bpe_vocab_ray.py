@@ -183,3 +183,56 @@ def test_radius_join_matches_bruteforce_incl_poles(rd):
                    for r in got.itertuples()}
         assert got_map == want
     assert (100, 101) in want  # the dateline pair really is in range
+
+
+def test_bpe_encode_ids_roundtrips_and_matches_counts(ray_session):
+    """bpe_encode_ids: (a) ids decode back to the exact source text via
+    the inverted vocab; (b) n_tokens agrees with bpe_encode_counts; (c)
+    the encoding is partitioning-invariant."""
+    import ray.data as rd
+
+    from drivers_of_global_deforestation_ray.functions.bpe import (
+        bpe_encode_counts, bpe_encode_ids, bpe_train, bpe_vocab)
+
+    texts = ["low lower lowest", "new newer newest", "low new low",
+             "wide widest", "newest lowest new"] * 4
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df)
+    merges = bpe_train(ds, "text", num_merges=10)
+    vocab = bpe_vocab(ds, "text", merges)
+    inv = {i: s for s, i in vocab.items()}
+
+    outs = []
+    for parts in (2, 5):
+        enc = (bpe_encode_ids(rd.from_pandas(df).repartition(parts), "text",
+                              "doc_id", merges, vocab)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(enc)
+    a, b = outs
+    assert a["n_tokens"].tolist() == b["n_tokens"].tolist()
+    assert [list(t) for t in a["token_ids"]] == [list(t) for t in b["token_ids"]]
+
+    for i, text in enumerate(texts):
+        decoded = "".join(inv[t] for t in a["token_ids"].iloc[i])
+        assert decoded.replace("</w>", " ").strip() == text
+    counts = (bpe_encode_counts(ds, "text", "doc_id", merges)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert counts["n_tokens"].tolist() == a["n_tokens"].tolist()
+
+
+def test_bpe_encode_ids_unknown_symbol_raises(ray_session):
+    import ray.data as rd
+
+    from drivers_of_global_deforestation_ray.functions.bpe import (
+        bpe_encode_ids, bpe_train, bpe_vocab)
+
+    df = pd.DataFrame({"doc_id": np.asarray([0], np.int64),
+                       "text": ["abc abd"]})
+    ds = rd.from_pandas(df)
+    merges = bpe_train(ds, "text", num_merges=2)
+    vocab = bpe_vocab(ds, "text", merges)
+    drifted = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.asarray([0], np.int64), "text": ["xyz"]}))
+    with pytest.raises(Exception, match="not in vocab"):
+        bpe_encode_ids(drifted, "text", "doc_id", merges, vocab).to_pandas()
