@@ -193,3 +193,48 @@ def run_pretrain(pages_dir: str, cfg: PretrainConfig | None = None,
         report["after_near_dedup"] = neardup.count()
         report["chunks"] = chunks.count()
     return chunks
+
+
+def run_pretrain_tokenized(pages_dir: str, cfg: "PretrainConfig | None" = None,
+                           num_merges: int = 16, seq_len: int = 512,
+                           report: "dict | None" = None,
+                           ckpt_root: "str | None" = None):
+    """The COMPLETE pretraining chain: pages -> curated chunks
+    (:func:`run_pretrain`) -> BPE tokenizer trained on the surviving
+    corpus -> every chunk encoded to token ids -> cross-document sequence
+    packing on the stored counts.
+
+    Returns ``(span_map Dataset, encoded Dataset, vocab dict)``:
+
+    - ``span_map`` — ``(seq_id, chunk_id, doc_offset, seq_offset,
+      n_tokens)``, the loader-ready packing layout (all-integer,
+      deterministic);
+    - ``encoded`` — ``(chunk_id, token_ids list<int64>, n_tokens)``, the
+      shard-local payloads the loader gathers by ``chunk_id``;
+    - ``vocab`` — the deterministic (alphabet + merge-order) id table.
+
+    Tokenizer training sees only POST-curation text (the production
+    order: dedup/PII first, or the tokenizer memorizes boilerplate and
+    leaked identifiers).  Packing moves only ``(chunk_id, n_tokens)``
+    through the prefix sum — token ids never ride a shuffle."""
+    from ..functions.bpe import bpe_encode_ids, bpe_train, bpe_vocab
+    from ..stages.textstage import pack_sequences
+
+    chunks = run_pretrain(pages_dir, cfg, report=report, ckpt_root=ckpt_root)
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        cid = [f"{d}:{i:06d}" for d, i in zip(b["doc_id"], b["chunk_idx"])]
+        return pd.DataFrame({"chunk_id": np.asarray(cid, dtype=object),
+                             "text": b["chunk_text"].to_numpy(dtype=object)})
+
+    keyed = chunks.map_batches(_key, batch_format="pandas")
+    merges = bpe_train(keyed, "text", num_merges=num_merges)
+    vocab = bpe_vocab(keyed, "text", merges)
+    encoded = bpe_encode_ids(keyed, "text", "chunk_id", merges, vocab)
+    span_map = pack_sequences(
+        encoded.select_columns(["chunk_id", "n_tokens"]),
+        id_col="chunk_id", seq_len=seq_len, count_col="n_tokens")
+    if report is not None:
+        report["vocab_size"] = len(vocab)
+        report["sequences"] = span_map.count()
+    return span_map, encoded, vocab

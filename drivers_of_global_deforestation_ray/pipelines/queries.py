@@ -3655,6 +3655,28 @@ def q_bpe_encode(sf_dir: str):
     return enc.map_batches(_sum, batch_format="pandas")
 
 
+def q_pretrain_tokenized(sf_dir: str):
+    """The COMPLETE pretraining chain (``pretrain.run_pretrain_tokenized``):
+    pages -> curated chunks -> BPE tokenizer trained on the SURVIVING
+    corpus -> encode-to-ids -> cross-document packing on stored counts.
+    Returns the all-integer span map plus per-sequence token-id-sum
+    checksums folded in — deterministic end-to-end, so the rows-only
+    record pins the whole chain.  LSH + iterative merges -> no SQL
+    oracle; the pytest asserts rerun determinism and span/token
+    conservation."""
+    import shutil
+
+    from .pretrain import PretrainConfig, run_pretrain_tokenized
+
+    pages_dir = _pages_dir_for(sf_dir)
+    ckpt = "/tmp/graft_pretrain_tok_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    span, _enc, _vocab = run_pretrain_tokenized(
+        pages_dir, PretrainConfig(num_partitions=4), num_merges=4,
+        seq_len=256, ckpt_root=ckpt)
+    return span
+
+
 def _media_corpus(sf_dir: str):
     """Deterministic mixed-format media corpus over the documents ids:
     real baseline JPEGs (planted near-dup pairs: i%30==24 copies i-6's
@@ -3732,6 +3754,7 @@ QUERIES = {
     "orc_roundtrip": q_orc_roundtrip,
     "avro_roundtrip": q_avro_roundtrip,
     "bpe_encode": q_bpe_encode,
+    "pretrain_tokenized": q_pretrain_tokenized,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,

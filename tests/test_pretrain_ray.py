@@ -106,3 +106,39 @@ def test_pretrain_config_fingerprint_isolates_checkpoints(pages_dir, tmp_path):
     run_pretrain(pages_dir, strict, report=r1, ckpt_root=root)
     run_pretrain(pages_dir, loose, report=r2, ckpt_root=root)
     assert r1["after_quality_lang_gate"] < r2["after_quality_lang_gate"]
+
+
+def test_pretrain_tokenized_chain(pages_dir, tmp_path):
+    """pages -> chunks -> BPE ids -> packed spans: rerun-deterministic,
+    token-conserving, loader-consistent."""
+    from drivers_of_global_deforestation_ray.pipelines.pretrain import (
+        run_pretrain_tokenized)
+
+    cfg = PretrainConfig(num_partitions=4, num_shards=2)
+    outs = []
+    for trial in range(2):
+        rpt: dict = {}
+        span, enc, vocab = run_pretrain_tokenized(
+            pages_dir, cfg, num_merges=4, seq_len=128, report=rpt,
+            ckpt_root=str(tmp_path / "ck"))
+        sp = (span.to_pandas()
+              .sort_values(["seq_id", "chunk_id"]).reset_index(drop=True))
+        e = enc.to_pandas().sort_values("chunk_id").reset_index(drop=True)
+        outs.append((sp, e, vocab, rpt))
+    (sp1, e1, v1, r1), (sp2, e2, v2, r2) = outs
+    pd.testing.assert_frame_equal(sp1, sp2)   # rerun-deterministic
+    assert v1 == v2
+    # token conservation: every encoded token lands in exactly one span
+    assert int(sp1["n_tokens"].sum()) == int(e1["n_tokens"].sum())
+    # per-chunk conservation too (a chunk's spans tile its token stream)
+    per_chunk = sp1.groupby("chunk_id")["n_tokens"].sum()
+    enc_counts = e1.set_index("chunk_id")["n_tokens"]
+    nonzero = enc_counts[enc_counts > 0]
+    assert per_chunk.sort_index().equals(nonzero.sort_index())
+    # sequences are full except possibly the last
+    per_seq = sp1.groupby("seq_id")["n_tokens"].sum()
+    assert (per_seq.iloc[:-1] == 128).all() and per_seq.iloc[-1] <= 128
+    # every token id is inside the vocab id space
+    assert r1["vocab_size"] == len(v1)
+    hi = max(max(t) for t in e1["token_ids"] if len(t))
+    assert 0 <= hi < len(v1)
