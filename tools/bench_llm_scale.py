@@ -165,6 +165,37 @@ def main() -> int:
 
         _time("minhash_dedup_200k_pages", 200_000, _minhash_200k)
 
+        # full tokenizer train + encode-to-ids over the same real text:
+        # 16 merges learned on the corpus word table, then every page
+        # encoded through the per-block distinct-word cache
+        def _bpe_200k():
+            import hashlib
+
+            from drivers_of_global_deforestation_ray.functions.bpe import (
+                bpe_encode_ids, bpe_train, bpe_vocab)
+
+            def _txt(b):
+                urls = b["url"].to_numpy()
+                ids = np.fromiter(
+                    (int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                     for u in urls), dtype=np.int64, count=len(urls))
+                return pd.DataFrame({
+                    "doc_id": ids,
+                    "text": extract_text_batch(b["html"].to_numpy())})
+
+            docs = (rd.read_parquet(pages, columns=["url", "html"])
+                    .limit(200_000)
+                    .map_batches(_txt, batch_format="pandas"))
+            # no materialize: bpe_train consumes docs ONCE (word table),
+            # the encode pass re-reads — 2 cheap extracts beat pinning
+            # 200k texts in the object store
+            merges = bpe_train(docs, "text", num_merges=16)
+            vocab = bpe_vocab(docs, "text", merges)
+            return bpe_encode_ids(docs, "text", "doc_id", merges,
+                                  vocab).count()
+
+        _time("bpe_train_encode_200k_pages", 200_000, _bpe_200k)
+
     print(json.dumps(out))
     ray.shutdown()
     return 0
