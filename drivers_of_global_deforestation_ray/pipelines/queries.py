@@ -2735,6 +2735,56 @@ def q_pagerank_pinned(sf_dir: str):
                           batch_format="pandas")
 
 
+def q_polygon_metrics(sf_dir: str):
+    """Closed-form polygon metrics over a deterministic vertex table —
+    the vector-geometry analog of the raster zonal family: per doc_id a
+    (4 + doc_id % 5)-gon with INTEGER vertex coordinates
+    ``x_j = (doc_id*7 + j*j*13) % 1000, y_j = (doc_id*11 + j*29) % 1000``;
+    one vectorized pass computes the shoelace SIGNED DOUBLE AREA (exact
+    int64 — no float drift possible), the perimeter (sqrt of integer
+    squared edge lengths, round-6) and the vertex centroid (round-6).
+    The SQL twin builds the same polygons with generate_series + LEAD —
+    hash equality proves the vectorized geometry kernel against a
+    window-function formulation."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _metrics(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["doc_id"].to_pylist(), np.int64)
+        k = 4 + ids % 5
+        reps = np.repeat(ids, k)
+        j = np.concatenate([np.arange(n) for n in k]) if len(k) else             np.empty(0, np.int64)
+        x = (reps * 7 + j * j * 13) % 1000
+        y = (reps * 11 + j * 29) % 1000
+        # next vertex (wrap) via per-polygon roll
+        starts = np.concatenate([[0], np.cumsum(k)[:-1]]) if len(k) else             np.empty(0, np.int64)
+        nxt = j + 1
+        last = nxt == np.repeat(k, k)
+        nxt_idx = np.arange(len(j)) + 1
+        nxt_idx[last] = np.repeat(starts, k)[last]
+        x2, y2 = x[nxt_idx], y[nxt_idx]
+        cross = x * y2 - x2 * y                     # int64, exact
+        elen = np.sqrt((x2 - x) ** 2 + (y2 - y) ** 2)
+        grp = np.repeat(np.arange(len(ids)), k)
+        area2 = np.zeros(len(ids), np.int64)
+        np.add.at(area2, grp, cross)
+        per = np.zeros(len(ids), np.float64)
+        np.add.at(per, grp, elen)
+        cx = np.zeros(len(ids), np.float64)
+        cy = np.zeros(len(ids), np.float64)
+        np.add.at(cx, grp, x.astype(np.float64))
+        np.add.at(cy, grp, y.astype(np.float64))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_vertices": k.astype(np.int64),
+            "signed_area2": area2,               # 2x signed area, exact
+            "perimeter": np.round(per, 6),
+            "centroid_x": np.round(cx / k, 6),
+            "centroid_y": np.round(cy / k, 6),
+        })
+
+    return docs.map_batches(_metrics, batch_format="pyarrow")
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -3755,6 +3805,7 @@ QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "bpe_encode": q_bpe_encode,
     "pretrain_tokenized": q_pretrain_tokenized,
+    "polygon_metrics": q_polygon_metrics,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -4889,6 +4940,34 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "polygon_metrics": """
+        WITH v AS (
+            SELECT d.doc_id,
+                   CAST(4 + d.doc_id % 5 AS BIGINT) AS k,
+                   f.range AS j,
+                   (d.doc_id * 7 + f.range * f.range * 13) % 1000 AS x,
+                   (d.doc_id * 11 + f.range * 29) % 1000 AS y
+            FROM documents d CROSS JOIN range(0, 9) f
+            WHERE f.range < 4 + d.doc_id % 5
+        ), e AS (
+            SELECT doc_id, k, x, y,
+                   COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS x2,
+                   COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS y2
+            FROM v
+            WINDOW w AS (PARTITION BY doc_id ORDER BY j
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        )
+        SELECT doc_id,
+               CAST(any_value(k) AS BIGINT) AS n_vertices,
+               CAST(sum(x * y2 - x2 * y) AS BIGINT) AS signed_area2,
+               round(sum(sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))),
+                     6) AS perimeter,
+               round(sum(x) / any_value(k), 6) AS centroid_x,
+               round(sum(y) / any_value(k), 6) AS centroid_y
+        FROM e
+        GROUP BY doc_id
     """,
     "snapshot_diff": """
         SELECT doc_id AS key,

@@ -242,3 +242,28 @@ def test_cart_no_nan_unchanged_by_surrogates():
     assert np.array_equal(a.threshold, b.threshold, equal_nan=True)
     assert np.array_equal(a.predict(Xm), b.predict(Xm))
     assert len(b.surr_feature) == 0
+
+
+def test_polygon_metrics_brute_force(ray_session):
+    """q_polygon_metrics vs a per-polygon scalar reference (shoelace,
+    perimeter, centroid) on the same deterministic vertex rule."""
+    import math
+
+    from drivers_of_global_deforestation_ray.pipelines.queries import (
+        q_polygon_metrics)
+
+    out = (q_polygon_metrics("/root/testdata/sf0.001").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) >= 100
+    for _, row in out.head(40).iterrows():
+        d = int(row["doc_id"])
+        k = 4 + d % 5
+        vs = [((d * 7 + j * j * 13) % 1000, (d * 11 + j * 29) % 1000)
+              for j in range(k)]
+        area2 = sum(x1 * y2 - x2 * y1
+                    for (x1, y1), (x2, y2) in zip(vs, vs[1:] + vs[:1]))
+        per = sum(math.dist(a, b) for a, b in zip(vs, vs[1:] + vs[:1]))
+        assert int(row["signed_area2"]) == area2
+        assert abs(row["perimeter"] - round(per, 6)) < 1e-9
+        assert abs(row["centroid_x"] - round(sum(v[0] for v in vs) / k, 6)) < 1e-9
+        assert int(row["n_vertices"]) == k
