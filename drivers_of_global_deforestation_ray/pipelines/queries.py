@@ -2785,6 +2785,79 @@ def q_polygon_metrics(sf_dir: str):
     return docs.map_batches(_metrics, batch_format="pyarrow")
 
 
+def q_bbox_join(sf_dir: str):
+    """Extent (bounding-box) OVERLAP self-join — the R-tree-style spatial
+    join beside PIP (`pip_region`) and radius (`radius_join`): each doc a
+    deterministic integer rectangle; emit every pair (a < b) whose
+    rectangles intersect, with the exact integer overlap area.
+
+    Scale shape: rectangles explode onto a fixed 128-unit grid (a rect
+    touches its covered cells only), candidate pairs form inside shared
+    cells via the grouped co-partition, and each pair is emitted EXACTLY
+    once — in the canonical cell holding the intersection rectangle's
+    top-left corner (the radius_join "formed once in one home cell"
+    discipline, adapted to extents).  Only (cell, id, 4 ints) rows
+    shuffle; the SQL twin is the brute-force cross join, so hash equality
+    also proves the cell blocking loses no pair."""
+    CELL = 128
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _rects(ids: np.ndarray):
+        x1 = (ids * 13) % 2000
+        y1 = (ids * 29) % 2000
+        x2 = x1 + 20 + ids % 80
+        y2 = y1 + 20 + ids % 60
+        return x1, y1, x2, y2
+
+    def _cells(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["doc_id"].to_pylist(), np.int64)
+        x1, y1, x2, y2 = _rects(ids)
+        ncx = x2 // CELL - x1 // CELL + 1
+        ncy = y2 // CELL - y1 // CELL + 1
+        reps = (ncx * ncy).astype(np.int64)
+        r = np.repeat(np.arange(len(ids)), reps)
+        # per-rect covered-cell lattice, vectorized
+        off = np.concatenate([np.arange(n) for n in reps]) if len(reps)             else np.empty(0, np.int64)
+        cx = x1[r] // CELL + off % ncx[r]
+        cy = y1[r] // CELL + off // ncx[r]
+        return pd.DataFrame({
+            "cell": cx * 100_000 + cy,
+            "doc_id": ids[r], "x1": x1[r], "y1": y1[r],
+            "x2": x2[r], "y2": y2[r]})
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell, g in part.groupby("cell", sort=False):
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].to_numpy()
+            x1 = g["x1"].to_numpy(); y1 = g["y1"].to_numpy()
+            x2 = g["x2"].to_numpy(); y2 = g["y2"].to_numpy()
+            ai, bi = np.nonzero(ids[:, None] < ids[None, :])
+            ox1 = np.maximum(x1[ai], x1[bi])
+            oy1 = np.maximum(y1[ai], y1[bi])
+            ox2 = np.minimum(x2[ai], x2[bi])
+            oy2 = np.minimum(y2[ai], y2[bi])
+            hit = (ox1 <= ox2) & (oy1 <= oy2)
+            # exactly-once: only the cell containing the intersection's
+            # top-left corner reports the pair
+            canon = (ox1 // CELL) * 100_000 + oy1 // CELL
+            keep = hit & (canon == int(cell))
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "a": ids[ai[keep]], "b": ids[bi[keep]],
+                    "overlap_area": ((ox2 - ox1 + 1)
+                                     * (oy2 - oy1 + 1))[keep]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "overlap_area": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cells = docs.map_batches(_cells, batch_format="pyarrow")
+    return R.grouped_transform(cells, ["cell"], _pairs, num_partitions=16)
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -3806,6 +3879,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "pretrain_tokenized": q_pretrain_tokenized,
     "polygon_metrics": q_polygon_metrics,
+    "bbox_join": q_bbox_join,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -4940,6 +5014,22 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "bbox_join": """
+        WITH r AS (
+            SELECT doc_id,
+                   (doc_id * 13) % 2000 AS x1, (doc_id * 29) % 2000 AS y1,
+                   (doc_id * 13) % 2000 + 20 + doc_id % 80 AS x2,
+                   (doc_id * 29) % 2000 + 20 + doc_id % 60 AS y2
+            FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST((least(a.x2, b.x2) - greatest(a.x1, b.x1) + 1)
+                    * (least(a.y2, b.y2) - greatest(a.y1, b.y1) + 1)
+                    AS BIGINT) AS overlap_area
+        FROM r a JOIN r b ON a.doc_id < b.doc_id
+        WHERE greatest(a.x1, b.x1) <= least(a.x2, b.x2)
+          AND greatest(a.y1, b.y1) <= least(a.y2, b.y2)
     """,
     "polygon_metrics": """
         WITH v AS (

@@ -267,3 +267,25 @@ def test_polygon_metrics_brute_force(ray_session):
         assert abs(row["perimeter"] - round(per, 6)) < 1e-9
         assert abs(row["centroid_x"] - round(sum(v[0] for v in vs) / k, 6)) < 1e-9
         assert int(row["n_vertices"]) == k
+
+
+def test_bbox_join_blocking_completeness(ray_session):
+    """bbox_join's cell blocking vs a brute-force numpy cross join on the
+    same rectangle rule — every overlapping pair found exactly once."""
+    from drivers_of_global_deforestation_ray.pipelines.queries import (
+        q_bbox_join)
+
+    out = (q_bbox_join("/root/testdata/sf0.001").to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    ids = np.arange(500, dtype=np.int64)
+    x1 = (ids * 13) % 2000
+    y1 = (ids * 29) % 2000
+    x2 = x1 + 20 + ids % 80
+    y2 = y1 + 20 + ids % 60
+    ai, bi = np.nonzero(ids[:, None] < ids[None, :])
+    hit = ((np.maximum(x1[ai], x1[bi]) <= np.minimum(x2[ai], x2[bi]))
+           & (np.maximum(y1[ai], y1[bi]) <= np.minimum(y2[ai], y2[bi])))
+    want = sorted(zip(ids[ai[hit]].tolist(), ids[bi[hit]].tolist()))
+    got = list(zip(out["a"].tolist(), out["b"].tolist()))
+    assert got == want                       # complete AND exactly-once
+    assert (out["overlap_area"] > 0).all()
