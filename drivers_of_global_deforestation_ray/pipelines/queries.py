@@ -2858,6 +2858,58 @@ def q_bbox_join(sf_dir: str):
     return R.grouped_transform(cells, ["cell"], _pairs, num_partitions=16)
 
 
+def q_trajectory_stats(sf_dir: str):
+    """Per-entity TRAJECTORY analytics (the movement-data workload class
+    beside the static spatial joins): each event gets a deterministic
+    integer position ``x = (event_id*37) % 4096, y = (event_id*59) %
+    4096``; per user, ordered by (ts, event_id), one co-partitioned
+    vectorized pass computes hop count, total path length (sum of sqrt of
+    integer squared hop lengths, round-6), net displacement (first ->
+    last, round-6) and the visited bounding-box area (exact int64).  The
+    SQL twin is the LAG window form — hash equality proves the
+    co-partition + per-partition ordering against a window formulation."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _stats(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        eid = part["event_id"].to_numpy(np.int64)
+        uid = part["user_id"].to_numpy()
+        x = (eid * 37) % 4096
+        y = (eid * 59) % 4096
+        # per-user segment boundaries
+        new = np.ones(len(part), bool)
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1
+        dx = np.diff(x, prepend=x[:1]).astype(np.float64)
+        dy = np.diff(y, prepend=y[:1]).astype(np.float64)
+        hop = np.sqrt(dx * dx + dy * dy)
+        hop[new] = 0.0  # no hop into a segment head
+        n_seg = int(seg[-1]) + 1 if len(part) else 0
+        users = uid[new]
+        path = np.zeros(n_seg)
+        np.add.at(path, seg, hop)
+        n_ev = np.zeros(n_seg, np.int64)
+        np.add.at(n_ev, seg, 1)
+        heads = np.nonzero(new)[0]
+        tails = np.concatenate([heads[1:] - 1, [len(part) - 1]]) if n_seg             else np.empty(0, np.int64)
+        net = np.sqrt((x[tails] - x[heads]).astype(np.float64) ** 2
+                      + (y[tails] - y[heads]).astype(np.float64) ** 2)
+        xmin = np.full(n_seg, 2 ** 62); xmax = np.full(n_seg, -1)
+        ymin = np.full(n_seg, 2 ** 62); ymax = np.full(n_seg, -1)
+        np.minimum.at(xmin, seg, x); np.maximum.at(xmax, seg, x)
+        np.minimum.at(ymin, seg, y); np.maximum.at(ymax, seg, y)
+        return pd.DataFrame({
+            "user_id": users,
+            "n_events": n_ev,
+            "path_len": np.round(path, 6),
+            "net_disp": np.round(net, 6),
+            "bbox_area": ((xmax - xmin + 1) * (ymax - ymin + 1)
+                          ).astype(np.int64),
+        })
+
+    return R.grouped_transform(ev, ["user_id"], _stats, num_partitions=16)
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -3880,6 +3932,7 @@ QUERIES = {
     "pretrain_tokenized": q_pretrain_tokenized,
     "polygon_metrics": q_polygon_metrics,
     "bbox_join": q_bbox_join,
+    "trajectory_stats": q_trajectory_stats,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5014,6 +5067,34 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "trajectory_stats": """
+        WITH p AS (
+            SELECT user_id, ts, event_id,
+                   (event_id * 37) % 4096 AS x,
+                   (event_id * 59) % 4096 AS y
+            FROM events
+        ), h AS (
+            SELECT user_id, x, y,
+                   LAG(x) OVER w AS px, LAG(y) OVER w AS py,
+                   FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy,
+                   ROW_NUMBER() OVER w AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(COALESCE(sum(sqrt((x - px) * (x - px)
+                                       + (y - py) * (y - py))), 0),
+                     6) AS path_len,
+               round(max(CASE WHEN rn = cnt THEN
+                   sqrt((x - fx) * (x - fx) + (y - fy) * (y - fy))
+                   END), 6) AS net_disp,
+               CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1)
+                    AS BIGINT) AS bbox_area
+        FROM h
+        GROUP BY user_id
     """,
     "bbox_join": """
         WITH r AS (

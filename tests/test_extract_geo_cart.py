@@ -289,3 +289,30 @@ def test_bbox_join_blocking_completeness(ray_session):
     got = list(zip(out["a"].tolist(), out["b"].tolist()))
     assert got == want                       # complete AND exactly-once
     assert (out["overlap_area"] > 0).all()
+
+
+def test_trajectory_stats_reference(ray_session):
+    """q_trajectory_stats vs a per-user pandas reference on the same
+    deterministic position rule."""
+    import duckdb as _dd
+
+    from drivers_of_global_deforestation_ray.pipelines.queries import (
+        q_trajectory_stats)
+
+    out = (q_trajectory_stats("/root/testdata/sf0.001").to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = _dd.sql("SELECT event_id, ts, user_id FROM "
+                 "read_parquet('/root/testdata/sf0.001/events.parquet')"
+                 ).df().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in list(ev.groupby("user_id"))[:20]:
+        x = (g["event_id"].to_numpy() * 37) % 4096
+        y = (g["event_id"].to_numpy() * 59) % 4096
+        hops = np.sqrt(np.diff(x).astype(float) ** 2
+                       + np.diff(y).astype(float) ** 2)
+        row = out[out["user_id"] == uid].iloc[0]
+        assert int(row["n_events"]) == len(g)
+        assert abs(row["path_len"] - round(float(hops.sum()), 6)) < 1e-6
+        net = np.sqrt(float(x[-1] - x[0]) ** 2 + float(y[-1] - y[0]) ** 2)
+        assert abs(row["net_disp"] - round(net, 6)) < 1e-6
+        assert int(row["bbox_area"]) == int(
+            (x.max() - x.min() + 1) * (y.max() - y.min() + 1))
