@@ -2910,6 +2910,78 @@ def q_trajectory_stats(sf_dir: str):
     return R.grouped_transform(ev, ["user_id"], _stats, num_partitions=16)
 
 
+def q_colocation_join(sf_dir: str):
+    """Spatio-temporal CO-LOCATION join (the contact-tracing shape):
+    DISTINCT user pairs with any two events within D=128 units AND 1 hour
+    of each other.  Positions are the deterministic integer rule
+    ``x = (event_id*37) % 4096, y = (event_id*59) % 4096``; timestamps
+    compare as exact epoch-microseconds, distances as exact integer
+    squares — nothing float anywhere, so the pair set is hash-exact.
+
+    Scale shape: every event replicates into its 3 adjacent time buckets
+    (size T) x 9 neighbor space cells (size D) — 27 small int rows, the
+    radius_join neighborhood discipline lifted to (time x space); any
+    qualifying event pair then shares at least one composite bucket, the
+    grouped co-partition verifies pairs inside buckets only, and a final
+    distinct collapses multiplicity.  The SQL twin is an IEJoin-friendly
+    band join (two tsu inequalities) + the exact predicate — a DIFFERENT
+    algorithm, so hash equality also proves bucket completeness."""
+    T_US = 3_600_000_000
+    D = 128
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _replicate(b: pa.Table) -> pd.DataFrame:
+        eid = np.asarray(b["event_id"].to_pylist(), np.int64)
+        tsu = np.asarray(b["ts"].cast(pa.int64()).to_pylist(), np.int64)
+        uid = np.asarray(b["user_id"].to_pylist(), np.int64)
+        x = (eid * 37) % 4096
+        y = (eid * 59) % 4096
+        tb = tsu // T_US
+        cx = x // D
+        cy = y // D
+        n = len(eid)
+        reps = 27
+        r = np.repeat(np.arange(n), reps)
+        k = np.tile(np.arange(reps), n)
+        tbr = tb[r] + k // 9 - 1
+        cxr = cx[r] + (k % 9) % 3 - 1
+        cyr = cy[r] + (k % 9) // 3 - 1
+        keep = (cxr >= 0) & (cyr >= 0) & (cxr < 4096 // D) & (cyr < 4096 // D)
+        key = (tbr * 64 + cxr) * 64 + cyr
+        return pd.DataFrame({"key": key[keep], "user_id": uid[r][keep],
+                             "tsu": tsu[r][keep], "x": x[r][keep],
+                             "y": y[r][keep]})
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("key", sort=False):
+            u = g["user_id"].to_numpy()
+            t = g["tsu"].to_numpy()
+            x = g["x"].to_numpy()
+            y = g["y"].to_numpy()
+            ai, bi = np.nonzero(u[:, None] < u[None, :])
+            hit = ((np.abs(t[ai] - t[bi]) <= T_US)
+                   & ((x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2 <= D * D))
+            if hit.any():
+                outs.append(pd.DataFrame({"a": u[ai[hit]], "b": u[bi[hit]]})
+                            .drop_duplicates())
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    cand = R.grouped_transform(ev.map_batches(_replicate,
+                                              batch_format="pyarrow"),
+                               ["key"], _pairs, num_partitions=16)
+    # global distinct (pairs recur across shared buckets)
+    return R.grouped_transform(
+        cand, ["a", "b"],
+        lambda df: df.sort_values(["a", "b"], kind="stable")
+                     .drop_duplicates(["a", "b"]),
+        num_partitions=8)
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -3933,6 +4005,7 @@ QUERIES = {
     "polygon_metrics": q_polygon_metrics,
     "bbox_join": q_bbox_join,
     "trajectory_stats": q_trajectory_stats,
+    "colocation_join": q_colocation_join,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5067,6 +5140,21 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "colocation_join": """
+        WITH p AS (
+            SELECT user_id, epoch_us(ts) AS tsu,
+                   (event_id * 37) % 4096 AS x,
+                   (event_id * 59) % 4096 AS y
+            FROM events
+        )
+        SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        FROM p a JOIN p b
+          ON a.tsu - b.tsu <= 3600000000
+         AND b.tsu - a.tsu <= 3600000000
+        WHERE a.user_id < b.user_id
+          AND (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= 16384
     """,
     "trajectory_stats": """
         WITH p AS (

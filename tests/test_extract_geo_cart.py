@@ -316,3 +316,28 @@ def test_trajectory_stats_reference(ray_session):
         assert abs(row["net_disp"] - round(net, 6)) < 1e-6
         assert int(row["bbox_area"]) == int(
             (x.max() - x.min() + 1) * (y.max() - y.min() + 1))
+
+
+def test_colocation_join_brute_force(ray_session):
+    """q_colocation_join vs a brute-force numpy cross check on sf0.001."""
+    import duckdb as _dd
+
+    from drivers_of_global_deforestation_ray.pipelines.queries import (
+        q_colocation_join)
+
+    out = (q_colocation_join("/root/testdata/sf0.001").to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    ev = _dd.sql(
+        "SELECT event_id, epoch_us(ts) AS tsu, user_id FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')").df()
+    eid = ev["event_id"].to_numpy(np.int64)
+    tsu = ev["tsu"].to_numpy(np.int64)
+    uid = ev["user_id"].to_numpy(np.int64)
+    x = (eid * 37) % 4096
+    y = (eid * 59) % 4096
+    ai, bi = np.nonzero(uid[:, None] < uid[None, :])
+    hit = ((np.abs(tsu[ai] - tsu[bi]) <= 3_600_000_000)
+           & ((x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2 <= 128 * 128))
+    want = sorted(set(zip(uid[ai[hit]].tolist(), uid[bi[hit]].tolist())))
+    got = list(zip(out["a"].tolist(), out["b"].tolist()))
+    assert got == want
