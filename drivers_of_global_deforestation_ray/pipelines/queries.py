@@ -2982,6 +2982,52 @@ def q_colocation_join(sf_dir: str):
         num_partitions=8)
 
 
+def q_funnel_sequence(sf_dir: str):
+    """Ordered multi-step funnel WITH per-step deadlines (the
+    MATCH_RECOGNIZE shape product analytics actually runs): per user, the
+    earliest completion of view -> click -> purchase where each next step
+    lands within 24h of the previous one.  One co-partitioned vectorized
+    pass: per user, each CLICK is feasible iff some view precedes it
+    within the window (one searchsorted against the view timestamps) and
+    its earliest following purchase lands within the window (one more
+    searchsorted); the answer is the min purchase over feasible clicks.
+    (A view-greedy scan is WRONG here — an earlier click tightens the
+    purchase deadline — which the oracle caught during development.)
+    Exact epoch-microsecond arithmetic -> hash-exact vs a
+    triple-self-join SQL twin."""
+    W_US = 86_400_000_000
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def _funnel(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        out_u, out_t = [], []
+        for uid, g in part.groupby("user_id", sort=False):
+            tsu = g["ts"].astype("int64").to_numpy()
+            et = g["event_type"].to_numpy()
+            views = tsu[et == "view"]
+            clicks = tsu[et == "click"]
+            buys = tsu[et == "purchase"]
+            if not (len(views) and len(clicks) and len(buys)):
+                continue
+            # click feasible <=> a view exists in [c - W, c)
+            vlo = np.searchsorted(views, clicks - W_US, side="left")
+            has_view = (vlo < len(views)) & (
+                views[np.minimum(vlo, len(views) - 1)] < clicks)
+            # earliest purchase strictly after the click, within W
+            pi = np.searchsorted(buys, clicks, side="right")
+            has_buy = pi < len(buys)
+            p_ts = buys[np.minimum(pi, len(buys) - 1)]
+            ok = has_view & has_buy & (p_ts - clicks <= W_US)
+            if ok.any():
+                out_u.append(uid)
+                out_t.append(int(p_ts[ok].min()))
+        return pd.DataFrame({"user_id": np.asarray(out_u, np.int64),
+                             "completed_at_us": np.asarray(out_t, np.int64)})
+
+    return R.grouped_transform(ev, ["user_id"], _funnel, num_partitions=16)
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -4006,6 +4052,7 @@ QUERIES = {
     "bbox_join": q_bbox_join,
     "trajectory_stats": q_trajectory_stats,
     "colocation_join": q_colocation_join,
+    "funnel_sequence": q_funnel_sequence,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5140,6 +5187,20 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "funnel_sequence": """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        )
+        SELECT v.user_id,
+               CAST(min(p.tsu) AS BIGINT) AS completed_at_us
+        FROM e v
+        JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+               AND c.tsu > v.tsu AND c.tsu - v.tsu <= 86400000000
+        JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.tsu > c.tsu AND p.tsu - c.tsu <= 86400000000
+        WHERE v.event_type = 'view'
+        GROUP BY v.user_id
     """,
     "colocation_join": """
         WITH p AS (
