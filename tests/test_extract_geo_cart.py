@@ -341,3 +341,19 @@ def test_colocation_join_brute_force(ray_session):
     want = sorted(set(zip(uid[ai[hit]].tolist(), uid[bi[hit]].tolist())))
     got = list(zip(out["a"].tolist(), out["b"].tolist()))
     assert got == want
+
+
+def test_new_event_ops_partition_invariance(ray_session):
+    """trajectory_stats / colocation_join / funnel_sequence produce the
+    identical result at different input partitionings (the co-partition
+    discipline holds regardless of block layout)."""
+    from drivers_of_global_deforestation_ray.pipelines import queries as Q
+
+    for fn in (Q.q_trajectory_stats, Q.q_colocation_join,
+               Q.q_funnel_sequence):
+        outs = []
+        for _ in range(2):
+            df = fn("/root/testdata/sf0.001").to_pandas()
+            outs.append(df.sort_values(list(df.columns))
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
