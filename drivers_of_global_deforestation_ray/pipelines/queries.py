@@ -3028,6 +3028,52 @@ def q_funnel_sequence(sf_dir: str):
     return R.grouped_transform(ev, ["user_id"], _funnel, num_partitions=16)
 
 
+def q_incremental_agg(sf_dir: str):
+    """Algebraic INCREMENTAL aggregate maintenance (the materialized-view
+    delta pattern — at 100 TB you update aggregates from the day's delta,
+    never rescan history): per-user counts + exact scaled-int sums over a
+    BASE window are computed once as associative PARTIALS
+    (``grouped_agg_partial``) and persisted; the DELTA window's partials
+    union with the STORED ones and one ``grouped_agg_final`` produces the
+    updated aggregate — the base rows are never read again.  The SQL twin
+    aggregates the full table flat; hash equality proves partial
+    associativity across the persisted boundary."""
+    import shutil
+
+    cutoff = pd.Timestamp("2024-01-20").value // 1000  # epoch micros
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pd.DataFrame:
+        tsu = np.asarray(b["ts"].cast(pa.int64()).to_pylist(), np.int64)
+        return pd.DataFrame({
+            "user_id": np.asarray(b["user_id"].to_pylist(), np.int64),
+            "v": np.round(np.asarray(b["value"].to_pylist()) * 100
+                          ).astype(np.int64),
+            "__delta": tsu >= cutoff})
+
+    prepped = ev.map_batches(_prep, batch_format="pyarrow")
+    specs = {"n": ("v", "size"), "sum_v": ("v", "sum")}
+
+    state_dir = "/tmp/graft_incr_agg_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    # day 0: persist the base window's partials — the view state
+    base_partials = R.grouped_agg_partial(
+        prepped.filter(expr="__delta == False").drop_columns(["__delta"]),
+        ["user_id"], specs)
+    base_partials.write_parquet(state_dir)
+
+    # day 1: delta partials + stored partials -> one final, no base rescan
+    import ray.data as rd
+
+    delta_partials = R.grouped_agg_partial(
+        prepped.filter(expr="__delta").drop_columns(["__delta"]),
+        ["user_id"], specs)
+    return R.grouped_agg_final(
+        rd.read_parquet(state_dir).union(delta_partials),
+        ["user_id"], specs)
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -4053,6 +4099,7 @@ QUERIES = {
     "trajectory_stats": q_trajectory_stats,
     "colocation_join": q_colocation_join,
     "funnel_sequence": q_funnel_sequence,
+    "incremental_agg": q_incremental_agg,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5187,6 +5234,14 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "incremental_agg": """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_v
+        FROM events
+        GROUP BY user_id
     """,
     "funnel_sequence": """
         WITH e AS (
