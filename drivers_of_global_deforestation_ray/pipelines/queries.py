@@ -3074,6 +3074,100 @@ def q_incremental_agg(sf_dir: str):
         ["user_id"], specs)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics staple): users
+    cohort by the ISO week of their FIRST event; each (cohort_week,
+    weeks_since) cell counts DISTINCT users active that many weeks later.
+    Two exact passes — a grouped-min for the cohort assignment broadcast
+    back into a distinct count — all integer week arithmetic
+    (epoch_us // week), so the matrix is hash-exact."""
+    WEEK_US = 7 * 86_400_000_000
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def _weeks(b: pa.Table) -> pd.DataFrame:
+        tsu = np.asarray(b["ts"].cast(pa.int64()).to_pylist(), np.int64)
+        return pd.DataFrame({
+            "user_id": np.asarray(b["user_id"].to_pylist(), np.int64),
+            "week": tsu // WEEK_US})
+
+    weeks = ev.map_batches(_weeks, batch_format="pyarrow")
+    first = R.grouped_agg(weeks, ["user_id"], {"cohort": ("week", "min")})
+    joined = R.hash_join(weeks, first, on="user_id", num_partitions=8)
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": b["cohort"].to_numpy(np.int64),
+            "weeks_since": (b["week"] - b["cohort"]).to_numpy(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64)})
+
+    cells = joined.map_batches(_cells, batch_format="pandas")
+    return R.grouped_transform(
+        cells, ["cohort_week", "weeks_since"],
+        lambda df: (df.drop_duplicates()
+                    .groupby(["cohort_week", "weeks_since"], sort=False)
+                    .size().rename("retained").reset_index()),
+        num_partitions=8)
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances over the derived web-link graph (the
+    SSSP family beside components/pagerank): seeds are the graph nodes
+    with ``node % 200 == 0``; output is every REACHED node's exact minimum
+    hop count.  Pointer jumping cannot answer this (it shortcuts paths),
+    so the engine runs true frontier supersteps: the symmetrized edge
+    table materializes once; each round broadcasts the (small) current
+    frontier via ``ray.put``, one stateless pass emits frontier-neighbor
+    candidates at dist+1, and a grouped-min folds them into the distance
+    table — a node-bounded int64 Dataset, never driver-resident.  Web
+    BFS frontiers from sparse seeds stay tiny relative to the edge set
+    (the broadcast contract); a full-graph frontier would move to the
+    pinned BSP shards instead.  Hash-exact vs a recursive-CTE twin."""
+    import ray as _ray
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        chain = ids[(ids % 8 != 7) & (ids + 1 < n)]
+        cross = ids[ids % 97 == 0]
+        a = np.concatenate([chain, cross])
+        bb = np.concatenate([chain + 1, (cross * 131 + 7) % n])
+        return pd.DataFrame({"node": np.concatenate([a, bb]),
+                             "nbr": np.concatenate([bb, a])})
+
+    edges = docs.map_batches(_edges, batch_format="pandas").materialize()
+    def _seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["node"].to_numpy(np.int64)
+        nd = np.unique(nd[nd % 200 == 0])
+        return pd.DataFrame({"node": nd,
+                             "dist": np.zeros(len(nd), np.int64)})
+
+    seeds = R.grouped_agg(
+        edges.map_batches(_seed_rows, batch_format="pandas"), ["node"],
+        {"dist": ("dist", "min")}, num_partitions=4)
+    dist = seeds.materialize()
+    for r in range(64):
+        frontier = dist.filter(expr=f"dist == {r}").to_pandas()
+        if frontier.empty:
+            break
+        fref = _ray.put(np.sort(frontier["node"].to_numpy(np.int64)))
+
+        def _expand(b: pd.DataFrame, _r=r) -> pd.DataFrame:
+            fr = _ray.get(fref)
+            m = np.isin(b["node"].to_numpy(np.int64), fr)
+            return pd.DataFrame({
+                "node": b["nbr"].to_numpy(np.int64)[m],
+                "dist": np.full(int(m.sum()), _r + 1, np.int64)})
+
+        cand = edges.map_batches(_expand, batch_format="pandas")
+        dist = R.grouped_agg(dist.union(cand), ["node"],
+                             {"dist": ("dist", "min")},
+                             num_partitions=4).materialize()
+    return dist
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -4100,6 +4194,8 @@ QUERIES = {
     "colocation_join": q_colocation_join,
     "funnel_sequence": q_funnel_sequence,
     "incremental_agg": q_incremental_agg,
+    "cohort_retention": q_cohort_retention,
+    "bfs_hops": q_bfs_hops,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5234,6 +5330,42 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "bfs_hops": """
+        WITH RECURSIVE
+        cnt AS (SELECT COUNT(*) AS n FROM documents),
+        be AS (
+          SELECT doc_id AS a, doc_id + 1 AS b FROM documents, cnt
+          WHERE doc_id % 8 <> 7 AND doc_id + 1 < n
+          UNION ALL
+          SELECT doc_id AS a, (doc_id * 131 + 7) % n AS b FROM documents, cnt
+          WHERE doc_id % 97 = 0),
+        ed AS (
+          SELECT a AS node, b AS nbr FROM be
+          UNION
+          SELECT b AS node, a AS nbr FROM be),
+        walk AS (
+          SELECT node, 0 AS dist
+          FROM (SELECT DISTINCT node FROM ed) t WHERE node % 200 = 0
+          UNION
+          SELECT e.nbr, w.dist + 1
+          FROM walk w JOIN ed e ON e.node = w.node
+          WHERE w.dist < 64)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """,
+    "cohort_retention": """
+        WITH w AS (
+            SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+        ), f AS (
+            SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id
+        )
+        SELECT f.cohort AS cohort_week,
+               w.week - f.cohort AS weeks_since,
+               CAST(count(DISTINCT w.user_id) AS BIGINT) AS retained
+        FROM w JOIN f USING (user_id)
+        GROUP BY 1, 2
     """,
     "incremental_agg": """
         SELECT user_id,
