@@ -3168,6 +3168,85 @@ def q_bfs_hops(sf_dir: str):
     return dist
 
 
+def q_interval_coalesce(sf_dir: str):
+    """Interval coalescing per user (the gaps-and-islands problem): each
+    event spans ``[tsu, tsu + (event_id % 7200 + 60) s]``; overlapping or
+    touching spans merge into islands.  One co-partitioned pass: per user,
+    sort by start, running cumulative max of ends (vectorized), island
+    boundary where ``start > cummax(previous ends)`` — no per-interval
+    Python.  Output (user_id, island_start_us, island_end_us, n_spans),
+    exact integers -> hash-exact vs the window-function SQL twin (the
+    classic ``SUM(CASE WHEN start > max_prev_end)`` island id form)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _islands(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy(deep=False)
+        eid = part["event_id"].to_numpy(np.int64)
+        tsu = part["ts"].astype("int64").to_numpy()
+        part["s"] = tsu
+        part["e"] = tsu + (eid % 7200 + 60) * 1_000_000
+        part = part.sort_values(["user_id", "s", "e"], kind="stable")
+        uid = part["user_id"].to_numpy()
+        s_ = part["s"].to_numpy()
+        e_ = part["e"].to_numpy()
+        new_user = np.ones(len(part), bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        # running max of ends WITHIN user — segmented cummax: add a huge
+        # per-segment offset, accumulate once, subtract it back (exact for
+        # int64 well inside range; epoch-us values are < 2^48)
+        seg = np.cumsum(new_user) - 1
+        OFF = np.int64(1) << 48
+        shifted = e_ + seg * OFF
+        run = np.maximum.accumulate(shifted) - seg * OFF
+        prev_run = np.empty_like(run)
+        prev_run[0] = np.iinfo(np.int64).min
+        prev_run[1:] = run[:-1]
+        new_island = new_user | (s_ > prev_run)
+        isl = np.cumsum(new_island) - 1
+        n_isl = int(isl[-1]) + 1 if len(part) else 0
+        st = np.zeros(n_isl, np.int64)
+        st[isl[new_island]] = s_[new_island]
+        en = np.full(n_isl, np.iinfo(np.int64).min)
+        np.maximum.at(en, isl, e_)
+        cnt = np.zeros(n_isl, np.int64)
+        np.add.at(cnt, isl, 1)
+        users = uid[new_island]
+        return pd.DataFrame({"user_id": users,
+                             "island_start_us": st,
+                             "island_end_us": en,
+                             "n_spans": cnt})
+
+    return R.grouped_transform(ev, ["user_id"], _islands, num_partitions=16)
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event TRANSITION matrix (the Sankey / first-order Markov
+    input): count (event_type -> next event_type) over each user's
+    (ts, event_id)-ordered stream.  One co-partitioned vectorized pass
+    (shift-compare, no per-event Python), then a tiny grouped sum — the
+    LEAD window twin in SQL."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def _trans(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"],
+                                kind="stable")
+        uid = part["user_id"].to_numpy()
+        et = part["event_type"].to_numpy(dtype=object)
+        same = np.zeros(len(part), bool)
+        same[:-1] = uid[:-1] == uid[1:]
+        src = et[:-1][same[:-1]]
+        dst = et[1:][same[:-1]]
+        df = pd.DataFrame({"from_type": src, "to_type": dst})
+        g = (df.groupby(["from_type", "to_type"], sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    parts = R.grouped_transform(ev, ["user_id"], _trans, num_partitions=16)
+    return R.grouped_agg(parts, ["from_type", "to_type"],
+                         {"n": ("n", "sum")}, num_partitions=4)
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -4196,6 +4275,8 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "cohort_retention": q_cohort_retention,
     "bfs_hops": q_bfs_hops,
+    "interval_coalesce": q_interval_coalesce,
+    "event_transitions": q_event_transitions,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5330,6 +5411,42 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "event_transitions": """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        )
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE nxt IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "interval_coalesce": """
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + (event_id % 7200 + 60) * 1000000 AS e
+            FROM events
+        ), m AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+            FROM iv
+        ), g AS (
+            SELECT user_id, s, e,
+                   sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+            FROM m
+        )
+        SELECT user_id,
+               CAST(min(s) AS BIGINT) AS island_start_us,
+               CAST(max(e) AS BIGINT) AS island_end_us,
+               CAST(count(*) AS BIGINT) AS n_spans
+        FROM g GROUP BY user_id, isl
     """,
     "bfs_hops": """
         WITH RECURSIVE
