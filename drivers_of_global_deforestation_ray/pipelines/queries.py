@@ -3247,6 +3247,55 @@ def q_event_transitions(sf_dir: str):
                          {"n": ("n", "sum")}, num_partitions=4)
 
 
+def q_item_cooccurrence(sf_dir: str):
+    """Market-basket item co-occurrence (the recommendation primitive):
+    per user the DISTINCT item set (``props.k``), then every item pair
+    (a < b) counted by how many users hold both.  Per-user baskets are
+    bounded (k has 100 values), so in-partition pairing is safely
+    quadratic-in-basket; a grouped sum folds pair partials.  Output
+    restricted to pairs shared by >= 2 users (the interesting set).  All
+    integers -> hash-exact vs the DISTINCT self-join SQL twin."""
+    import re
+
+    ev = _read(sf_dir, "events", ["user_id", "props"])
+    pat = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    def _items(b: pa.Table) -> pd.DataFrame:
+        ks = np.asarray([int(m.group(1)) if (m := pat.search(p or "")) else 0
+                         for p in b["props"].to_pylist()], dtype=np.int64)
+        return pd.DataFrame({
+            "user_id": np.asarray(b["user_id"].to_pylist(), np.int64),
+            "item": ks}).drop_duplicates()
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.drop_duplicates().groupby("user_id", sort=False):
+            it = np.sort(np.unique(g["item"].to_numpy(np.int64)))
+            if len(it) < 2:
+                continue
+            ai, bi = np.triu_indices(len(it), k=1)
+            outs.append(pd.DataFrame({"item_a": it[ai], "item_b": it[bi],
+                                      "n": np.ones(len(ai), np.int64)}))
+        if not outs:
+            return pd.DataFrame({"item_a": pd.Series(dtype=np.int64),
+                                 "item_b": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        df = pd.concat(outs, ignore_index=True)
+        return (df.groupby(["item_a", "item_b"], sort=False)["n"].sum()
+                .reset_index())
+
+    items = ev.map_batches(_items, batch_format="pyarrow")
+    partials = R.grouped_transform(items, ["user_id"], _pairs,
+                                   num_partitions=16)
+    counts = R.grouped_agg(partials, ["item_a", "item_b"],
+                           {"n_users": ("n", "sum")}, num_partitions=4)
+
+    def _floor(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_users"] >= 2]
+
+    return counts.map_batches(_floor, batch_format="pandas")
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -4277,6 +4326,7 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "interval_coalesce": q_interval_coalesce,
     "event_transitions": q_event_transitions,
+    "item_cooccurrence": q_item_cooccurrence,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5411,6 +5461,19 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "item_cooccurrence": """
+        WITH it AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS item
+            FROM events
+        )
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM it a JOIN it b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
     """,
     "event_transitions": """
         WITH o AS (
