@@ -3296,6 +3296,84 @@ def q_item_cooccurrence(sf_dir: str):
     return counts.map_batches(_floor, batch_format="pandas")
 
 
+def q_entity_resolution(sf_dir: str):
+    """END-TO-END entity resolution — blocking -> edit-distance matching
+    -> graph clustering -> canonical ids, every stage a first-class
+    engine operator: deterministic dirty names (5 records per true
+    entity; each record may mutate one character of its entity's base
+    name) block on their 6-char prefix, in-block pairs match at
+    Levenshtein <= 2, matches feed the distributed min-label
+    connected-components, and each record resolves to its cluster's
+    minimum doc_id.  Unmatched records resolve to themselves.  The SQL
+    twin rebuilds the same names, joins with DuckDB ``levenshtein`` and
+    closes clusters with a recursive CTE — the WHOLE resolution pipeline
+    is hash-exact-checkable."""
+    import shutil
+    import tempfile
+
+    from ..functions.editdist import levenshtein_batch
+    from ..stages.graph import connected_components_pinned
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _names(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["doc_id"].to_pylist(), np.int64)
+        names = []
+        for i in ids:
+            base = f"entity{int(i) // 5:05d}name"
+            r = int(i) % 5
+            if r:  # mutate one character, position/typo id-derived
+                pos = (int(i) * 7) % len(base)
+                ch = chr(ord("a") + (int(i) * 13) % 26)
+                base = base[:pos] + ch + base[pos + 1:]
+            names.append(base)
+        return pd.DataFrame({"doc_id": ids,
+                             "name": np.asarray(names, dtype=object),
+                             "block": np.asarray([n[:6] for n in names],
+                                                 dtype=object)})
+
+    recs = docs.map_batches(_names, batch_format="pyarrow")
+
+    def _match(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("block", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].to_numpy(np.int64)
+            nm = g["name"].to_numpy(dtype=object)
+            ai, bi = np.triu_indices(len(g), k=1)
+            d = levenshtein_batch(nm[ai], nm[bi])
+            hit = d <= 2
+            if hit.any():
+                outs.append(pd.DataFrame({"a": ids[ai[hit]],
+                                          "b": ids[bi[hit]]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    edges = R.grouped_transform(recs, ["block"], _match, num_partitions=16)
+    work = tempfile.mkdtemp(prefix="graft_er_", dir="/tmp")
+    try:
+        labels = connected_components_pinned(edges, work,
+                                             num_shards=4).materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    resolved = R.hash_join(recs.select_columns(["doc_id"]), labels,
+                           on="doc_id", how="left", right_on="node",
+                           num_partitions=8)
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["label"].to_numpy()
+        out = np.where(pd.isna(lab), df["doc_id"].to_numpy(np.int64),
+                       lab).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "canonical_id": out})
+
+    return resolved.map_batches(_canon, batch_format="pandas")
+
+
 def q_hex_boundary(sf_dir: str):
     """Vector boundary export for the hexagonal tiling: each occupied res-5
     cell explodes into its 6 corner vertices (dual-triangle centroids pushed
@@ -4327,6 +4405,7 @@ QUERIES = {
     "interval_coalesce": q_interval_coalesce,
     "event_transitions": q_event_transitions,
     "item_cooccurrence": q_item_cooccurrence,
+    "entity_resolution": q_entity_resolution,
     # --- previously driver-certified (r1-r4 windows); full local coverage
     # via tools/check_oracles.py ---
     "nfc_norm": q_nfc_norm,
@@ -5461,6 +5540,48 @@ ORACLE_SQL = {
     """,
     "avro_roundtrip": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    "entity_resolution": """
+        WITH RECURSIVE
+        nm AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                       'entity' || lpad(CAST(doc_id // 5 AS VARCHAR), 5, '0')
+                           || 'name'
+                   ELSE
+                       substr(base, 1, CAST((doc_id * 7) % length(base)
+                                            AS INT))
+                       || chr(97 + CAST((doc_id * 13) % 26 AS INT))
+                       || substr(base, CAST((doc_id * 7) % length(base)
+                                            AS INT) + 2)
+                   END AS name
+            FROM (SELECT doc_id,
+                         'entity' || lpad(CAST(doc_id // 5 AS VARCHAR),
+                                          5, '0') || 'name' AS base
+                  FROM documents)
+        ),
+        blk AS (SELECT doc_id, name, substr(name, 1, 6) AS block FROM nm),
+        be AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM blk a JOIN blk b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.name, b.name) <= 2
+        ),
+        ed AS (
+            SELECT a AS node, b AS nbr FROM be
+            UNION
+            SELECT b AS node, a AS nbr FROM be
+        ),
+        reach AS (
+            SELECT node, node AS label
+            FROM (SELECT DISTINCT node FROM ed) t
+            UNION
+            SELECT e.node, r.label FROM ed e JOIN reach r ON r.node = e.nbr
+        ),
+        lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS canonical_id
+        FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
     """,
     "item_cooccurrence": """
         WITH it AS (
